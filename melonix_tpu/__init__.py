@@ -1,0 +1,41 @@
+"""melonix_tpu — a TPU-native audio pitch-editing framework.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of mika314/melonix
+(see SURVEY.md): spectrogram analysis, marker-based time-warp/pitch-bend
+editing, granular and phase-vocoder rendering, batched pitch detection,
+project persistence, and a thin host UI — with the compute path designed for
+TPU (batched device programs, MXU matmul FFTs, mesh sharding) rather than the
+reference's per-column CPU worker threads.
+"""
+
+from .config import DEFAULT_CONFIG, Config
+from .markers import Marker, markers_from_json, markers_to_json, sort_markers
+from .engine.maps import MapKnots
+from .engine.grains import GrainTable, build_grain_table
+from .engine.render import RenderPlan, build_render_plan, render, render_track
+from .io import load_audio, read_wav, write_wav, Project, load_project, save_project
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Config",
+    "DEFAULT_CONFIG",
+    "Marker",
+    "markers_from_json",
+    "markers_to_json",
+    "sort_markers",
+    "MapKnots",
+    "GrainTable",
+    "build_grain_table",
+    "RenderPlan",
+    "build_render_plan",
+    "render",
+    "render_track",
+    "load_audio",
+    "read_wav",
+    "write_wav",
+    "Project",
+    "load_project",
+    "save_project",
+    "__version__",
+]

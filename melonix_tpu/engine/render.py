@@ -1,0 +1,234 @@
+"""Granular pitch/time renderer — the core DSP.
+
+Reference semantics (app.cpp:294-345): ``process(cursor)`` renders one grain;
+the playback rate is ``2^(pitchBend(cursor)/12)``; the grain is chosen by
+``grains.lower_bound(time2Sample(cursor))`` — the time-warp map thereby
+repeats/skips grains to time-stretch; the grain is linearly resampled by
+stepping ``i * rate`` with the final in-grain sample interpolating toward the
+*next* grain's first sample (the seam), where "next" is found by projecting
+the output duration back through the warp map (app.cpp:312-329).  The offline
+export (app.cpp:1194-1215) chains ``process`` from t=0 until the grain table
+is exhausted, then emits ``preferred_grain_size`` zeros.
+
+TPU-first decomposition:
+
+* **Plan (host, NumPy)** — the cursor chain is sequential but tiny
+  (~N/1500 steps, O(log markers) each): it touches only the grain table and
+  the marker maps, never the audio.  ``build_render_plan`` emits fixed-shape
+  per-step arrays (source start, length, f32 rate, output span, seam index).
+* **Execute (device, one fused gather)** — every output sample is an
+  independent ``(1-frac)*wav[src] + frac*wav[src2]`` with indices derived
+  from its step's scalars; ``render_from_plan`` evaluates the whole track in
+  one jitted program (gather + lerp, HBM-bandwidth-bound).  Rate arithmetic
+  is done in float32 to match the reference's ``i * rate`` float stepping.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DEFAULT_CONFIG, Config
+from .grains import GrainTable
+from .maps import MapKnots
+
+F32 = np.float32
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderPlan:
+    """Per-step arrays describing a granular render; see module docstring."""
+
+    grain_start: np.ndarray  # int32 (S,) source start of the chosen grain
+    grain_len: np.ndarray  # int32 (S,)
+    rate: np.ndarray  # float32 (S,) resampling rate 2^(bend/12)
+    sz: np.ndarray  # int64 (S,) output samples produced by the step
+    out_offset: np.ndarray  # int64 (S+1,) cumulative output offsets
+    seam_src: np.ndarray  # int32 (S,) source index of the seam sample; -1 → 0.0
+    tail_zeros: int  # zeros appended after the last grain (app.cpp:306-307)
+    sample_rate: int
+
+    @property
+    def n_steps(self) -> int:
+        return len(self.grain_start)
+
+    @property
+    def total_out(self) -> int:
+        base = int(self.out_offset[-1]) if len(self.out_offset) else 0
+        return base + self.tail_zeros
+
+    @property
+    def cursor_end(self) -> float:
+        """Warped-time cursor after the last planned step."""
+        return float(self.out_offset[-1]) / self.sample_rate
+
+
+def _step_output_count(length: int, rate: F32) -> int:
+    """Number of output samples for one grain: count of i >= 0 with
+    floor(float32(i * rate)) < length (app.cpp:332-339, float arithmetic)."""
+    r = float(rate)
+    est = int(length / r) + 4 if r > 0 else 8
+    while True:
+        i = np.arange(est, dtype=np.float32)
+        over = np.floor(i * F32(rate)) >= length
+        if over.any():
+            return int(np.argmax(over))
+        est *= 2
+
+
+def build_render_plan(
+    grains: GrainTable,
+    knots: MapKnots,
+    *,
+    start_cursor: float = 0.0,
+    min_out: int | None = None,
+    config: Config = DEFAULT_CONFIG,
+) -> RenderPlan:
+    """Walk the cursor chain (host control plane) and emit a RenderPlan.
+
+    With ``min_out=None`` this mirrors ``App::exportWav``'s full-track loop
+    (terminates when the grain table is exhausted, appending the trailing
+    zeros the final ``process`` call pushes).  With ``min_out`` set it stops
+    once at least that many output samples are planned (streaming/playback
+    use, mirroring the backlog loop app.cpp:274-276) and appends no tail.
+    """
+    starts = grains.starts
+    sr = knots.sample_rate
+    pgs = config.preferred_grain_size
+
+    g_start: list[int] = []
+    g_len: list[int] = []
+    g_rate: list[F32] = []
+    g_sz: list[int] = []
+    g_seam: list[int] = []
+
+    cursor = float(start_cursor)
+    total = 0
+    tail = 0
+    n_grains = len(starts)
+    while True:
+        if min_out is not None and total >= min_out:
+            break
+        bend = knots.time_to_pitch_bend(cursor)  # float32 (app.cpp:296)
+        rate = F32(2.0) ** F32(F32(bend) / F32(12.0))  # powf(2, bend/12)
+        sample = knots.time_to_sample(cursor)
+        gi = int(np.searchsorted(starts, sample, side="left"))
+        if gi >= n_grains:
+            tail = pgs  # app.cpp:303-309: 1500 zeros, then playback stops
+            break
+        length = int(grains.lengths[gi])
+        sz = _step_output_count(length, rate)
+        # Seam: project the output span through the warp map (app.cpp:312-329).
+        s2 = knots.time_to_sample(cursor + 1.0 * sz / sr)
+        g2 = int(np.searchsorted(starts, s2, side="left"))
+        seam = int(starts[g2]) if g2 < n_grains else -1
+        g_start.append(int(starts[gi]))
+        g_len.append(length)
+        g_rate.append(rate)
+        g_sz.append(sz)
+        g_seam.append(seam)
+        total += sz
+        cursor += 1.0 * sz / sr  # dt returned by process (app.cpp:344)
+
+    offs = np.zeros(len(g_sz) + 1, np.int64)
+    np.cumsum(np.asarray(g_sz, np.int64), out=offs[1:])
+    return RenderPlan(
+        grain_start=np.asarray(g_start, np.int32),
+        grain_len=np.asarray(g_len, np.int32),
+        rate=np.asarray(g_rate, np.float32),
+        sz=np.asarray(g_sz, np.int64),
+        out_offset=offs,
+        seam_src=np.asarray(g_seam, np.int32),
+        tail_zeros=tail,
+        sample_rate=sr,
+    )
+
+
+# ----------------------------------------------------------------------
+# Device execution
+# ----------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("out_len",))
+def render_from_plan_device(
+    wav: jnp.ndarray,
+    grain_start: jnp.ndarray,
+    grain_len: jnp.ndarray,
+    rate: jnp.ndarray,
+    out_offset: jnp.ndarray,
+    seam_src: jnp.ndarray,
+    n_valid_out,
+    out_len: int,
+) -> jnp.ndarray:
+    """Render ``out_len`` samples (>= plan total; excess is zero-padded)."""
+    n = wav.shape[0]
+    j = jnp.arange(out_len, dtype=jnp.int32)
+    step = jnp.searchsorted(out_offset, j, side="right") - 1
+    step = jnp.clip(step, 0, grain_start.shape[0] - 1)
+    i = (j - out_offset[step]).astype(jnp.float32)
+    x = i * rate[step]
+    idx_f = jnp.floor(x)
+    frac = x - idx_f
+    idx = idx_f.astype(jnp.int32)
+    src = grain_start[step] + idx
+    in_grain = idx + 1 < grain_len[step]
+    seam = seam_src[step]
+    lo = wav[jnp.clip(src, 0, n - 1)]
+    hi_in = wav[jnp.clip(src + 1, 0, n - 1)]
+    hi_seam = jnp.where(seam >= 0, wav[jnp.clip(seam, 0, n - 1)], 0.0)
+    hi = jnp.where(in_grain, hi_in, hi_seam)
+    out = (1.0 - frac) * lo + frac * hi
+    return jnp.where(j < n_valid_out, out, 0.0)
+
+
+def _round_up(n: int, m: int) -> int:
+    return m * -(-n // m)
+
+
+def render(
+    wav,
+    plan: RenderPlan,
+    *,
+    pad_to: int = 8192,
+    include_tail: bool = True,
+) -> np.ndarray:
+    """Execute a RenderPlan on device; returns float32 host array.
+
+    Output length buckets to multiples of ``pad_to`` so repeated renders of
+    similar lengths reuse the compiled program.
+    """
+    n_grain_out = int(plan.out_offset[-1]) if len(plan.out_offset) else 0
+    total = plan.total_out if include_tail else n_grain_out
+    if total == 0:
+        return np.zeros(0, np.float32)
+    if plan.n_steps == 0:
+        return np.zeros(total, np.float32)
+    out_len = _round_up(total, pad_to)
+    wav_dev = jnp.asarray(wav, jnp.float32)
+    out = render_from_plan_device(
+        wav_dev,
+        jnp.asarray(plan.grain_start),
+        jnp.asarray(plan.grain_len),
+        jnp.asarray(plan.rate),
+        jnp.asarray(plan.out_offset, jnp.int32),
+        jnp.asarray(plan.seam_src),
+        jnp.int32(n_grain_out),
+        out_len,
+    )
+    return np.asarray(out[:total])
+
+
+def render_track(
+    wav,
+    grains: GrainTable,
+    knots: MapKnots,
+    *,
+    config: Config = DEFAULT_CONFIG,
+) -> np.ndarray:
+    """Full offline render: plan + device execution (export parity path)."""
+    plan = build_render_plan(grains, knots, config=config)
+    return render(wav, plan)

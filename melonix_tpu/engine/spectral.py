@@ -1,0 +1,175 @@
+"""Spectral analysis engine.
+
+The reference computes one 32768-point complex DFT per *visible screen
+column*, on demand, on a CPU worker thread (spec.cpp:44-66): the window is
+anchored at the column's end sample, samples before the column's start are
+attenuated by an exponential decay ``exp(-2.5e-4 * (start - i))`` (NOT a Hann
+window), out-of-bounds samples are zero, and the output is the magnitude of
+the first 16384 bins normalized by 32768.
+
+The TPU design inverts this: *batch all requested columns into one jitted
+program* — a fused gather (frame extraction) + decay mask + batched FFT +
+magnitude.  A whole 4K-wide viewport is one device call instead of 4000
+incremental FFTW jobs, and whole-track pyramids are one big batch.
+
+Two FFT backends:
+  * ``jnp.fft.fft`` — XLA's native FFT;
+  * a four-step (Bailey) factorization that maps the DFT onto MXU matmuls
+    (kernels/fftmm.py) — on TPU the 128x-sized factor matmuls run on the
+    systolic array and typically beat the generic FFT for batched work.
+
+A modern Hann STFT mode (2048-pt, 75% overlap; BASELINE.json configs) is also
+provided for the phase-vocoder and pitch engines.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DEFAULT_CONFIG, Config
+from ..kernels.fftmm import fft_matmul
+
+
+def _extract_frames(wav: jnp.ndarray, start: jnp.ndarray, end: jnp.ndarray, size: int):
+    """Gather end-anchored frames with the reference's decay pre-window.
+
+    ``start``/``end`` are int32 (B,) sample ranges; frame b covers absolute
+    sample indices [end[b] - size, end[b]) (spec.cpp:47).  Returns (B, size)
+    float32 frames with decay and zero-fill applied.
+    """
+    n = wav.shape[0]
+    pos = jnp.arange(size, dtype=jnp.int32)[None, :]  # (1, size)
+    idx = end[:, None] - size + pos  # (B, size) absolute sample index
+    in_bounds = (idx >= 0) & (idx < n)
+    vals = wav[jnp.clip(idx, 0, n - 1)]
+    # Decay applies where i < start (spec.cpp:56-58); expf in float32.
+    dist = (start[:, None] - idx).astype(jnp.float32)
+    decay = jnp.where(dist > 0, jnp.exp(jnp.float32(-2.5e-4) * dist), 1.0)
+    return jnp.where(in_bounds, vals * decay, 0.0)
+
+
+@partial(jax.jit, static_argnames=("size", "backend"))
+def spectrogram_columns_device(
+    wav: jnp.ndarray,
+    start: jnp.ndarray,
+    end: jnp.ndarray,
+    size: int = DEFAULT_CONFIG.spectr_size,
+    backend: str = "fft",
+) -> jnp.ndarray:
+    """Batched reference-parity spectrogram columns.
+
+    Returns (B, size // 2) float32 magnitudes normalized by ``size``
+    (spec.cpp:62-64).
+    """
+    frames = _extract_frames(wav, start, end, size)
+    if backend == "matmul":
+        spec = fft_matmul(frames.astype(jnp.complex64))
+    else:
+        spec = jnp.fft.fft(frames)
+    mags = jnp.abs(spec[:, : size // 2]) / size
+    return mags.astype(jnp.float32)
+
+
+def spectrogram_columns(
+    wav,
+    starts,
+    ends,
+    config: Config = DEFAULT_CONFIG,
+    backend: str = "fft",
+) -> np.ndarray:
+    """Host convenience wrapper: NumPy in, NumPy out."""
+    wav_dev = jnp.asarray(wav, jnp.float32)
+    out = spectrogram_columns_device(
+        wav_dev,
+        jnp.asarray(starts, jnp.int32),
+        jnp.asarray(ends, jnp.int32),
+        size=config.spectr_size,
+        backend=backend,
+    )
+    return np.asarray(out)
+
+
+def view_column_ranges(knots, width: int, start_time: float, range_time: float):
+    """Sample ranges for each screen column of a viewport.
+
+    Column x covers warped time [t, t + pixel) with t = start_time +
+    x * range_time / width; its spectrum range is [time2Sample(t),
+    time2Sample(t + pixel)) (spec-cache.cpp:63-65).
+    """
+    x = np.arange(width + 1, dtype=np.float64)
+    ts = start_time + x * range_time / width
+    samples = knots.time_to_sample(ts)
+    return samples[:-1].astype(np.int32), samples[1:].astype(np.int32)
+
+
+# ----------------------------------------------------------------------
+# Hann STFT (modern mode) — frames at a fixed hop, centered convention off
+# (frames start at hop * i, no centering), 75% overlap default.
+# ----------------------------------------------------------------------
+
+
+def hann_window(size: int, periodic: bool = True) -> np.ndarray:
+    n = np.arange(size, dtype=np.float64)
+    denom = size if periodic else size - 1
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * n / denom)).astype(np.float32)
+
+
+def num_frames(n_samples: int, size: int, hop: int) -> int:
+    if n_samples < size:
+        return 1
+    return 1 + (n_samples - size) // hop
+
+
+@partial(jax.jit, static_argnames=("size", "hop", "n_frames"))
+def stft_device(
+    wav: jnp.ndarray,
+    window: jnp.ndarray,
+    size: int,
+    hop: int,
+    n_frames: int,
+) -> jnp.ndarray:
+    """Batched one-shot STFT: (n_frames, size // 2 + 1) complex64."""
+    n = wav.shape[0]
+    pos = jnp.arange(size, dtype=jnp.int32)[None, :]
+    idx = (jnp.arange(n_frames, dtype=jnp.int32) * hop)[:, None] + pos
+    vals = jnp.where(idx < n, wav[jnp.clip(idx, 0, n - 1)], 0.0)
+    frames = vals * window[None, :]
+    return jnp.fft.rfft(frames)
+
+
+def stft(wav, config: Config = DEFAULT_CONFIG, *, size=None, hop=None):
+    """Host wrapper; returns (frames, hop) with frames complex64 NumPy."""
+    size = size or config.stft_size
+    hop = hop or config.stft_hop
+    wav = np.asarray(wav, np.float32)
+    nf = num_frames(len(wav), size, hop)
+    win = jnp.asarray(hann_window(size))
+    out = stft_device(jnp.asarray(wav), win, size, hop, nf)
+    return np.asarray(out), hop
+
+
+@partial(jax.jit, static_argnames=("size", "hop", "out_len"))
+def istft_device(
+    frames: jnp.ndarray,
+    window: jnp.ndarray,
+    size: int,
+    hop: int,
+    out_len: int,
+) -> jnp.ndarray:
+    """Overlap-add inverse STFT with window-square normalization."""
+    n_frames = frames.shape[0]
+    t = jnp.fft.irfft(frames, n=size)  # (F, size)
+    t = t * window[None, :]
+    offs = jnp.arange(n_frames, dtype=jnp.int32) * hop
+    idx = offs[:, None] + jnp.arange(size, dtype=jnp.int32)[None, :]
+    out = jnp.zeros(out_len, jnp.float32).at[idx.reshape(-1)].add(
+        t.reshape(-1), mode="drop"
+    )
+    wsum = jnp.zeros(out_len, jnp.float32).at[idx.reshape(-1)].add(
+        jnp.tile(window * window, (n_frames,)), mode="drop"
+    )
+    return out / jnp.maximum(wsum, 1e-8)

@@ -1,0 +1,5 @@
+from .audio import load_audio
+from .wav import read_wav, write_wav
+from .project import Project, load_project, save_project
+
+__all__ = ["load_audio", "read_wav", "write_wav", "Project", "load_project", "save_project"]

@@ -1,0 +1,77 @@
+"""Audio import: decode any readable file to mono float32 at its native rate.
+
+The reference decodes via FFmpeg's libav* + libswresample to mono float at
+the file's own sample rate — no rate conversion (app.cpp:624-741,
+``out_sample_rate = codec->sample_rate``).  Here WAV files decode natively
+(io/wav.py); anything else shells out to the ``ffmpeg`` binary when present
+(same capability surface, process isolation instead of linking libav).
+Failure is soft: a DecodeError is raised and callers keep their prior state,
+matching the reference's log-and-return contract (app.cpp:628-694).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+
+import numpy as np
+
+from .wav import read_wav
+
+
+class DecodeError(RuntimeError):
+    pass
+
+
+def downmix_mono(x: np.ndarray) -> np.ndarray:
+    """Channel downmix: mean across channels (libswresample's default
+    stereo→mono matrix is 0.5/0.5, app.cpp:669-684)."""
+    x = np.asarray(x, np.float32)
+    if x.ndim == 2:
+        return x.mean(axis=1).astype(np.float32)
+    return x
+
+
+def _ffprobe_rate(path: str) -> int:
+    out = subprocess.run(
+        [
+            "ffprobe", "-v", "error", "-select_streams", "a:0",
+            "-show_entries", "stream=sample_rate", "-of", "json", path,
+        ],
+        capture_output=True,
+        check=True,
+    )
+    info = json.loads(out.stdout)
+    return int(info["streams"][0]["sample_rate"])
+
+
+def load_audio(path: str, *, mono: bool = True) -> tuple[np.ndarray, int]:
+    """Decode ``path`` → (float32 samples, native sample rate).
+
+    Mirrors ``App::loadAudioFile``'s contract: first audio stream, mono
+    downmix, no resampling.
+    """
+    lower = path.lower()
+    if lower.endswith(".wav"):
+        x, rate = read_wav(path)
+        return (downmix_mono(x) if mono else x), rate
+
+    if shutil.which("ffmpeg") is None:
+        raise DecodeError(
+            f"cannot decode {path!r}: not a WAV and no ffmpeg binary available"
+        )
+    try:
+        rate = _ffprobe_rate(path)
+    except Exception as e:  # noqa: BLE001 — soft-fail contract
+        raise DecodeError(f"ffprobe failed for {path!r}: {e}") from e
+    args = ["ffmpeg", "-v", "error", "-i", path, "-map", "a:0"]
+    if mono:
+        args += ["-ac", "1"]
+    args += ["-f", "f32le", "-ar", str(rate), "-"]
+    try:
+        out = subprocess.run(args, capture_output=True, check=True)
+    except subprocess.CalledProcessError as e:
+        raise DecodeError(f"ffmpeg failed for {path!r}: {e.stderr.decode()[:500]}") from e
+    x = np.frombuffer(out.stdout, "<f4").astype(np.float32)
+    return x, rate

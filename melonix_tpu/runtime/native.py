@@ -1,0 +1,105 @@
+"""ctypes bindings to the native C++ runtime (native/libmelonix_native.so).
+
+The reference's runtime-side code is C++ (grain scan app.cpp:153-235, pyramid
+app.cpp:347-426, LRU caches spec.cpp:18-42); the TPU build keeps those
+host/control-plane pieces native too.  Everything here degrades gracefully to
+the NumPy implementations when the shared library has not been built.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from functools import lru_cache
+
+import numpy as np
+
+_LIB_NAMES = ("libmelonix_native.so",)
+
+
+def _candidate_paths():
+    here = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(os.path.dirname(here))
+    for name in _LIB_NAMES:
+        yield os.path.join(root, "native", name)
+        yield os.path.join(here, name)
+
+
+@lru_cache(maxsize=1)
+def try_load() -> ctypes.CDLL | None:
+    """Load the native runtime library, or None if it is not built."""
+    for path in _candidate_paths():
+        if os.path.exists(path):
+            lib = ctypes.CDLL(path)
+            _declare(lib)
+            return lib
+    return None
+
+
+def _declare(lib: ctypes.CDLL) -> None:
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+
+    lib.mlx_build_grains.restype = ctypes.c_int64
+    lib.mlx_build_grains.argtypes = [
+        f32p,  # wav
+        ctypes.c_int64,  # n
+        ctypes.c_int32,  # preferred grain size
+        i32p,  # out starts (capacity n/2+1)
+        i32p,  # out lengths
+        ctypes.c_int64,  # capacity
+    ]
+
+    lib.mlx_calc_picks.restype = ctypes.c_int32
+    lib.mlx_calc_picks.argtypes = [f32p, ctypes.c_int64, f32p, f32p, ctypes.c_int64]
+
+    lib.mlx_minmax_range.restype = None
+    lib.mlx_minmax_range.argtypes = [
+        f32p, ctypes.c_int64,  # wav
+        f32p, f32p, ctypes.c_int32,  # mins, maxs (flattened pyramid), n_levels
+        i64p, ctypes.c_int64,  # queries (start,end pairs), n_queries
+        f32p, f32p,  # out min, out max
+    ]
+
+    lib.mlx_lru_new.restype = ctypes.c_void_p
+    lib.mlx_lru_new.argtypes = [ctypes.c_int64]
+    lib.mlx_lru_free.restype = None
+    lib.mlx_lru_free.argtypes = [ctypes.c_void_p]
+    lib.mlx_lru_get.restype = ctypes.c_int64
+    lib.mlx_lru_get.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.mlx_lru_put.restype = ctypes.c_int64
+    lib.mlx_lru_put.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, i64p]
+    lib.mlx_lru_size.restype = ctypes.c_int64
+    lib.mlx_lru_size.argtypes = [ctypes.c_void_p]
+
+    lib.mlx_ring_new.restype = ctypes.c_void_p
+    lib.mlx_ring_new.argtypes = [ctypes.c_int64]
+    lib.mlx_ring_free.restype = None
+    lib.mlx_ring_free.argtypes = [ctypes.c_void_p]
+    lib.mlx_ring_write.restype = ctypes.c_int64
+    lib.mlx_ring_write.argtypes = [ctypes.c_void_p, f32p, ctypes.c_int64]
+    lib.mlx_ring_read.restype = ctypes.c_int64
+    lib.mlx_ring_read.argtypes = [ctypes.c_void_p, f32p, ctypes.c_int64]
+    lib.mlx_ring_avail.restype = ctypes.c_int64
+    lib.mlx_ring_avail.argtypes = [ctypes.c_void_p]
+    lib.mlx_ring_clear.restype = None
+    lib.mlx_ring_clear.argtypes = [ctypes.c_void_p]
+
+
+def build_grains(lib: ctypes.CDLL, wav: np.ndarray, pgs: int):
+    from ..engine.grains import GrainTable
+
+    n = len(wav)
+    cap = max(n // 2 + 2, 16)
+    starts = np.zeros(cap, np.int32)
+    lengths = np.zeros(cap, np.int32)
+    count = lib.mlx_build_grains(
+        wav.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n,
+        pgs,
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cap,
+    )
+    return GrainTable(starts[:count].copy(), lengths[:count].copy())

@@ -1,0 +1,44 @@
+"""Test environment: force CPU with 8 virtual devices.
+
+Tests must run identically on CPU CI and on-TPU (SURVEY.md §4).  Sharding
+tests use the standard JAX trick of 8 fake host devices; bench.py (not the
+test suite) exercises the real TPU.
+
+The container boots jax with an experimental TPU platform pre-registered via
+sitecustomize, so plain JAX_PLATFORMS env vars are too late — we switch the
+platform through jax.config before any backend initializes.
+"""
+
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
+
+
+@pytest.fixture(scope="session")
+def chirp():
+    """A 1.5 s, 8 kHz chirp with some noise — oscillates through zero often
+    enough to exercise the grain chain's primary and fallback paths."""
+    sr = 8000
+    t = np.arange(int(sr * 1.5)) / sr
+    f = 180.0 + 120.0 * t
+    x = 0.6 * np.sin(2 * np.pi * f * t) + 0.05 * np.sin(2 * np.pi * 37.0 * t)
+    g = np.random.default_rng(7)
+    x += 0.01 * g.standard_normal(len(t))
+    return x.astype(np.float32), sr
