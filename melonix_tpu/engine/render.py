@@ -69,15 +69,21 @@ class RenderPlan:
 
 def _step_output_count(length: int, rate: F32) -> int:
     """Number of output samples for one grain: count of i >= 0 with
-    floor(float32(i * rate)) < length (app.cpp:332-339, float arithmetic)."""
+    floor(float32(i * rate)) < length (app.cpp:332-339, float arithmetic).
+
+    O(1): the crossing index is within a couple of ulps of length/rate; probe
+    the float32 product around it rather than materializing the ramp.
+    """
     r = float(rate)
-    est = int(length / r) + 4 if r > 0 else 8
-    while True:
-        i = np.arange(est, dtype=np.float32)
-        over = np.floor(i * F32(rate)) >= length
-        if over.any():
-            return int(np.argmax(over))
-        est *= 2
+    n0 = int(length / r)  # first candidate near the crossing
+    lo = max(0, n0 - 2)
+    for i in range(lo, n0 + 8):
+        if np.floor(F32(i) * rate) >= length:
+            return i
+    # Pathological rounding (not observed): fall back to a vector scan.
+    i = np.arange(max(16, 2 * n0 + 16), dtype=np.float32)
+    over = np.floor(i * F32(rate)) >= length
+    return int(np.argmax(over)) if over.any() else len(i)
 
 
 def build_render_plan(

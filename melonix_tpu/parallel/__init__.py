@@ -1,0 +1,15 @@
+from .sharded import (
+    make_audio_mesh,
+    sharded_stft_mags,
+    sharded_spectrogram_columns,
+    data_parallel_render,
+    session_step,
+)
+
+__all__ = [
+    "make_audio_mesh",
+    "sharded_stft_mags",
+    "sharded_spectrogram_columns",
+    "data_parallel_render",
+    "session_step",
+]
