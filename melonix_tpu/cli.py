@@ -1,0 +1,208 @@
+"""Command-line interface.
+
+The minimum end-to-end slice (SURVEY.md §7): decode → analysis → marker
+edits → render → WAV out, plus spectrogram/scene snapshots and project
+round-trips — everything the reference app does, headless.
+
+    python -m melonix_tpu render in.wav --markers m.json -o out.wav
+    python -m melonix_tpu spectrogram in.mlx -o scene.png --width 1280
+    python -m melonix_tpu pitch in.wav -o curve.json
+    python -m melonix_tpu info in.wav
+    python -m melonix_tpu project in.wav --markers m.json -o session.mlx
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _load_any(path: str):
+    """(wav, rate, markers, brightness, tempo) from audio or .mlx project."""
+    from .io.project import load_project
+    from .io.audio import load_audio
+    from .config import DEFAULT_CONFIG as C
+
+    if path.endswith(".mlx"):
+        p = load_project(path)
+        return p.wav, p.sample_rate, p.markers, p.brightness, p.tempo
+    wav, rate = load_audio(path)
+    return wav, rate, [], C.brightness, C.tempo
+
+
+def _markers_from_arg(path: str | None, existing):
+    from .markers import markers_from_json
+
+    if path is None:
+        return existing
+    with open(path) as f:
+        return markers_from_json(f.read())
+
+
+def cmd_render(args) -> int:
+    from .engine.grains import build_grain_table
+    from .engine.maps import MapKnots
+    from .engine.render import render_track
+    from .io.wav import write_wav
+
+    wav, rate, markers, _b, _t = _load_any(args.input)
+    markers = _markers_from_arg(args.markers, markers)
+    t0 = time.perf_counter()
+    table = build_grain_table(wav)
+    knots = MapKnots.from_markers(markers, rate, len(wav))
+    out = render_track(wav, table, knots)
+    dt = time.perf_counter() - t0
+    write_wav(args.output, out, rate, dtype=args.dtype)
+    print(
+        f"rendered {len(out)/rate:.2f}s ({len(markers)} markers, {len(table)} grains) "
+        f"in {dt:.2f}s -> {args.output}"
+    )
+    return 0
+
+
+def cmd_spectrogram(args) -> int:
+    from .config import Config
+    from .markers import sort_markers
+    from .ui.png import write_png
+    from .ui.state import EditorState, Viewport
+    from .ui.view import render_scene
+
+    ed = EditorState(viewport=Viewport(args.width, args.height))
+    ed.open_file(args.input)
+    ed.markers = sort_markers(_markers_from_arg(args.markers, ed.markers))
+    ed.invalidate()
+    if args.start is not None:
+        ed.start_time = args.start
+    if args.range is not None:
+        ed.range_time = args.range
+    else:
+        ed.range_time = max(len(ed.wav) / ed.sample_rate, 0.001)
+    if args.note_start is not None:
+        ed.start_note = args.note_start
+    if args.note_range is not None:
+        ed.range_note = args.note_range
+    ed.set_brightness(args.brightness)
+    t0 = time.perf_counter()
+    img = render_scene(ed, synchronous_tiles=True)
+    dt = time.perf_counter() - t0
+    write_png(args.output, img)
+    if ed._tile_server:
+        ed._tile_server.close()
+    print(f"scene {img.shape[1]}x{img.shape[0]} rendered in {dt:.2f}s -> {args.output}")
+    return 0
+
+
+def cmd_pitch(args) -> int:
+    from .engine.pitch import pitch_curve
+
+    wav, rate, _m, _b, _t = _load_any(args.input)
+    t0 = time.perf_counter()
+    curve = pitch_curve(wav, rate)
+    dt = time.perf_counter() - t0
+    payload = {
+        "sample_rate": int(rate),
+        "hop": int(curve.hop),
+        "f0_hz": [round(float(v), 3) for v in curve.f0],
+        "voiced": [bool(v) for v in curve.voiced],
+        "note": [round(float(v), 3) for v in curve.note],
+    }
+    with open(args.output, "w") as f:
+        json.dump(payload, f)
+    voiced_pct = 100.0 * np.mean(curve.voiced) if len(curve.voiced) else 0.0
+    print(
+        f"pitch: {len(curve.f0)} frames ({voiced_pct:.0f}% voiced) in {dt:.2f}s -> {args.output}"
+    )
+    return 0
+
+
+def cmd_info(args) -> int:
+    from .engine.grains import build_grain_table
+    from .engine.maps import MapKnots
+
+    wav, rate, markers, brightness, tempo = _load_any(args.input)
+    table = build_grain_table(wav)
+    knots = MapKnots.from_markers(markers, rate, len(wav))
+    print(
+        json.dumps(
+            {
+                "samples": len(wav),
+                "sample_rate": rate,
+                "duration_sec": round(len(wav) / rate, 3),
+                "warped_duration_sec": round(knots.duration(), 3),
+                "grains": len(table),
+                "markers": len(markers),
+                "brightness": brightness,
+                "tempo": tempo,
+                "peak": round(float(np.abs(wav).max()) if len(wav) else 0.0, 4),
+            },
+            indent=2,
+        )
+    )
+    return 0
+
+
+def cmd_project(args) -> int:
+    from .io.project import Project, save_project
+
+    wav, rate, markers, brightness, tempo = _load_any(args.input)
+    markers = _markers_from_arg(args.markers, markers)
+    out = save_project(
+        args.output,
+        Project(wav=wav, sample_rate=rate, markers=markers, brightness=brightness, tempo=tempo),
+    )
+    print(f"saved project ({len(markers)} markers) -> {out}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="melonix_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("render", help="offline granular render to WAV")
+    r.add_argument("input")
+    r.add_argument("--markers", help="markers JSON file")
+    r.add_argument("-o", "--output", required=True)
+    r.add_argument("--dtype", choices=["int16", "float32"], default="int16")
+    r.set_defaults(fn=cmd_render)
+
+    s = sub.add_parser("spectrogram", help="render the editor scene to PNG")
+    s.add_argument("input")
+    s.add_argument("--markers")
+    s.add_argument("-o", "--output", required=True)
+    s.add_argument("--width", type=int, default=1280)
+    s.add_argument("--height", type=int, default=720)
+    s.add_argument("--start", type=float)
+    s.add_argument("--range", type=float, dest="range")
+    s.add_argument("--note-start", type=float)
+    s.add_argument("--note-range", type=float)
+    s.add_argument("--brightness", type=float, default=50.0)
+    s.set_defaults(fn=cmd_spectrogram)
+
+    t = sub.add_parser("pitch", help="batched pitch-curve extraction")
+    t.add_argument("input")
+    t.add_argument("-o", "--output", required=True)
+    t.set_defaults(fn=cmd_pitch)
+
+    i = sub.add_parser("info", help="track / project summary")
+    i.add_argument("input")
+    i.set_defaults(fn=cmd_info)
+
+    j = sub.add_parser("project", help="bundle audio + markers into a .mlx project")
+    j.add_argument("input")
+    j.add_argument("--markers")
+    j.add_argument("-o", "--output", required=True)
+    j.set_defaults(fn=cmd_project)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

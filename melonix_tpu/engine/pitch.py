@@ -1,0 +1,140 @@
+"""Batched pitch-curve extraction (added capability; BASELINE.json config #3).
+
+The reference has no automatic pitch detection — markers are user-placed
+(app.cpp:932-945).  This engine supplies the missing analysis: a whole-track
+pitch curve computed in ONE device program — per-frame normalized
+autocorrelation (via rFFT, Wiener-Khinchin) with parabolic lag refinement,
+octave-error suppression (first lag within 85% of the global peak wins), and
+a voicing decision from the autocorrelation clarity + frame energy.
+
+Notes use the reference's A-based scale: note n ↔ 55 · 2^((n-24)/12) Hz
+(app.cpp:499), so a detected curve can be dropped straight onto the
+spectrogram's semitone rows.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DEFAULT_CONFIG, Config
+
+
+@dataclasses.dataclass
+class PitchCurve:
+    f0: np.ndarray  # (F,) Hz, 0 where unvoiced
+    voiced: np.ndarray  # (F,) bool
+    clarity: np.ndarray  # (F,) autocorrelation peak ratio
+    note: np.ndarray  # (F,) reference note scale (55 Hz = note 24)
+    hop: int
+    sample_rate: int
+
+    def note_at_time(self, t: float) -> float:
+        idx = int(t * self.sample_rate / self.hop)
+        idx = max(0, min(idx, len(self.note) - 1))
+        return float(self.note[idx])
+
+
+@partial(jax.jit, static_argnames=("frame", "hop", "n_frames", "lag_min", "lag_max"))
+def _pitch_device(
+    wav: jnp.ndarray,
+    frame: int,
+    hop: int,
+    n_frames: int,
+    lag_min: int,
+    lag_max: int,
+):
+    n = wav.shape[0]
+    pos = jnp.arange(frame, dtype=jnp.int32)[None, :]
+    idx = (jnp.arange(n_frames, dtype=jnp.int32) * hop)[:, None] + pos
+    frames = jnp.where(idx < n, wav[jnp.clip(idx, 0, n - 1)], 0.0)
+    w = frames - jnp.mean(frames, axis=1, keepdims=True)
+
+    # McLeod's NSDF: linear autocorrelation via zero-padded rFFT
+    # (Wiener-Khinchin), normalized by the running energy term
+    # m(τ) = Σ x²[j] + x²[j+τ] so a tapering window isn't needed and the
+    # peak lag is unbiased.
+    spec = jnp.fft.rfft(w, n=2 * frame)
+    power = spec.real**2 + spec.imag**2
+    ac = jnp.fft.irfft(power, n=2 * frame)[:, :frame]  # (F, frame) r(τ)
+    csum = jnp.cumsum(w * w, axis=1)
+    total = csum[:, -1:]
+    lags_i = jnp.arange(frame)
+    # Σ_{j<W-τ} x²[j] = E[W-τ-1]; Σ_{j>=τ} x²[j] = total - E[τ-1]
+    head = jnp.take_along_axis(
+        csum, jnp.clip(frame - 1 - lags_i, 0, frame - 1)[None, :].repeat(n_frames, 0), axis=1
+    )
+    tail_prev = jnp.where(
+        lags_i[None, :] > 0,
+        jnp.take_along_axis(
+            csum, jnp.clip(lags_i - 1, 0, frame - 1)[None, :].repeat(n_frames, 0), axis=1
+        ),
+        0.0,
+    )
+    m = head + (total - tail_prev)
+    nac = 2.0 * ac / jnp.maximum(m, 1e-12)
+
+    lags = jnp.arange(frame)
+    in_range = (lags >= lag_min) & (lags <= lag_max)
+    # Candidates must be local maxima of the NAC (otherwise the smooth
+    # near-zero-lag shoulder of any band-limited signal wins, MPM-style).
+    prev = jnp.concatenate([nac[:, :1], nac[:, :-1]], axis=1)
+    nxt = jnp.concatenate([nac[:, 1:], nac[:, -1:]], axis=1)
+    is_peak = (nac > prev) & (nac >= nxt)
+    cand = jnp.where(in_range[None, :] & is_peak, nac, -1.0)
+    peak_val = jnp.max(cand, axis=1, keepdims=True)
+    # Octave-error suppression: earliest peak lag reaching 85% of the best.
+    good = cand >= 0.85 * peak_val
+    first_lag = jnp.argmax(good, axis=1)  # first True (lags ordered ascending)
+
+    # Parabolic interpolation around the chosen lag.
+    li = jnp.clip(first_lag, 1, frame - 2)
+    ym1 = jnp.take_along_axis(nac, (li - 1)[:, None], axis=1)[:, 0]
+    y0 = jnp.take_along_axis(nac, li[:, None], axis=1)[:, 0]
+    yp1 = jnp.take_along_axis(nac, (li + 1)[:, None], axis=1)[:, 0]
+    denom = ym1 - 2 * y0 + yp1
+    delta = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (ym1 - yp1) / denom, 0.0)
+    delta = jnp.clip(delta, -0.5, 0.5)
+    lag = li.astype(jnp.float32) + delta
+
+    clarity = y0
+    energy = jnp.mean(w * w, axis=1)
+    return lag, clarity, energy
+
+
+def pitch_curve(
+    wav,
+    sample_rate: int,
+    *,
+    config: Config = DEFAULT_CONFIG,
+    clarity_threshold: float = 0.5,
+    energy_threshold: float = 1e-6,
+) -> PitchCurve:
+    wav = np.asarray(wav, np.float32)
+    frame, hop = config.pitch_frame, config.pitch_hop
+    n_frames = max(1, 1 + (len(wav) - frame) // hop) if len(wav) >= frame else 1
+    lag_min = max(2, int(sample_rate / config.pitch_fmax))
+    lag_max = min(frame - 2, int(sample_rate / config.pitch_fmin))
+    lag, clarity, energy = _pitch_device(
+        jnp.asarray(wav), frame, hop, n_frames, lag_min, lag_max
+    )
+    lag = np.asarray(lag, np.float64)
+    clarity = np.asarray(clarity, np.float64)
+    energy = np.asarray(energy, np.float64)
+    f0 = np.where(lag > 0, sample_rate / np.maximum(lag, 1e-9), 0.0)
+    voiced = (clarity > clarity_threshold) & (energy > energy_threshold)
+    f0 = np.where(voiced, f0, 0.0)
+    with np.errstate(divide="ignore"):
+        note = np.where(f0 > 0, 24.0 + 12.0 * np.log2(np.maximum(f0, 1e-9) / 55.0), 0.0)
+    return PitchCurve(
+        f0=f0.astype(np.float32),
+        voiced=voiced,
+        clarity=clarity.astype(np.float32),
+        note=note.astype(np.float32),
+        hop=hop,
+        sample_rate=int(sample_rate),
+    )

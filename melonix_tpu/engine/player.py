@@ -1,0 +1,149 @@
+"""Real-time playback — the SDL audio callback equivalent.
+
+Reference (app.cpp:254-292): the callback keeps a backlog ``restWav`` and
+calls ``process`` until it holds ``buffer + preferred_grain_size`` samples,
+copies out one buffer, and advances ``cursorSec`` by emitted/sampleRate; it
+auto-stops at the track end or t<0 and fades on stop (the reference's fade
+loop is a no-op over zeros with an off-by-one OOB write, app.cpp:259-271 —
+we implement the *intended* declick: a 100-sample ramp from the last
+delivered sample into silence).
+
+The pull model is host-side and backend-agnostic: any audio shell (SDL,
+sounddevice, a test harness) calls ``callback(n)`` for the next n float32
+samples.  Grain steps are planned with the same ``build_render_plan`` walk
+as the offline export and rendered with float32 NumPy arithmetic that is
+bit-identical to the device gather kernel — playback and export share one
+engine (SURVEY.md §3.4: the export path is the ground truth).
+
+Live edits: the editor's ``invalidate()`` drops the planned-ahead backlog so
+the next buffer reflects the new marker state (the reference achieves the
+same by locking the audio thread around map edits, app.cpp:110-112 et al.).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import DEFAULT_CONFIG, Config
+from .grains import GrainTable
+from .maps import MapKnots
+from .render import build_render_plan
+
+F32 = np.float32
+FADE = 100  # declick ramp length (app.cpp:264)
+
+
+def _render_step_np(wav, start: int, length: int, rate: F32, seam_src: int) -> np.ndarray:
+    """One grain step, float32-exact with the device kernel."""
+    n0 = int(length / float(rate))
+    # First i with floor(f32(i*rate)) >= length (same probe as the planner)
+    sz = None
+    for i in range(max(0, n0 - 2), n0 + 8):
+        if np.floor(F32(i) * rate) >= length:
+            sz = i
+            break
+    if sz is None:
+        sz = n0 + 8
+    i = np.arange(sz, dtype=np.float32)
+    x = i * rate
+    idx = np.floor(x)
+    frac = (x - idx).astype(np.float32)
+    idx = idx.astype(np.int64)
+    lo = wav[start + idx]
+    hi = np.empty_like(lo)
+    in_grain = idx + 1 < length
+    hi[in_grain] = wav[start + idx[in_grain] + 1]
+    seam_val = wav[seam_src] if seam_src >= 0 else F32(0)
+    hi[~in_grain] = seam_val
+    return ((F32(1.0) - frac) * lo + frac * hi).astype(np.float32)
+
+
+class Player:
+    def __init__(
+        self,
+        wav: np.ndarray,
+        grains: GrainTable,
+        knots: MapKnots,
+        *,
+        config: Config = DEFAULT_CONFIG,
+    ):
+        self.wav = np.asarray(wav, np.float32)
+        self.grains = grains
+        self.knots = knots
+        self.config = config
+        self.sample_rate = knots.sample_rate
+        self.cursor_sec = 0.0
+        self.is_playing = False
+        self._backlog = np.zeros(0, np.float32)
+        self._last_sample = F32(0)
+        self._fading = False
+
+    # -- edit integration ------------------------------------------------
+
+    def set_knots(self, knots: MapKnots) -> None:
+        """Marker edit: re-plan from the current cursor (drop lookahead)."""
+        self.knots = knots
+        self._backlog = np.zeros(0, np.float32)
+
+    def toggle(self) -> None:
+        if not self.is_playing:
+            self._fading = False
+        self.is_playing = not self.is_playing
+
+    def seek(self, t: float) -> None:
+        self.cursor_sec = float(np.clip(t, 0.0, self.knots.duration()))
+        self._backlog = np.zeros(0, np.float32)
+
+    # -- the audio callback ----------------------------------------------
+
+    def callback(self, n: int) -> np.ndarray:
+        """Next n mono float32 samples (app.cpp:254-292 semantics)."""
+        out = np.zeros(n, np.float32)
+        if self.cursor_sec < 0 or self.cursor_sec >= self.knots.duration():
+            self.is_playing = False
+
+        if not self.is_playing:
+            # Intended declick: ramp the last delivered sample into silence.
+            if self._fading:
+                k = min(FADE, n)
+                ramp = np.linspace(1.0, 0.0, k, endpoint=False, dtype=np.float32)
+                out[:k] = self._last_sample * ramp
+                self._fading = False
+            self._backlog = np.zeros(0, np.float32)
+            self._last_sample = F32(0)
+            return out
+
+        pgs = self.config.preferred_grain_size
+        tmp_cursor = self.cursor_sec + len(self._backlog) / self.sample_rate
+        chunks = [self._backlog]
+        total = len(self._backlog)
+        while total < n + pgs:
+            step = build_render_plan(
+                self.grains, self.knots, start_cursor=tmp_cursor, min_out=1, config=self.config
+            )
+            if step.n_steps == 0:
+                # Past the grain table: zeros then stop (app.cpp:303-309)
+                chunks.append(np.zeros(pgs, np.float32))
+                total += pgs
+                self.is_playing = False
+                break
+            buf = _render_step_np(
+                self.wav,
+                int(step.grain_start[0]),
+                int(step.grain_len[0]),
+                step.rate[0],
+                int(step.seam_src[0]),
+            )
+            chunks.append(buf)
+            total += len(buf)
+            tmp_cursor += len(buf) / self.sample_rate
+        backlog = np.concatenate(chunks) if len(chunks) > 1 else self._backlog
+
+        sz = min(len(backlog), n)
+        out[:sz] = backlog[:sz]
+        self._backlog = backlog[sz:]
+        self.cursor_sec += sz / self.sample_rate
+        if sz:
+            self._last_sample = out[sz - 1]
+            self._fading = True
+        return out

@@ -1,0 +1,387 @@
+"""Editor state machine — the App-controller equivalent (headless).
+
+Mirrors the reference's UI semantics (app.cpp) without any GL/SDL coupling:
+the same state fields (app.hpp:34-68), the same interaction rules
+(pan/zoom/marker editing, app.cpp:743-838, 887-980), the same follow-mode
+auto-scroll (app.cpp:108-127, implementing the *intended* smoothing — the
+reference's ``< 0.001`` gate looks inverted per SURVEY.md), and the same
+derived-state invalidation contract (invalidateCache, app.cpp:840-852).
+
+Any front end (the bundled raster renderer in ui/view.py, a future SDL/GL
+shell, or tests) drives this object with events and reads its fields.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import numpy as np
+
+from ..config import DEFAULT_CONFIG, Config
+from ..engine.grains import GrainTable, build_grain_table
+from ..engine.maps import MapKnots
+from ..engine.pyramid import Pyramid, build_pyramid
+from ..io.audio import load_audio
+from ..io.project import Project, load_project, save_project
+from ..io.wav import write_wav
+from ..markers import Marker, sort_markers
+
+# Mouse buttons / modifiers (SDL-compatible numbering)
+BUTTON_LEFT, BUTTON_MIDDLE, BUTTON_RIGHT = 1, 2, 3
+MOD_CTRL, MOD_ALT = 1, 2
+
+MENU_BAR_PX = 20  # reference: y -= 20 (app.cpp:748)
+
+
+@dataclasses.dataclass
+class Viewport:
+    width: int = 1280
+    height: int = 720
+
+    @property
+    def lane_height(self) -> float:
+        """Spectrogram lane height: display * 0.9 - menu (app.cpp:752)."""
+        return self.height * 0.9 - MENU_BAR_PX
+
+
+class EditorState:
+    def __init__(self, config: Config = DEFAULT_CONFIG, viewport: Viewport | None = None):
+        self.config = config
+        self.viewport = viewport or Viewport()
+
+        self.wav: np.ndarray = np.zeros(0, np.float32)
+        self.sample_rate: int = 0
+        self.markers: list[Marker] = []
+        self.selected: Optional[int] = None  # index into markers
+
+        # View state (app.hpp:43-46 defaults)
+        self.start_time = config.start_time
+        self.range_time = config.range_time
+        self.start_note = config.start_note
+        self.range_note = config.range_note
+        self.cursor_sec = 0.0
+        self.is_playing = False
+        self.follow_mode = False
+        self.brightness = config.brightness
+        self.tempo = config.tempo
+        self.save_name = ""
+
+        # Derived state (rebuilt by _preproc / invalidated on edits)
+        self.grains: GrainTable | None = None
+        self.pyramid: Pyramid | None = None
+        self.knots: MapKnots | None = None
+        self._tile_server = None
+        self._dirty_listeners = []
+
+    # ------------------------------------------------------------------
+    # Derived state management
+    # ------------------------------------------------------------------
+
+    @property
+    def loaded(self) -> bool:
+        return self.sample_rate > 0 and len(self.wav) > 0
+
+    def _rebuild_knots(self) -> None:
+        if self.loaded:
+            self.knots = MapKnots.from_markers(self.markers, self.sample_rate, len(self.wav))
+
+    def invalidate(self) -> None:
+        """Edit happened: rebuild maps, clear view caches (app.cpp:840-852)."""
+        self._rebuild_knots()
+        if self._tile_server is not None:
+            self._tile_server.clear()
+        for fn in self._dirty_listeners:
+            fn()
+
+    def on_invalidate(self, fn) -> None:
+        self._dirty_listeners.append(fn)
+
+    def _preproc(self) -> None:
+        """Rebuild all derived state after (re)loading samples
+        (App::preproc, app.cpp:153-252)."""
+        self.selected = None
+        self.grains = build_grain_table(self.wav, self.config)
+        self.pyramid = build_pyramid(self.wav)
+        self._rebuild_knots()
+        self.invalidate()
+
+    def _cleanup(self) -> None:
+        """Reset caches and view on file change (app.cpp:1156-1164)."""
+        if self._tile_server is not None:
+            self._tile_server.close()
+            self._tile_server = None
+        self.start_time = 0.0
+        self.range_time = 10.0
+        self.cursor_sec = 0.0
+        self.is_playing = False
+
+    @property
+    def tile_server(self):
+        """Lazy tile server bound to the current samples + brightness
+        (App::getTex's lazy SpecCache, app.cpp:881-884)."""
+        if self._tile_server is None and self.loaded:
+            from ..runtime.tiles import TileServer
+
+            self._tile_server = TileServer(
+                self.wav, k=self.config.brightness_to_k(self.brightness), config=self.config
+            )
+        return self._tile_server
+
+    # ------------------------------------------------------------------
+    # File operations
+    # ------------------------------------------------------------------
+
+    def open_file(self, path: str) -> None:
+        """Extension dispatch (app.cpp:130-138)."""
+        if path.endswith(".mlx"):
+            self.load_project_file(path)
+        else:
+            self.import_file(path)
+
+    def import_file(self, path: str) -> None:
+        self._cleanup()
+        wav, rate = load_audio(path)
+        self.wav, self.sample_rate = wav, rate
+        self.markers = []
+        self.save_name = ""
+        self._preproc()
+
+    def load_project_file(self, path: str) -> None:
+        self._cleanup()
+        p = load_project(path)
+        self.wav, self.sample_rate = p.wav, p.sample_rate
+        self.markers = p.markers
+        self.brightness = p.brightness
+        self.tempo = p.tempo
+        self.save_name = os.path.abspath(path)
+        self._preproc()
+
+    def save_project_file(self, path: str | None = None) -> str:
+        path = path or self.save_name
+        if not path:
+            raise ValueError("no save name; use Save As")
+        out = save_project(
+            path,
+            Project(
+                wav=self.wav,
+                sample_rate=self.sample_rate,
+                markers=self.markers,
+                brightness=self.brightness,
+                tempo=self.tempo,
+            ),
+        )
+        self.save_name = os.path.abspath(out)
+        return out
+
+    def export_wav(self, path: str) -> None:
+        """Offline render through the same engine as playback
+        (App::exportWav, app.cpp:1194-1215)."""
+        from ..engine.render import render_track
+
+        self.is_playing = False
+        out = render_track(self.wav, self.grains, self.knots, config=self.config)
+        write_wav(path, out, self.sample_rate, dtype="int16")
+
+    # ------------------------------------------------------------------
+    # Time helpers
+    # ------------------------------------------------------------------
+
+    def duration(self) -> float:
+        return self.knots.duration() if self.knots else 0.0
+
+    def set_brightness(self, b: float) -> None:
+        """Brightness slider → k = 2^(b/10 + 9); rebuilds tiles when it
+        moves meaningfully (app.cpp:74-80)."""
+        new_k = self.config.brightness_to_k(b)
+        old_k = self.config.brightness_to_k(self.brightness)
+        self.brightness = float(b)
+        if abs(new_k - old_k) > 1e-3 and self._tile_server is not None:
+            self._tile_server.set_brightness_k(new_k)
+
+    # ------------------------------------------------------------------
+    # Interactions (app.cpp:743-838, 887-1018)
+    # ------------------------------------------------------------------
+
+    def _time_limits(self) -> tuple[float, float]:
+        """Pan/zoom clamps: ±half-view beyond the track (app.cpp:756-758)."""
+        dur = len(self.wav) / self.sample_rate
+        left = max(-self.range_time * 0.5, -0.5 * dur)
+        right = min(dur + self.range_time * 0.5, 1.5 * dur)
+        return left, right
+
+    def mouse_motion(self, x: float, y: float, dx: float, dy: float, buttons: int, mods: int = 0) -> None:
+        if not self.loaded:
+            return
+        y -= MENU_BAR_PX
+        width = self.viewport.width
+        height = self.viewport.lane_height
+
+        if buttons & (1 << (BUTTON_MIDDLE - 1)):
+            left_limit, right_limit = self._time_limits()
+            if mods & MOD_CTRL:
+                # Zoom time about cursor x (app.cpp:759-776)
+                zoom = 1.0 + 0.01 * dy
+                cursor_pos = x / width * self.range_time + self.start_time
+                new_start = (self.start_time - cursor_pos) * zoom + cursor_pos
+                new_end = (self.start_time + self.range_time - cursor_pos) * zoom + cursor_pos
+                if left_limit <= new_start <= right_limit:
+                    self.start_time = new_start
+                if left_limit <= new_end <= right_limit:
+                    self.range_time = new_end - self.start_time
+                elif new_end < left_limit:
+                    self.range_time = 10.0
+                else:
+                    self.range_time = right_limit - self.start_time
+                self.follow_mode = False
+            elif mods & MOD_ALT:
+                # Note-axis pan (dy) + zoom (dx) (app.cpp:777-803)
+                delta = dy * self.range_note / height
+                new_start_note = self.start_note + delta
+                if new_start_note < 0.0:
+                    new_start_note = 0.0
+                elif new_start_note + self.range_note > 127.0:
+                    new_start_note = 127.0 - self.range_note
+                self.start_note = new_start_note
+
+                zoom = 1.0 - 0.001 * dx
+                cursor_pos = (height - y) / height * self.range_note + self.start_note
+                new_start = (self.start_note - cursor_pos) * zoom + cursor_pos
+                new_end = (self.start_note + self.range_note - cursor_pos) * zoom + cursor_pos
+                if 0.0 <= new_start <= 127.0:
+                    self.start_note = new_start
+                if 0.0 <= new_end <= 127.0:
+                    self.range_note = new_end - self.start_note
+                elif new_end < 0.0:
+                    self.range_note = 10.0
+                else:
+                    self.range_note = 127.0 - self.start_note
+            else:
+                # Pan time (app.cpp:804-817)
+                dt = dx * self.range_time / width
+                new_start = self.start_time - dt
+                new_start = max(new_start, left_limit)
+                if new_start + self.range_time > right_limit:
+                    new_start = right_limit - self.range_time
+                self.start_time = new_start
+                self.follow_mode = False
+        elif buttons & (1 << (BUTTON_LEFT - 1)):
+            if y > height:
+                # Scrub in the waveform lane (app.cpp:819-828)
+                self.cursor_sec = float(
+                    np.clip(x * self.range_time / width + self.start_time, 0.0, self.duration())
+                )
+            elif self.selected is not None:
+                # Drag marker: dTime += dx, pitchBend -= dy (app.cpp:829-836)
+                m = self.markers[self.selected]
+                m.d_time += dx * self.range_time / width
+                m.pitch_bend -= dy * self.range_note / height
+                self.invalidate()
+
+    def _hit_test(self, x: float, y: float) -> Optional[int]:
+        """Marker within an 8-px box of the warped+bent position
+        (app.cpp:927-931)."""
+        width = self.viewport.width
+        height = self.viewport.lane_height
+        time = x * self.range_time / width + self.start_time
+        note = (height - y) * self.range_note / height + self.start_note
+        d_time = 8 * self.range_time / width
+        d_note = 8 * self.range_note / height
+        for i, m in enumerate(self.markers):
+            if (
+                abs(self.knots.sample_to_time(m.sample) - time) < d_time
+                and abs(m.note - note + m.pitch_bend) < d_note
+            ):
+                return i
+        return None
+
+    def mouse_button(self, x: float, y: float, pressed: bool, button: int) -> None:
+        y -= MENU_BAR_PX
+        if not self.loaded:
+            return
+        width = self.viewport.width
+        height = self.viewport.lane_height
+        self.markers = sort_markers(self.markers)  # invariant (app.cpp:897-899)
+        self._rebuild_knots()
+
+        if button == BUTTON_LEFT and pressed:
+            if len(self.wav) < 2:
+                return
+            if y > height:
+                self.follow_mode = False
+                self.cursor_sec = float(
+                    np.clip(x * self.range_time / width + self.start_time, 0.0, self.duration())
+                )
+            else:
+                hit = self._hit_test(x, y)
+                if hit is None:
+                    # Add marker at {sample, note - bend, 0, bend}
+                    # (app.cpp:932-945): the *source* note is the clicked
+                    # visual note minus the current bend.
+                    time = x * self.range_time / width + self.start_time
+                    sample = self.knots.time_to_sample(time)
+                    note = (height - y) * self.range_note / height + self.start_note
+                    bend = self.knots.time_to_pitch_bend(time)
+                    self.markers.append(Marker(int(sample), note - bend, 0.0, float(bend)))
+                    self.markers = sort_markers(self.markers)
+                    self.invalidate()
+                    self.selected = next(
+                        i for i, m in enumerate(self.markers) if m.sample == sample
+                    )
+                else:
+                    self.selected = hit
+        elif button == BUTTON_RIGHT and pressed:
+            if len(self.wav) < 2:
+                return
+            hit = self._hit_test(x, y)
+            if hit is not None:
+                del self.markers[hit]
+                self.selected = None
+                self.invalidate()
+
+    def toggle_play(self) -> None:
+        if not self.loaded:
+            return
+        self.is_playing = not self.is_playing
+
+    def cursor_left(self) -> None:
+        """← moves the cursor by 4 px of time (app.cpp:991-1004)."""
+        if len(self.wav) < 2:
+            return
+        self.follow_mode = False
+        self.cursor_sec = float(
+            np.clip(
+                self.cursor_sec - 4 * self.range_time / self.viewport.width,
+                0.0,
+                self.duration(),
+            )
+        )
+
+    def cursor_right(self) -> None:
+        if len(self.wav) < 2:
+            return
+        self.follow_mode = False
+        self.cursor_sec = float(
+            np.clip(
+                self.cursor_sec + 4 * self.range_time / self.viewport.width,
+                0.0,
+                self.duration(),
+            )
+        )
+
+    def tick_follow(self) -> None:
+        """Per-frame follow-mode auto-scroll (app.cpp:108-127): keep the
+        cursor at 1/5 of the view with exponential catch-up.  Implements the
+        intended behavior (the reference's final gate looks inverted)."""
+        if not self.loaded:
+            return
+        if self.cursor_sec > self.start_time + self.range_time and self.is_playing:
+            self.follow_mode = True
+        if self.follow_mode:
+            desired = self.cursor_sec - self.range_time / 5
+            if abs(desired - self.start_time) > 4 * 1024.0 / self.sample_rate:
+                new_start = self.start_time + (desired - self.start_time) * 0.2
+            else:
+                new_start = desired
+            self.start_time = new_start

@@ -1,0 +1,90 @@
+"""CLI end-to-end: render / spectrogram / pitch / info / project."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from melonix_tpu.cli import main
+from melonix_tpu.io.wav import read_wav, write_wav
+from melonix_tpu.markers import Marker, markers_to_json
+
+
+@pytest.fixture()
+def song(chirp, tmp_path):
+    x, sr = chirp
+    p = str(tmp_path / "song.wav")
+    write_wav(p, x, sr, dtype="float32")
+    return p, x, sr
+
+
+@pytest.fixture()
+def marker_file(tmp_path):
+    p = str(tmp_path / "markers.json")
+    with open(p, "w") as f:
+        f.write(markers_to_json([Marker(4000, 60.0, 0.05, 2.0)]))
+    return p
+
+
+def test_render(song, marker_file, tmp_path, capsys):
+    p, x, sr = song
+    out = str(tmp_path / "out.wav")
+    assert main(["render", p, "--markers", marker_file, "-o", out]) == 0
+    y, rate = read_wav(out)
+    assert rate == sr
+    out2 = str(tmp_path / "plain.wav")
+    assert main(["render", p, "-o", out2]) == 0
+    y2, _ = read_wav(out2)
+    # The edit changes the output: bend +2 semitones shortens its region
+    # (tape-style per-grain resample, app.cpp:332-343) while d_time +0.05
+    # stretches via grain repetition — net length differs from identity.
+    assert len(y) != len(y2)
+    assert len(y) > 10000 and len(y2) > 10000
+    assert "rendered" in capsys.readouterr().out
+
+
+def test_spectrogram_scene(song, tmp_path, capsys):
+    p, _x, _sr = song
+    out = str(tmp_path / "scene.png")
+    assert main(["spectrogram", p, "-o", out, "--width", "160", "--height", "120"]) == 0
+    with open(out, "rb") as f:
+        assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+
+
+def test_pitch(song, tmp_path):
+    p, _x, sr = song
+    out = str(tmp_path / "curve.json")
+    assert main(["pitch", p, "-o", out]) == 0
+    with open(out) as f:
+        data = json.load(f)
+    assert data["sample_rate"] == sr
+    f0 = np.array(data["f0_hz"])
+    voiced = np.array(data["voiced"])
+    # Chirp sweeps 180→360 Hz; voiced detections should sit in that band
+    assert voiced.mean() > 0.5
+    assert 150 < np.median(f0[voiced]) < 400
+
+
+def test_info_and_project_roundtrip(song, marker_file, tmp_path, capsys):
+    p, x, sr = song
+    proj = str(tmp_path / "sess.mlx")
+    assert main(["project", p, "--markers", marker_file, "-o", proj]) == 0
+    assert os.path.exists(proj)
+    capsys.readouterr()  # flush the "saved project" line
+    assert main(["info", proj]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["sample_rate"] == sr
+    assert info["markers"] == 1
+    assert info["samples"] == len(x)
+    assert info["warped_duration_sec"] > info["duration_sec"]  # d_time = +0.05
+
+
+def test_render_from_project(song, marker_file, tmp_path):
+    p, x, sr = song
+    proj = str(tmp_path / "sess.mlx")
+    main(["project", p, "--markers", marker_file, "-o", proj])
+    out = str(tmp_path / "o.wav")
+    assert main(["render", proj, "-o", out]) == 0
+    y, rate = read_wav(out)
+    assert rate == sr and len(y) > 0

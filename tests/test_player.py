@@ -1,0 +1,86 @@
+"""Playback engine: backlog semantics, export consistency, stop behavior."""
+
+import numpy as np
+
+from melonix_tpu.engine.grains import build_grain_table
+from melonix_tpu.engine.maps import MapKnots
+from melonix_tpu.engine.player import Player
+from melonix_tpu.engine.render import render_track
+from melonix_tpu.markers import Marker
+
+
+def make_player(chirp, markers):
+    x, sr = chirp
+    table = build_grain_table(x, backend="numpy")
+    knots = MapKnots.from_markers(markers, sr, len(x))
+    return Player(x, table, knots), x, table, knots
+
+
+def test_playback_matches_export(chirp):
+    """Streaming from t=0 produces exactly the offline export stream
+    (same engine — SURVEY.md §3.4 ground truth)."""
+    markers = [Marker(4000, 60.0, 0.02, 2.0)]
+    player, x, table, knots = make_player(chirp, markers)
+    want = render_track(x, table, knots)
+
+    player.toggle()
+    got = []
+    for _ in range(1000):
+        buf = player.callback(1024)
+        got.append(buf)
+        if not player.is_playing:
+            break
+    got = np.concatenate(got)
+    n = min(len(got), len(want))
+    # Stopping discards the backlog (reference does the same: the stop path
+    # clears restWav, app.cpp:269), so the stream may end up to one backlog
+    # (~grain + tail zeros + buffer) shorter than the offline export.
+    assert n >= len(want) - (1500 + 1500 + 1024)
+    np.testing.assert_allclose(got[:n], want[:n], atol=2e-6)
+
+
+def test_stops_at_end(chirp):
+    player, *_ = make_player(chirp, [])
+    player.toggle()
+    for _ in range(2000):
+        player.callback(1024)
+        if not player.is_playing:
+            break
+    assert not player.is_playing
+    # After stop: silence
+    assert np.abs(player.callback(1024)[100:]).max() == 0.0
+
+
+def test_cursor_advances_by_emitted(chirp):
+    player, *_ = make_player(chirp, [])
+    player.toggle()
+    c0 = player.cursor_sec
+    player.callback(1024)
+    assert player.cursor_sec == c0 + 1024 / player.sample_rate
+
+
+def test_seek_and_edit_drop_backlog(chirp):
+    markers = [Marker(4000, 60.0, 0.0, 2.0)]
+    player, x, table, knots = make_player(chirp, markers)
+    player.toggle()
+    player.callback(1024)
+    assert len(player._backlog) > 0
+    player.seek(0.5)
+    assert len(player._backlog) == 0
+    assert player.cursor_sec == 0.5
+    player.callback(1024)
+    new_knots = MapKnots.from_markers([Marker(4000, 60.0, 0.0, -3.0)], player.sample_rate, len(x))
+    player.set_knots(new_knots)
+    assert len(player._backlog) == 0
+    buf = player.callback(1024)
+    assert np.isfinite(buf).all()
+
+
+def test_declick_ramp(chirp):
+    player, *_ = make_player(chirp, [])
+    player.toggle()
+    player.callback(1024)
+    player.is_playing = False  # user hits stop
+    buf = player.callback(1024)
+    # First samples ramp from the last delivered value toward zero, rest silent
+    assert np.abs(buf[100:]).max() == 0.0

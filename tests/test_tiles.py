@@ -1,0 +1,104 @@
+"""Colormap parity + tile-server contract (LRU, black-until-ready, batching)."""
+
+import time
+
+import numpy as np
+
+import oracle
+from melonix_tpu.config import Config
+from melonix_tpu.runtime.tiles import LruCache, TileServer
+from melonix_tpu.ui.colormap import colormap_jax, colormap_np
+
+
+def test_colormap_parity(rng):
+    mags = (rng.random(2000) * 0.03).astype(np.float32)
+    k = Config().brightness_to_k()  # default 2^14
+    got = colormap_np(mags, k)
+    want = oracle.colormap(mags, k)
+    # C-cast truncation can differ by 1 at float boundaries; allow |d| <= 1.
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.01
+
+
+def test_colormap_jax_matches_np(rng):
+    import jax.numpy as jnp
+
+    mags = (rng.random(512) * 0.05).astype(np.float32)
+    a = colormap_np(mags, 12345.0)
+    b = np.asarray(colormap_jax(jnp.asarray(mags), 12345.0))
+    diff = np.abs(a.astype(int) - b.astype(int))
+    assert diff.max() <= 1
+
+
+def test_colormap_ranges():
+    k = 1.0
+    rgb = colormap_np(np.array([0.0, 50.0, 100.0, 200.0, 255.0, 1e9]), k)
+    assert tuple(rgb[0]) == (0, 0, 0)
+    assert tuple(rgb[1]) == (50, 0, 0)  # dim red
+    assert rgb[2][1] > 0 and rgb[2][2] == 0  # arc: green present
+    assert rgb[3][0] == (200 - 170) * 3 and rgb[3][1] == 200  # whitening
+    assert tuple(rgb[4]) == (255, 255, 255)
+    assert tuple(rgb[5]) == (255, 255, 255)  # clamped
+
+
+def test_lru_capacity_and_recency():
+    lru = LruCache(3)
+    for i in range(3):
+        lru.put(i, i * 10)
+    assert len(lru) == 3
+    assert lru.get(0) == 0  # touch 0 → most recent
+    lru.put(3, 30)  # evicts oldest (1)
+    assert 1 not in lru and 0 in lru and 2 in lru and 3 in lru
+
+
+def _mk_server(chirp, synchronous):
+    x, _sr = chirp
+    cfg = Config(spectr_size=512, max_ranges=8)
+    return TileServer(x, k=cfg.brightness_to_k(), config=cfg, synchronous=synchronous), cfg
+
+
+def test_black_until_ready_contract(chirp):
+    server, _cfg = _mk_server(chirp, synchronous=False)
+    try:
+        t = server.get_tile(0, 0, 500)
+        assert t is None  # first poll: pending (black)
+        deadline = time.time() + 30
+        while t is None and time.time() < deadline:
+            time.sleep(0.01)
+            t = server.get_tile(0, 0, 500)
+        assert t is not None, "worker never produced the tile"
+        assert t.shape == (256, 3) and t.dtype == np.uint8
+    finally:
+        server.close()
+
+
+def test_batched_compute_and_lru_eviction(chirp):
+    calls = []
+    x, _sr = chirp
+    cfg = Config(spectr_size=512, max_ranges=4)
+
+    def compute(starts, ends):
+        calls.append(len(starts))
+        return np.ones((len(starts), 256), np.float32) * 0.01
+
+    server = TileServer(x, k=1000.0, config=cfg, compute=compute, synchronous=True)
+    # 6 distinct tiles through a capacity-4 cache
+    for key in range(6):
+        tile = server.get_tile(key, key * 100, key * 100 + 400)
+        assert tile is not None  # synchronous mode computes inline
+    assert server.stats()["cached"] == 4  # two evicted
+    # Re-request an evicted tile → recompute; a cached one → no compute
+    n_calls = len(calls)
+    assert server.get_tile(5, 500, 900) is not None  # cached, no new call
+    assert len(calls) == n_calls
+    server.get_tile(0, 0, 400)  # evicted → pending → compute
+    assert len(calls) == n_calls + 1
+
+
+def test_brightness_change_clears(chirp):
+    server, _ = _mk_server(chirp, synchronous=True)
+    assert server.get_tile(0, 0, 400) is not None
+    assert server.stats()["cached"] == 1
+    server.set_brightness_k(999.0)
+    assert server.stats()["cached"] == 0

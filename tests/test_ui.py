@@ -1,0 +1,188 @@
+"""Editor state machine + scene renderer (headless UI)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from melonix_tpu.config import Config
+from melonix_tpu.io.wav import write_wav
+from melonix_tpu.markers import Marker
+from melonix_tpu.ui.state import (
+    BUTTON_LEFT,
+    BUTTON_MIDDLE,
+    BUTTON_RIGHT,
+    MENU_BAR_PX,
+    MOD_ALT,
+    MOD_CTRL,
+    EditorState,
+    Viewport,
+)
+from melonix_tpu.ui.view import render_scene
+from melonix_tpu.ui.png import write_png
+
+CFG = Config(spectr_size=1024, max_ranges=64)
+
+
+@pytest.fixture()
+def editor(chirp, tmp_path):
+    x, sr = chirp
+    path = str(tmp_path / "song.wav")
+    write_wav(path, x, sr, dtype="float32")
+    ed = EditorState(config=CFG, viewport=Viewport(200, 150))
+    ed.open_file(path)
+    yield ed
+    if ed._tile_server:
+        ed._tile_server.close()
+
+
+def test_import_builds_derived_state(editor):
+    assert editor.loaded
+    assert len(editor.grains) > 0
+    assert editor.pyramid.n_levels > 0
+    assert editor.knots is not None
+    assert editor.save_name == ""
+
+
+def test_pan_and_clamp(editor):
+    editor.range_time = 0.5  # view smaller than the 1.5 s track
+    editor.start_time = 0.0
+    t0 = editor.start_time
+    editor.mouse_motion(100, 50, -30, 0, buttons=1 << (BUTTON_MIDDLE - 1))
+    assert editor.start_time > t0  # dragging left pans right
+    # Pan far beyond the right limit → clamped
+    for _ in range(100):
+        editor.mouse_motion(100, 50, -200, 0, buttons=1 << (BUTTON_MIDDLE - 1))
+    dur = len(editor.wav) / editor.sample_rate
+    right_limit = min(dur + editor.range_time * 0.5, 1.5 * dur)
+    assert editor.start_time + editor.range_time <= right_limit + 1e-9
+
+
+def test_zoom_about_cursor(editor):
+    editor.range_time = 2.0
+    editor.start_time = 0.0
+    r0 = editor.range_time
+    editor.mouse_motion(100, 50, 0, -10, buttons=1 << (BUTTON_MIDDLE - 1), mods=MOD_CTRL)
+    assert editor.range_time < r0  # dy < 0 zooms in
+    assert not editor.follow_mode
+
+
+def test_note_axis_pan_clamped(editor):
+    editor.mouse_motion(100, 50, 0, 500, buttons=1 << (BUTTON_MIDDLE - 1), mods=MOD_ALT)
+    assert 0.0 <= editor.start_note <= 127.0 - editor.range_note + 1e-9
+
+
+def test_add_select_drag_delete_marker(editor):
+    W, H = editor.viewport.width, editor.viewport.height
+    lane_h = editor.viewport.lane_height
+    x, y = 100, MENU_BAR_PX + int(lane_h * 0.4)
+    editor.mouse_button(x, y, True, BUTTON_LEFT)
+    assert len(editor.markers) == 1
+    assert editor.selected == 0
+    m = editor.markers[0]
+    # Marker sample corresponds to the clicked time through the warp map
+    t = x * editor.range_time / W + editor.start_time
+    assert m.sample == editor.knots.time_to_sample(t)
+    assert m.d_time == 0.0
+
+    # Drag: dTime += dx·scale, pitchBend -= dy·scale (app.cpp:829-836)
+    editor.mouse_motion(x + 5, y - 4, 5, -4, buttons=1 << (BUTTON_LEFT - 1))
+    assert m.d_time > 0
+    assert m.pitch_bend > 0
+
+    # Click near the marker's *bent* position selects, not re-adds
+    bent_y = MENU_BAR_PX + int(
+        (1.0 - (m.note - editor.start_note + m.pitch_bend) / editor.range_note) * lane_h
+    )
+    bent_x = int(
+        (editor.knots.sample_to_time(m.sample) - editor.start_time) / editor.range_time * W
+    )
+    editor.mouse_button(bent_x, bent_y, True, BUTTON_LEFT)
+    assert len(editor.markers) == 1
+
+    # Right-click deletes
+    editor.mouse_button(bent_x, bent_y, True, BUTTON_RIGHT)
+    assert len(editor.markers) == 0
+    assert editor.selected is None
+
+
+def test_scrub_and_cursor_keys(editor):
+    lane_h = editor.viewport.lane_height
+    editor.mouse_button(50, MENU_BAR_PX + int(lane_h) + 5, True, BUTTON_LEFT)
+    want = 50 * editor.range_time / editor.viewport.width + editor.start_time
+    assert editor.cursor_sec == pytest.approx(min(want, editor.duration()))
+    c = editor.cursor_sec
+    editor.cursor_right()
+    assert editor.cursor_sec > c or editor.cursor_sec == editor.duration()
+    editor.cursor_left()
+    editor.cursor_left()
+    assert editor.cursor_sec < c + 1e-9
+
+
+def test_follow_mode(editor):
+    editor.is_playing = True
+    editor.cursor_sec = editor.start_time + editor.range_time + 1.0
+    editor.tick_follow()
+    assert editor.follow_mode
+    # Repeated ticks converge the view to cursor - range/5
+    for _ in range(200):
+        editor.tick_follow()
+    assert editor.start_time == pytest.approx(
+        editor.cursor_sec - editor.range_time / 5, abs=1e-6
+    )
+
+
+def test_save_load_project_roundtrip(editor, tmp_path):
+    editor.markers = [Marker(2000, 60.0, 0.1, 2.0)]
+    editor.invalidate()
+    p = str(tmp_path / "proj")
+    out = editor.save_project_file(p)
+    assert out.endswith(".mlx")
+    ed2 = EditorState(config=CFG, viewport=Viewport(200, 150))
+    ed2.open_file(out)
+    assert ed2.loaded
+    assert len(ed2.markers) == 1 and ed2.markers[0].sample == 2000
+    assert ed2.save_name == os.path.abspath(out)
+    np.testing.assert_array_equal(ed2.wav, editor.wav)
+    if ed2._tile_server:
+        ed2._tile_server.close()
+
+
+def test_export_wav(editor, tmp_path):
+    out = str(tmp_path / "out.wav")
+    editor.markers = [Marker(2000, 60.0, 0.0, 3.0)]
+    editor.invalidate()
+    editor.export_wav(out)
+    from melonix_tpu.io.wav import read_wav
+
+    x, rate = read_wav(out)
+    assert rate == editor.sample_rate
+    assert len(x) > 1000
+
+
+def test_render_scene_smoke(editor, tmp_path):
+    editor.markers = [Marker(2000, 50.0, 0.05, 3.0)]
+    editor.invalidate()
+    editor.selected = 0
+    editor.cursor_sec = 0.4
+    editor.range_time = 1.5
+    img = render_scene(editor, synchronous_tiles=True)
+    H, W = editor.viewport.height, editor.viewport.width
+    assert img.shape == (H, W, 3)
+    # Waveform lane has magenta pixels
+    wave = img[int(H * 0.9) :]
+    assert (wave == np.array([255, 0, 255])).all(axis=-1).any()
+    # Spectrogram lane is not all black (tiles computed synchronously)
+    lane = img[MENU_BAR_PX : int(H * 0.9)]
+    assert lane.sum() > 0
+    # PNG snapshot encodes
+    p = str(tmp_path / "scene.png")
+    write_png(p, img)
+    with open(p, "rb") as f:
+        assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+
+
+def test_render_async_black_until_ready(editor):
+    img1 = render_scene(editor, synchronous_tiles=False)
+    # First frame: spectrogram mostly black (pending), but renders fine
+    assert img1.shape[0] == editor.viewport.height
