@@ -62,6 +62,18 @@ def _declare(lib: ctypes.CDLL) -> None:
         f32p, f32p,  # out min, out max
     ]
 
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.mlx_build_plan.restype = ctypes.c_int64
+    lib.mlx_build_plan.argtypes = [
+        i32p, i32p, ctypes.c_int64,  # grain starts/lens, count
+        f64p, f64p, f64p, ctypes.c_int64,  # knot ks/ts/bends, count
+        ctypes.c_double, ctypes.c_double,  # sample_rate, duration
+        ctypes.c_double, ctypes.c_int64, ctypes.c_int32,  # cursor, min_out, pgs
+        i32p, i32p, f32p, i64p, i32p,  # out arrays
+        ctypes.c_int64,  # cap
+        i32p,  # tail_zeros
+    ]
+
     lib.mlx_lru_new.restype = ctypes.c_void_p
     lib.mlx_lru_new.argtypes = [ctypes.c_int64]
     lib.mlx_lru_free.restype = None
@@ -85,6 +97,50 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.mlx_ring_avail.argtypes = [ctypes.c_void_p]
     lib.mlx_ring_clear.restype = None
     lib.mlx_ring_clear.argtypes = [ctypes.c_void_p]
+
+
+def build_plan(lib: ctypes.CDLL, grains, knots, start_cursor: float, min_out, pgs: int):
+    """Native render-plan builder; returns the same arrays as the NumPy walk."""
+    f32p = ctypes.POINTER(ctypes.c_float)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+
+    g_starts = np.ascontiguousarray(grains.starts, np.int32)
+    g_lens = np.ascontiguousarray(grains.lengths, np.int32)
+    ks = np.ascontiguousarray(knots.samples, np.float64)
+    ts = np.ascontiguousarray(knots.times, np.float64)
+    bends = np.ascontiguousarray(knots.bends, np.float64)
+    # Warp repetition can revisit grains, so the step count isn't bounded by
+    # the grain count; grow the buffers until the chain completes.
+    cap = max(16, 4 * len(g_starts) + 64)
+    while True:
+        out_start = np.zeros(cap, np.int32)
+        out_len = np.zeros(cap, np.int32)
+        out_rate = np.zeros(cap, np.float32)
+        out_sz = np.zeros(cap, np.int64)
+        out_seam = np.zeros(cap, np.int32)
+        tail = np.zeros(1, np.int32)
+        count = lib.mlx_build_plan(
+            g_starts.ctypes.data_as(i32p), g_lens.ctypes.data_as(i32p), len(g_starts),
+            ks.ctypes.data_as(f64p), ts.ctypes.data_as(f64p), bends.ctypes.data_as(f64p), len(ks),
+            float(knots.sample_rate), float(knots.duration()),
+            float(start_cursor), -1 if min_out is None else int(min_out), int(pgs),
+            out_start.ctypes.data_as(i32p), out_len.ctypes.data_as(i32p),
+            out_rate.ctypes.data_as(f32p), out_sz.ctypes.data_as(i64p),
+            out_seam.ctypes.data_as(i32p), cap, tail.ctypes.data_as(i32p),
+        )
+        if count < cap:
+            break
+        cap *= 4
+    return (
+        out_start[:count].copy(),
+        out_len[:count].copy(),
+        out_rate[:count].copy(),
+        out_sz[:count].copy(),
+        out_seam[:count].copy(),
+        int(tail[0]),
+    )
 
 
 def build_grains(lib: ctypes.CDLL, wav: np.ndarray, pgs: int):

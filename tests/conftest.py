@@ -22,8 +22,25 @@ jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import subprocess
+
 import numpy as np
 import pytest
+
+# Build the native runtime once if the toolchain is present (best effort —
+# tests that need it skip when absent).
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_so = os.path.join(_repo, "native", "libmelonix_native.so")
+if not os.path.exists(_so):
+    try:
+        subprocess.run(
+            ["make", "-C", os.path.join(_repo, "native")],
+            capture_output=True,
+            timeout=120,
+            check=False,
+        )
+    except Exception:
+        pass
 
 
 @pytest.fixture(scope="session")
