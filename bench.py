@@ -34,7 +34,7 @@ def main() -> None:
     from melonix_tpu.engine.grains import build_grain_table
     from melonix_tpu.engine.maps import MapKnots
     from melonix_tpu.engine.render import build_render_plan, render_from_plan_device
-    from melonix_tpu.engine.spectral import hann_window, num_frames, stft_device
+    from melonix_tpu.engine.spectral import hann_window, num_frames, stft_mags_device
     from melonix_tpu.markers import Marker
 
     sr = 44100
@@ -62,8 +62,7 @@ def main() -> None:
         t_plan0 = time.perf_counter()
         plan = build_render_plan(table, knots)
         t_plan = time.perf_counter() - t_plan0
-        spec = stft_device(wav_dev, win, cfg.stft_size, cfg.stft_hop, nf)
-        mags = jnp.sqrt(spec.real**2 + spec.imag**2)
+        mags = stft_mags_device(wav_dev, win, cfg.stft_size, cfg.stft_hop, nf)
         n_grain_out = int(plan.out_offset[-1])
         out_len = 65536 * -(-n_grain_out // 65536)
         out = render_from_plan_device(

@@ -141,6 +141,28 @@ def stft_device(
     return jnp.fft.rfft(frames)
 
 
+def stft_mags_device(
+    wav: jnp.ndarray,
+    window: jnp.ndarray,
+    size: int,
+    hop: int,
+    n_frames: int,
+    scale: float = 1.0,
+) -> jnp.ndarray:
+    """Fused ``|STFT|`` of the first size//2 bins — (n_frames, size//2) f32.
+
+    On TPU with kernel-friendly shapes this is the Pallas fused
+    frame+window+DFT+magnitude kernel (kernels/pallas_stft.py, ~4x the XLA
+    FFT path and near HBM speed-of-light); otherwise XLA rfft + |.|.
+    """
+    from ..kernels import pallas_stft
+
+    if pallas_stft.supported(size, hop) and jax.default_backend() == "tpu":
+        return pallas_stft.stft_mag_pallas(wav, window, size, hop, n_frames, scale=scale)
+    spec = stft_device(wav, window, size, hop, n_frames)
+    return (jnp.abs(spec[:, : size // 2]) * scale).astype(jnp.float32)
+
+
 def stft(wav, config: Config = DEFAULT_CONFIG, *, size=None, hop=None):
     """Host wrapper; returns (frames, hop) with frames complex64 NumPy."""
     size = size or config.stft_size
