@@ -24,6 +24,11 @@ class Config:
     spec_decay: float = 2.5e-4
     # LRU capacity of spectrum / texture caches (range.hpp:4, ``MaxRanges``).
     max_ranges: int = 4000
+    # Spectrogram tiles are log-frequency texel strips (runtime/tiles.py):
+    # ``tile_texels`` log-spaced texels over [tile_frac_min, 1] x Nyquist.
+    # 2048 texels over ~12 octaves is >= 14 texels/semitone everywhere.
+    tile_texels: int = 2048
+    tile_frac_min: float = 2.5e-4
 
     # --- Modern STFT mode (new capability; BASELINE.json configs) ---
     stft_size: int = 2048

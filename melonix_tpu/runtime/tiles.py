@@ -8,9 +8,22 @@ load-bearing for UI responsiveness* (SURVEY.md §5) and is preserved here.
 
 TPU inversion: instead of one FFTW call per column on a CPU thread, the
 worker drains the whole request queue each cycle and computes every pending
-column in ONE batched device program (engine/spectral), optionally
-colormapping on device too.  The host keeps an LRU of downloaded RGB tiles
-(capacity ``max_ranges`` = 4000, range.hpp:4).
+column in ONE batched device program (the fused Pallas column kernel on TPU,
+kernels/pallas_columns.py; XLA elsewhere).  The host keeps an LRU of
+downloaded RGB tiles (capacity ``max_ranges`` = 4000, range.hpp:4).
+
+**Log-frequency texel grid.** The reference uploads one 16384-texel
+linear-frequency texture per column and lets GL_NEAREST pick one bin per
+pixel row (spec-cache.cpp:99-107).  Downloading 16384 texels per tile is
+pure host<->device waste: the display is log-frequency (semitone rows), so
+linear bins are ~100x oversampled at the top of the range.  Tiles here are
+``tile_texels`` (default 2048) *log-spaced* texels covering the fraction
+range [tile_frac_min, 1] of Nyquist — >= 14 texels per semitone everywhere,
+display-lossless, and ~10x fewer bytes per tile.  Each texel takes the MAX
+of the DFT bins in its band (anti-aliased where the reference's NEAREST
+sampling aliases) and falls back to its nearest bin where bins are sparser
+than texels (low frequencies).  The resample + colormap run on device; the
+host receives final uint8 RGB texels.
 """
 
 from __future__ import annotations
@@ -18,12 +31,52 @@ from __future__ import annotations
 import threading
 import time
 from collections import OrderedDict
+from functools import lru_cache
 from typing import Callable
 
 import numpy as np
 
 from ..config import DEFAULT_CONFIG, Config
 from ..ui.colormap import colormap_np
+
+
+# ----------------------------------------------------------------------
+# Log-frequency texel grid
+# ----------------------------------------------------------------------
+
+
+def texel_of_frac(frac, texels: int, frac_min: float):
+    """Texel index for a frequency expressed as a fraction of Nyquist."""
+    f = np.maximum(np.asarray(frac, np.float64), frac_min)
+    j = (np.log(f) - np.log(frac_min)) / (-np.log(frac_min)) * (texels - 1)
+    return np.clip(np.rint(j).astype(np.int64), 0, texels - 1)
+
+
+@lru_cache(maxsize=8)
+def _resample_tables(n_bins: int, texels: int, frac_min: float):
+    """(bin -> texel segment ids, texel -> nearest bin) for the log grid.
+
+    Bins below frac_min (DC and the first few) get segment id ``texels``
+    and are dropped; texels whose band holds no bin (low frequencies,
+    where bins are sparser than texels) fall back to their nearest bin.
+    """
+    k = np.arange(n_bins, dtype=np.float64)
+    frac = k / n_bins  # bin k center as a fraction of Nyquist
+    ids = texel_of_frac(frac, texels, frac_min)
+    ids[frac < frac_min] = texels
+    j = np.arange(texels, dtype=np.float64)
+    frac_j = np.exp(np.log(frac_min) * (1.0 - j / (texels - 1)))
+    nearest = np.clip(np.rint(frac_j * n_bins).astype(np.int64), 0, n_bins - 1)
+    return ids.astype(np.int32), nearest.astype(np.int32)
+
+
+def log_resample_np(mags: np.ndarray, texels: int, frac_min: float) -> np.ndarray:
+    """NumPy twin of the device resample: (B, n_bins) -> (B, texels)."""
+    mags = np.asarray(mags, np.float32)
+    ids, nearest = _resample_tables(mags.shape[-1], texels, frac_min)
+    pooled = np.zeros((mags.shape[0], texels), np.float32)
+    np.maximum.at(pooled, (slice(None), ids[ids < texels]), mags[:, ids < texels])
+    return np.maximum(pooled, mags[:, nearest])
 
 
 class LruCache:
@@ -59,10 +112,11 @@ class LruCache:
 class TileServer:
     """Async batched spectrogram tiles with the black-until-ready contract.
 
-    ``get_tile(key, start_sample, end_sample)`` returns an (n_bins, 3) uint8
-    RGB tile, or None while pending (caller draws black and re-requests next
-    frame, spec-cache.cpp:67-71).  All requests accumulated between worker
-    cycles are computed in one batched device call.
+    ``get_tile(key, start_sample, end_sample)`` returns a
+    (config.tile_texels, 3) uint8 RGB log-frequency tile, or None while
+    pending (caller draws black and re-requests next frame,
+    spec-cache.cpp:67-71).  All requests accumulated between worker cycles
+    are computed in one batched device call.
     """
 
     PLACEHOLDER_BINS = 16  # black placeholder texel count (spec-cache.cpp:70)
@@ -77,23 +131,66 @@ class TileServer:
         poll_interval: float = 0.002,
         synchronous: bool = False,
     ):
+        import jax
         import jax.numpy as jnp
+        from functools import partial
 
         from ..engine.spectral import spectrogram_columns_device
+        from ..kernels import pallas_columns
+        from ..ui.colormap import colormap_jax
 
         self._cfg = config
         self._k = float(k)
         self._wav_dev = jnp.asarray(np.asarray(wav, np.float32))
-        self._compute = compute or (
-            lambda starts, ends: np.asarray(
-                spectrogram_columns_device(
+        n_bins = config.spectr_size // 2
+        texels, frac_min = config.tile_texels, config.tile_frac_min
+        ids_np, nearest_np = _resample_tables(n_bins, texels, frac_min)
+        use_pallas = jax.default_backend() == "tpu" and pallas_columns.supported(
+            config.spectr_size
+        )
+
+        @partial(jax.jit, static_argnames=())
+        def _tiles_device(wav_dev, starts, ends, kgain, ids, nearest):
+            # mags: fused Pallas column kernel on TPU (DMA + decay + DFT +
+            # |.| on-chip, ~2000x the XLA gather+fft path on v5e), XLA else.
+            if use_pallas:
+                mags = pallas_columns.spectrogram_columns_fused(
+                    wav_dev, starts, ends, kgain,
+                    size=config.spectr_size, decay=config.spec_decay,
+                    colormap=False,
+                )
+            else:
+                mags = spectrogram_columns_device(
+                    wav_dev, starts, ends, size=config.spectr_size
+                )
+            # Log-texel resample (max-pool + nearest fill) + colormap on
+            # device; only final uint8 texels cross to the host.
+            pooled = jax.vmap(
+                lambda m: jax.ops.segment_max(
+                    m, ids, num_segments=texels + 1, indices_are_sorted=True
+                )[:texels]
+            )(mags)
+            tex = jnp.maximum(pooled, mags[:, nearest])
+            return colormap_jax(tex, kgain)
+
+        def _rgb_device(starts, ends, kgain):
+            return np.asarray(
+                _tiles_device(
                     self._wav_dev,
                     jnp.asarray(starts, jnp.int32),
                     jnp.asarray(ends, jnp.int32),
-                    size=config.spectr_size,
+                    jnp.float32(kgain),
+                    jnp.asarray(ids_np),
+                    jnp.asarray(nearest_np),
                 )
             )
-        )
+
+        if compute is not None:
+            self._rgb = lambda s, e, kg: colormap_np(
+                log_resample_np(compute(s, e), texels, frac_min), kg
+            )
+        else:
+            self._rgb = _rgb_device
         self._cache = LruCache(config.max_ranges)
         self._pending: dict = {}
         self._lock = threading.Lock()
@@ -176,9 +273,8 @@ class TileServer:
                 pad = CHUNK - len(s)
                 s = np.concatenate([s, np.repeat(s[-1:], pad)])
                 e = np.concatenate([e, np.repeat(e[-1:], pad)])
-            outs.append(self._compute(s, e))
-        mags = np.concatenate(outs)[:n_req]
-        rgb = colormap_np(mags, k)
+            outs.append(self._rgb(s, e, k))
+        rgb = np.concatenate(outs)[:n_req]
         with self._lock:
             for i, key in enumerate(keys):
                 self._cache.put(key, rgb[i])

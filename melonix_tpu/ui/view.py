@@ -75,7 +75,7 @@ def _waveform_cache(state: EditorState, width: int):
 def _draw_spectrogram(state, img, spec_top: int, lane_h: int, synchronous: bool) -> None:
     W = state.viewport.width
     sr = state.sample_rate
-    n_bins = state.config.spec_bins
+    texels = state.config.tile_texels
 
     server = state.tile_server
     if synchronous and server is not None and not server._synchronous:
@@ -100,10 +100,10 @@ def _draw_spectrogram(state, img, spec_top: int, lane_h: int, synchronous: bool)
     server.prefetch(
         [(keys[x], int(samples[x]), int(samples[x + 1])) for x in range(W)]
     )
-    tiles = np.zeros((W, n_bins, 3), np.uint8)
+    tiles = np.zeros((W, texels, 3), np.uint8)
     for x in range(W):
         tile = server.get_tile(keys[x], int(samples[x]), int(samples[x + 1]))
-        if tile is not None and tile.shape[0] == n_bins:
+        if tile is not None and tile.shape[0] == texels:
             tiles[x] = tile
 
     # Visual note offset per pixel row (row 0 = lane top)
@@ -113,17 +113,19 @@ def _draw_spectrogram(state, img, spec_top: int, lane_h: int, synchronous: bool)
     n = state.start_note + v[:, None] - bends[None, :]
     freq = 55.0 * 2.0 ** ((n - 24.0) / 12.0)
     frac = freq / (sr / 2.0)
-    bin_idx = (frac * n_bins).astype(np.int64)
+    # Tiles are log-frequency texel strips (runtime/tiles.py)
+    from ..runtime.tiles import texel_of_frac
+
+    tex_idx = texel_of_frac(frac, texels, state.config.tile_frac_min)
     # Visible quads span source notes [startNote, startNote + int(rangeNote))
     valid = (
         (n >= state.start_note)
         & (n < state.start_note + int(state.range_note))
-        & (bin_idx >= 0)
-        & (bin_idx < n_bins)
+        & (frac > 0)
+        & (frac <= 1.0)
     )
-    bin_idx = np.clip(bin_idx, 0, n_bins - 1)
-    cols = np.broadcast_to(np.arange(W)[None, :], bin_idx.shape)
-    rgb = tiles[cols, bin_idx]  # (laneH, W, 3)
+    cols = np.broadcast_to(np.arange(W)[None, :], tex_idx.shape)
+    rgb = tiles[cols, tex_idx]  # (laneH, W, 3)
     rgb[~valid] = 0
     img[spec_top : spec_top + lane_h] = rgb
 

@@ -59,3 +59,80 @@ def test_stft_mag_pallas_scale_and_block_boundary(rng):
 def test_stft_mag_pallas_unsupported_shapes():
     assert not supported(2048, 500)   # hop not lane-aligned
     assert not supported(2000, 500)   # size not a hop multiple
+
+
+# ----------------------------------------------------------------------
+# Fused reference-parity column kernel (kernels/pallas_columns.py)
+# ----------------------------------------------------------------------
+
+from melonix_tpu.kernels.pallas_columns import (
+    spectrogram_columns_fused,
+    supported as cols_supported,
+    unpack_rgb,
+)
+from melonix_tpu.ui.colormap import colormap_np
+from oracle import spec_column
+
+
+def _fused(wav, starts, ends, k, size, colormap):
+    return np.asarray(
+        spectrogram_columns_fused(
+            jnp.asarray(np.asarray(wav, np.float32)),
+            jnp.asarray(starts, jnp.int32),
+            jnp.asarray(ends, jnp.int32),
+            k,
+            size=size,
+            colormap=colormap,
+            interpret=True,
+        )
+    )
+
+
+def test_columns_fused_matches_oracle_small(rng):
+    size = 4096
+    assert cols_supported(size)
+    n = 3 * size
+    wav = rng.standard_normal(n).astype(np.float32)
+    # Ends at awkward offsets: unaligned rem, short window (end < size),
+    # window past the track end, and a fully out-of-range column.
+    ends = np.asarray([size + 37, size // 2, n + size // 4, 0], np.int32)
+    starts = ends - np.asarray([300, 100, size // 2, 10], np.int32)
+    got = _fused(wav, starts, ends, 1.0, size, colormap=False)
+    for i in range(len(ends)):
+        want = spec_column(wav, int(starts[i]), int(ends[i]), spectr_size=size)
+        scale = max(np.max(want), 1e-6)
+        err = np.max(np.abs(got[i] - want)) / scale
+        assert err < 1e-3, (i, err)  # < -60 dB vs float64 oracle
+
+
+def test_columns_fused_reference_size(rng):
+    """Full 32768-pt reference geometry, < -60 dB vs the float64 oracle."""
+    size = 32768
+    n = size + 5000
+    wav = (0.5 * np.sin(2 * np.pi * 220.0 * np.arange(n) / 44100.0)).astype(np.float32)
+    ends = np.asarray([size + 1111], np.int32)
+    starts = ends - 2000
+    got = _fused(wav, starts, ends, 1.0, size, colormap=False)
+    want = spec_column(wav, int(starts[0]), int(ends[0]), spectr_size=size)
+    num = np.sqrt(np.mean((got[0] - want) ** 2))
+    den = np.sqrt(np.mean(want**2))
+    snr_db = 20 * np.log10(num / den)
+    assert snr_db < -60.0, snr_db
+    assert int(np.argmax(got[0])) == int(np.argmax(want))
+
+
+def test_columns_fused_colormap_packing(rng):
+    size = 4096
+    n = 2 * size
+    wav = (10.0 * rng.standard_normal(n)).astype(np.float32)
+    ends = np.asarray([size + 259, size + 1000], np.int32)
+    starts = ends - 500
+    k = 16384.0
+    mags = _fused(wav, starts, ends, k, size, colormap=False)
+    rgb_packed = _fused(wav, starts, ends, k, size, colormap=True)
+    got = unpack_rgb(rgb_packed)
+    want = colormap_np(mags, k)
+    # Truncation boundaries may flip by one count under f32 vs f64 trig.
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    assert np.mean(diff == 0) > 0.999
+    assert diff.max() <= 1

@@ -68,7 +68,7 @@ def test_black_until_ready_contract(chirp):
             time.sleep(0.01)
             t = server.get_tile(0, 0, 500)
         assert t is not None, "worker never produced the tile"
-        assert t.shape == (256, 3) and t.dtype == np.uint8
+        assert t.shape == (_cfg.tile_texels, 3) and t.dtype == np.uint8
     finally:
         server.close()
 
@@ -102,3 +102,42 @@ def test_brightness_change_clears(chirp):
     assert server.stats()["cached"] == 1
     server.set_brightness_k(999.0)
     assert server.stats()["cached"] == 0
+
+
+def test_log_resample_texel_grid(rng):
+    """Peak preservation + impulse placement on the log-texel grid."""
+    from melonix_tpu.runtime.tiles import log_resample_np, texel_of_frac
+
+    n_bins, T, fmin = 256, 64, 1.0 / 128
+    mags = rng.random((3, n_bins)).astype(np.float32)
+    out = log_resample_np(mags, T, fmin)
+    assert out.shape == (3, T)
+    # every texel value is an actual bin value; the global max survives
+    hi = mags[:, 2:]  # bins at/above fmin (bin k: frac = k/256)
+    assert np.allclose(out.max(axis=1), hi.max(axis=1))
+    # an isolated impulse lands exactly at its texel
+    m = np.zeros((1, n_bins), np.float32)
+    m[0, 100] = 5.0
+    j = int(texel_of_frac(100 / 256, T, fmin))
+    o = log_resample_np(m, T, fmin)
+    assert o[0, j] == 5.0
+
+
+def test_log_resample_device_matches_np(chirp):
+    """The TileServer device path and the NumPy twin agree texel-for-texel."""
+    import oracle
+
+    x, _sr = chirp
+    cfg = Config(spectr_size=512, max_ranges=16)
+    k = cfg.brightness_to_k()
+    dev = TileServer(x, k=k, config=cfg, synchronous=True)
+    tile_dev = dev.get_tile(0, 100, 500)
+    dev.close()
+    mags = oracle.spec_column(x, 100, 500, spectr_size=512)[None, :]
+    from melonix_tpu.runtime.tiles import log_resample_np
+
+    want = colormap_np(
+        log_resample_np(mags, cfg.tile_texels, cfg.tile_frac_min), k
+    )[0]
+    diff = np.abs(tile_dev.astype(int) - want.astype(int))
+    assert diff.max() <= 1
