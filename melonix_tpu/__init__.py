@@ -13,6 +13,7 @@ from .markers import Marker, markers_from_json, markers_to_json, sort_markers
 from .engine.maps import MapKnots
 from .engine.grains import GrainTable, build_grain_table
 from .engine.render import RenderPlan, build_render_plan, render, render_track
+from .engine.phase_vocoder import render_track_pv
 from .io import load_audio, read_wav, write_wav, Project, load_project, save_project
 
 __version__ = "0.1.0"
@@ -31,6 +32,7 @@ __all__ = [
     "build_render_plan",
     "render",
     "render_track",
+    "render_track_pv",
     "load_audio",
     "read_wav",
     "write_wav",

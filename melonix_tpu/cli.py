@@ -46,19 +46,25 @@ def _markers_from_arg(path: str | None, existing):
 def cmd_render(args) -> int:
     from .engine.grains import build_grain_table
     from .engine.maps import MapKnots
+    from .engine.phase_vocoder import render_track_pv
     from .engine.render import render_track
     from .io.wav import write_wav
 
     wav, rate, markers, _b, _t = _load_any(args.input)
     markers = _markers_from_arg(args.markers, markers)
     t0 = time.perf_counter()
-    table = build_grain_table(wav)
     knots = MapKnots.from_markers(markers, rate, len(wav))
-    out = render_track(wav, table, knots)
+    if args.engine == "pv":
+        out = render_track_pv(wav, knots)
+        detail = "phase-vocoder"
+    else:
+        table = build_grain_table(wav)
+        out = render_track(wav, table, knots)
+        detail = f"{len(table)} grains"
     dt = time.perf_counter() - t0
     write_wav(args.output, out, rate, dtype=args.dtype)
     print(
-        f"rendered {len(out)/rate:.2f}s ({len(markers)} markers, {len(table)} grains) "
+        f"rendered {len(out)/rate:.2f}s ({len(markers)} markers, {detail}) "
         f"in {dt:.2f}s -> {args.output}"
     )
     return 0
@@ -162,11 +168,17 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="melonix_tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    r = sub.add_parser("render", help="offline granular render to WAV")
+    r = sub.add_parser("render", help="offline render to WAV")
     r.add_argument("input")
     r.add_argument("--markers", help="markers JSON file")
     r.add_argument("-o", "--output", required=True)
     r.add_argument("--dtype", choices=["int16", "float32"], default="int16")
+    r.add_argument(
+        "--engine",
+        choices=["granular", "pv"],
+        default="granular",
+        help="granular = reference-parity splicer; pv = phase vocoder",
+    )
     r.set_defaults(fn=cmd_render)
 
     s = sub.add_parser("spectrogram", help="render the editor scene to PNG")

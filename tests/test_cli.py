@@ -88,3 +88,14 @@ def test_render_from_project(song, marker_file, tmp_path):
     assert main(["render", proj, "-o", out]) == 0
     y, rate = read_wav(out)
     assert rate == sr and len(y) > 0
+
+
+def test_render_pv_engine(song, marker_file, tmp_path, capsys):
+    p, x, sr = song
+    out = str(tmp_path / "pv.wav")
+    assert main(["render", p, "--markers", marker_file, "-o", out, "--engine", "pv"]) == 0
+    y, rate = read_wav(out)
+    assert rate == sr
+    # +0.05s d_time at the marker → warped duration grows accordingly
+    assert abs(len(y) - (len(x) + 0.05 * sr)) < 0.02 * sr
+    assert "phase-vocoder" in capsys.readouterr().out
