@@ -151,6 +151,13 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_ui(args) -> int:
+    from .ui.web import serve
+
+    serve(args.input, host=args.host, port=args.port)
+    return 0
+
+
 def cmd_project(args) -> int:
     from .io.project import Project, save_project
 
@@ -208,6 +215,12 @@ def build_parser() -> argparse.ArgumentParser:
     j.add_argument("--markers")
     j.add_argument("-o", "--output", required=True)
     j.set_defaults(fn=cmd_project)
+
+    u = sub.add_parser("ui", help="interactive browser editor")
+    u.add_argument("input", nargs="?", help="audio file or .mlx project to open")
+    u.add_argument("--host", default="127.0.0.1")
+    u.add_argument("--port", type=int, default=8666)
+    u.set_defaults(fn=cmd_ui)
     return p
 
 

@@ -1,0 +1,416 @@
+"""Browser shell — the interactive front end (stdlib HTTP, zero deps).
+
+The reference is an SDL2/OpenGL/ImGui desktop binary (main.cpp:17-222).
+A TPU host is typically remote and headless, so the shell here is a tiny
+HTTP server driving the same ``EditorState`` controller the desktop shell
+would: the browser shows the scene raster (ui/view.py), forwards
+mouse/keyboard events with the reference's button/modifier semantics
+(app.cpp:743-838, main.cpp:125-180), and plays back the rendered edit
+through an ``<audio>`` element fed by the export path (same ``process()``
+engine as live playback in the reference, app.cpp:254-292).
+
+Routes:
+  GET  /            HTML/JS app (menu bar, control center, scene view)
+  GET  /frame.png   current scene raster (advances playback + follow mode)
+  GET  /state       JSON readouts (control-center fields, app.cpp:63-84)
+  POST /event       {kind: motion|button, ...} -> EditorState
+  POST /key         {key: space|left|right}    (main.cpp:125-143)
+  POST /control     open/save/save_as/export/brightness/tempo/follow
+  GET  /dialog/...  FileOpen / FileSaveAs browsing (ui/dialogs.py)
+  GET  /audio.wav   rendered edit for client playback
+
+A plain single-threaded HTTPServer serializes every request, so all state
+mutations are race-free by construction (the reference needed an audio
+device lock for the same invariant, app.cpp:110-112).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, HTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from .dialogs import FileOpenDialog, FileSaveAsDialog
+from .png import encode_png
+from .state import EditorState, Viewport
+from .view import render_scene
+
+_PAGE = """<!doctype html>
+<html><head><title>melonix-tpu</title><style>
+body { margin:0; background:#111; color:#ddd; font:13px sans-serif; }
+#bar { padding:6px; background:#1b1b1b; display:flex; gap:12px; align-items:center; flex-wrap:wrap; }
+#bar button, #bar input[type=text] { background:#2a2a2a; color:#ddd; border:1px solid #444; padding:3px 10px; }
+#frame { display:block; cursor:crosshair; }
+#dlg { position:absolute; top:40px; left:20px; background:#222; border:1px solid #555;
+       padding:8px; max-height:70vh; overflow:auto; display:none; min-width:340px; }
+#dlg div.e { padding:2px 6px; cursor:pointer; } #dlg div.e:hover { background:#333; }
+#readout { color:#8c8; } .hint { color:#777 }
+</style></head><body>
+<div id="bar">
+ <button onclick="openDlg('open')">Open</button>
+ <button onclick="ctl('save')">Save</button>
+ <button onclick="openDlg('save_as')">Save As</button>
+ <button onclick="openDlg('export')">Export WAV</button>
+ <button id="play" onclick="key('space')">Play</button>
+ <label>Brightness <input id="bright" type="range" min="0" max="100" value="50"
+   oninput="ctl('brightness', this.value)"></label>
+ <label>Tempo <input id="tempo" type="range" min="30" max="250" value="130"
+   oninput="ctl('tempo', this.value)"></label>
+ <label><input id="follow" type="checkbox" onchange="ctl('follow', this.checked?1:0)">Follow</label>
+ <span id="readout"></span>
+ <span class="hint">drag=pan &middot; ctrl+drag=zoom t &middot; alt+drag=note axis &middot;
+  click=marker &middot; rclick=delete &middot; space/&larr;/&rarr;</span>
+</div>
+<img id="frame" draggable="false">
+<div id="dlg"></div>
+<audio id="audio"></audio>
+<script>
+const img = document.getElementById('frame');
+let lastX=0, lastY=0, buttons=0, mods=0, dlgMode=null, playing=false;
+function post(url, body) { return fetch(url, {method:'POST', body: JSON.stringify(body)}); }
+function ctl(action, value) { post('/control', {action, value}).then(refresh); }
+function key(k) { post('/key', {key:k}).then(r=>r.json()).then(s=>{ syncAudio(s); refresh(); }); }
+function evmods(e) { return (e.ctrlKey?1:0) | (e.altKey?2:0); }
+img.addEventListener('contextmenu', e => e.preventDefault());
+img.addEventListener('mousedown', e => {
+  e.preventDefault();
+  buttons |= 1 << e.button;  // DOM: 0=left,1=middle,2=right
+  const b = e.button===0 ? (e.shiftKey?2:1) : (e.button===1?2:3);
+  post('/event', {kind:'button', x:e.offsetX, y:e.offsetY, pressed:true, button:b}).then(refresh);
+});
+window.addEventListener('mouseup', e => { buttons = 0; });
+img.addEventListener('mousemove', e => {
+  if (!buttons) return;
+  // left or shift+left emulates middle (pan/zoom) per reference semantics
+  let mask = 0;
+  if (buttons & 1) mask |= e.shiftKey ? 2 : 1;
+  if (buttons & 2) mask |= 2;
+  const sel = (mask & 1) ? 1 : 2;
+  post('/event', {kind:'motion', x:e.offsetX, y:e.offsetY,
+                  dx:e.movementX, dy:e.movementY, buttons:sel, mods:evmods(e)})
+    .then(refresh);
+});
+window.addEventListener('keydown', e => {
+  if (e.code==='Space') { e.preventDefault(); key('space'); }
+  else if (e.code==='ArrowLeft') key('left');
+  else if (e.code==='ArrowRight') key('right');
+});
+function openDlg(mode) {
+  dlgMode = mode;
+  fetch('/dialog/list?mode='+mode).then(r=>r.json()).then(showDlg);
+}
+function showDlg(d) {
+  const el = document.getElementById('dlg');
+  el.style.display = 'block';
+  let h = '<b>'+d.cwd+'</b>';
+  if (d.save) h += '<br><input id="fname" type="text" value="'+d.filename+'">' +
+                   '<button onclick="dlgAccept()">OK</button>';
+  h += '<button style="float:right" onclick="dlg.style.display=\\'none\\'">x</button>';
+  for (const [name, isdir] of d.entries)
+    h += '<div class="e" onclick="dlgGo(\\''+name.replace(/'/g, "\\\\'")+'\\')">' +
+         (isdir?'&#128193; ':'&#128196; ')+name+'</div>';
+  el.innerHTML = h;
+}
+const dlg = document.getElementById('dlg');
+function dlgGo(name) {
+  post('/dialog/activate', {name, mode:dlgMode}).then(r=>r.json()).then(d=>{
+    if (d.accepted) { dlg.style.display='none'; refresh(); loadAudio(); }
+    else showDlg(d);
+  });
+}
+function dlgAccept() {
+  post('/dialog/accept', {mode:dlgMode, filename:document.getElementById('fname').value})
+    .then(r=>r.json()).then(d=>{ if (d.accepted) dlg.style.display='none'; refresh(); });
+}
+const audio = document.getElementById('audio');
+function loadAudio() { audio.src = '/audio.wav?t=' + Date.now(); }
+function syncAudio(s) {
+  playing = s.playing;
+  document.getElementById('play').textContent = playing ? 'Stop' : 'Play';
+  if (playing) { audio.currentTime = s.cursor; audio.play().catch(()=>{}); }
+  else audio.pause();
+}
+function refresh() {
+  img.src = '/frame.png?w=' + window.innerWidth + '&h=' +
+            Math.max(200, window.innerHeight - 50) + '&t=' + Date.now();
+}
+setInterval(() => {
+  fetch('/state').then(r=>r.json()).then(s => {
+    document.getElementById('readout').textContent =
+      s.loaded ? (s.cursor.toFixed(2)+'s / '+s.duration.toFixed(2)+'s · '+
+                  s.markers+' markers · '+s.fps.toFixed(0)+' fps') : 'no file';
+    document.getElementById('follow').checked = s.follow;
+    if (s.playing !== playing) syncAudio(s);
+    if (s.playing) refresh();
+  });
+}, 500);
+img.onload = () => {};
+refresh();
+</script></body></html>
+"""
+
+
+class EditorServer:
+    """HTTP shell around one EditorState; single-threaded = race-free."""
+
+    def __init__(self, state: EditorState | None = None, host: str = "127.0.0.1", port: int = 0):
+        self.state = state or EditorState()
+        self.host, self._port = host, port
+        self._open_dlg = FileOpenDialog()
+        self._save_dlg = FileSaveAsDialog()
+        self._export_dlg = FileSaveAsDialog()
+        self._play_anchor = None  # (monotonic t0, cursor0) while playing
+        self._frames = 0
+        self._fps = 0.0
+        self._fps_t0 = time.monotonic()
+        self._httpd: HTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    # -- playback cursor ------------------------------------------------
+
+    def _advance_playback(self) -> None:
+        st = self.state
+        if st.is_playing:
+            now = time.monotonic()
+            if self._play_anchor is None:
+                self._play_anchor = (now, st.cursor_sec)
+            t0, c0 = self._play_anchor
+            st.cursor_sec = c0 + (now - t0)
+            if st.cursor_sec >= st.duration():  # auto-stop (app.cpp:256-257)
+                st.cursor_sec = 0.0
+                st.is_playing = False
+                self._play_anchor = None
+        else:
+            self._play_anchor = None
+
+    def _toggle_play(self) -> None:
+        self.state.toggle_play()
+        self._play_anchor = None
+
+    # -- request handlers ------------------------------------------------
+
+    def _state_json(self) -> dict:
+        st = self.state
+        self._advance_playback()
+        return {
+            "loaded": st.loaded,
+            "cursor": st.cursor_sec,
+            "duration": st.duration(),
+            "start_time": st.start_time,
+            "range_time": st.range_time,
+            "start_note": st.start_note,
+            "range_note": st.range_note,
+            "markers": len(st.markers),
+            "selected": st.selected,
+            "playing": st.is_playing,
+            "follow": st.follow_mode,
+            "brightness": st.brightness,
+            "tempo": st.tempo,
+            "save_name": st.save_name,
+            "fps": self._fps,
+            "tiles": st.tile_server.stats() if st.loaded and st.tile_server else {},
+        }
+
+    def _frame(self, w: int, h: int) -> bytes:
+        st = self.state
+        if (w, h) != (st.viewport.width, st.viewport.height):
+            st.viewport = Viewport(w, h)
+        self._advance_playback()
+        st.tick_follow()
+        img = render_scene(st)
+        self._frames += 1
+        now = time.monotonic()
+        if now - self._fps_t0 >= 1.0:
+            self._fps = self._frames / (now - self._fps_t0)
+            self._frames, self._fps_t0 = 0, now
+        return encode_png(img, level=1)
+
+    def _dialog(self, mode: str):
+        return {"open": self._open_dlg, "save_as": self._save_dlg, "export": self._export_dlg}[mode]
+
+    def _dialog_json(self, mode: str) -> dict:
+        d = self._dialog(mode)
+        return {
+            "cwd": d.cwd,
+            "entries": d.entries(),
+            "save": mode != "open",
+            "filename": getattr(d, "filename", ""),
+            "accepted": False,
+        }
+
+    def _dialog_activate(self, mode: str, name: str) -> dict:
+        d = self._dialog(mode)
+        path = d.activate(name)
+        if path is None:
+            return self._dialog_json(mode)
+        return self._dialog_accepted(mode, path)
+
+    def _dialog_accept(self, mode: str, filename: str) -> dict:
+        d = self._dialog(mode)
+        if filename:
+            d.filename = filename
+        path = d.accept()
+        if path is None:
+            return self._dialog_json(mode)
+        return self._dialog_accepted(mode, path)
+
+    def _dialog_accepted(self, mode: str, path: str) -> dict:
+        st = self.state
+        if mode == "open":
+            st.open_file(path)
+        elif mode == "save_as":
+            if not path.endswith(".mlx"):
+                path += ".mlx"  # appended extension (app.cpp:1168-1170)
+            st.save_project_file(path)
+        elif mode == "export":
+            if not path.endswith(".wav"):
+                path += ".wav"
+            st.export_wav(path)
+        self._dialog(mode).done = False  # dialogs are reusable
+        return {"accepted": True, "path": path}
+
+    def _control(self, action: str, value) -> None:
+        st = self.state
+        if action == "save":
+            if st.save_name:
+                st.save_project_file()
+        elif action == "brightness":
+            st.set_brightness(float(value))
+        elif action == "tempo":
+            st.tempo = float(np.clip(float(value), 30.0, 250.0))
+        elif action == "follow":
+            st.follow_mode = bool(int(value))
+        elif action == "open":  # direct path open (tests / CLI arg)
+            st.open_file(str(value))
+
+    def _audio_wav(self) -> bytes:
+        """Rendered edit as an in-memory WAV (the playback signal)."""
+        from ..engine.render import render_track
+        from ..io.wav import write_wav
+        import tempfile, os
+
+        st = self.state
+        if not st.loaded:
+            return b""
+        out = render_track(st.wav, st.grains, st.knots, config=st.config)
+        with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+            tmp = f.name
+        try:
+            write_wav(tmp, out, st.sample_rate, dtype="int16")
+            with open(tmp, "rb") as f:
+                return f.read()
+        finally:
+            os.unlink(tmp)
+
+    # -- server ----------------------------------------------------------
+
+    def start(self) -> int:
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _send(self, code, body, ctype="application/json"):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _json(self, obj, code=200):
+                self._send(code, json.dumps(obj).encode())
+
+            def do_GET(self):
+                u = urlparse(self.path)
+                q = parse_qs(u.query)
+                try:
+                    if u.path == "/":
+                        self._send(200, _PAGE.encode(), "text/html")
+                    elif u.path == "/frame.png":
+                        w = int(q.get("w", ["1280"])[0])
+                        h = int(q.get("h", ["720"])[0])
+                        self._send(200, server._frame(w, h), "image/png")
+                    elif u.path == "/state":
+                        self._json(server._state_json())
+                    elif u.path == "/dialog/list":
+                        self._json(server._dialog_json(q.get("mode", ["open"])[0]))
+                    elif u.path == "/audio.wav":
+                        self._send(200, server._audio_wav(), "audio/wav")
+                    else:
+                        self._json({"error": "not found"}, 404)
+                except Exception as e:  # fail-soft like the reference's LOG
+                    self._json({"error": str(e)}, 500)
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                st = server.state
+                try:
+                    if self.path == "/event":
+                        if body.get("kind") == "motion":
+                            st.mouse_motion(
+                                body["x"], body["y"], body.get("dx", 0), body.get("dy", 0),
+                                int(body.get("buttons", 0)), int(body.get("mods", 0)),
+                            )
+                        else:
+                            st.mouse_button(
+                                body["x"], body["y"], bool(body.get("pressed", True)),
+                                int(body.get("button", 1)),
+                            )
+                        self._json({"ok": True})
+                    elif self.path == "/key":
+                        k = body.get("key")
+                        if k == "space":
+                            server._toggle_play()
+                        elif k == "left":
+                            st.cursor_left()
+                        elif k == "right":
+                            st.cursor_right()
+                        self._json(server._state_json())
+                    elif self.path == "/control":
+                        server._control(body.get("action", ""), body.get("value"))
+                        self._json(server._state_json())
+                    elif self.path == "/dialog/activate":
+                        self._json(server._dialog_activate(body["mode"], body["name"]))
+                    elif self.path == "/dialog/accept":
+                        self._json(server._dialog_accept(body["mode"], body.get("filename", "")))
+                    else:
+                        self._json({"error": "not found"}, 404)
+                except Exception as e:
+                    self._json({"error": str(e)}, 500)
+
+        self._httpd = HTTPServer((self.host, self._port), Handler)
+        self._port = self._httpd.server_port
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self._port
+
+    @property
+    def port(self) -> int:
+        return self._port
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+        if self.state._tile_server is not None:
+            self.state._tile_server.close()
+
+
+def serve(path: str | None = None, host: str = "127.0.0.1", port: int = 8666) -> None:
+    """Blocking entry point for the CLI ``ui`` command."""
+    srv = EditorServer(host=host, port=port)
+    if path:
+        srv.state.open_file(path)
+    p = srv.start()
+    print(f"melonix-tpu editor at http://{host}:{p}/")
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        srv.stop()

@@ -1,0 +1,182 @@
+"""Browser shell + file dialogs: HTTP contract end-to-end (headless)."""
+
+import http.client
+import json
+import os
+import time
+
+import numpy as np
+import pytest
+
+from melonix_tpu.io.wav import write_wav
+from melonix_tpu.ui.dialogs import FileOpenDialog, FileSaveAsDialog
+from melonix_tpu.ui.web import EditorServer
+
+
+# ----------------------------------------------------------------------
+# Dialog models
+# ----------------------------------------------------------------------
+
+
+def test_file_open_dialog_navigation(tmp_path):
+    (tmp_path / "sub").mkdir()
+    (tmp_path / ".hidden").write_text("x")
+    (tmp_path / "b.wav").write_text("x")
+    (tmp_path / "a.wav").write_text("x")
+    (tmp_path / "sub" / "in.wav").write_text("x")
+    d = FileOpenDialog(str(tmp_path))
+    names = d.entries()
+    assert names[0] == ("..", True)
+    assert (".hidden", False) not in names
+    assert names[1] == ("sub", True)  # dirs before files
+    assert [n for n, isdir in names if not isdir] == ["a.wav", "b.wav"]
+    assert d.activate("sub") is None  # descend
+    assert d.cwd == str(tmp_path / "sub")
+    got = d.activate("in.wav")  # accept file
+    assert got == str(tmp_path / "sub" / "in.wav")
+    assert d.done
+    # '..' goes back up
+    d2 = FileOpenDialog(str(tmp_path / "sub"))
+    d2.activate("..")
+    assert d2.cwd == str(tmp_path)
+
+
+def test_file_save_as_dialog(tmp_path):
+    (tmp_path / "old.mlx").write_text("x")
+    d = FileSaveAsDialog(str(tmp_path))
+    assert d.accept() is None  # no filename yet
+    d.select("old.mlx")  # click seeds the filename
+    assert d.filename == "old.mlx"
+    d.filename = "new.mlx"
+    assert d.accept() == str(tmp_path / "new.mlx")  # need not exist
+
+
+# ----------------------------------------------------------------------
+# HTTP shell
+# ----------------------------------------------------------------------
+
+
+@pytest.fixture()
+def server(chirp, tmp_path):
+    x, sr = chirp
+    wav_path = str(tmp_path / "song.wav")
+    write_wav(wav_path, x, sr, dtype="float32")
+    srv = EditorServer()
+    port = srv.start()
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    yield srv, conn, wav_path
+    conn.close()
+    srv.stop()
+
+
+def _get(conn, path):
+    conn.request("GET", path)
+    r = conn.getresponse()
+    return r.status, r.read(), r.getheader("Content-Type")
+
+
+def _post(conn, path, body):
+    conn.request("POST", path, json.dumps(body))
+    r = conn.getresponse()
+    return r.status, json.loads(r.read() or b"{}")
+
+
+def test_page_and_frame(server):
+    srv, conn, wav = server
+    status, body, ctype = _get(conn, "/")
+    assert status == 200 and b"melonix" in body and "html" in ctype
+    # no file loaded: frame is still a valid PNG (black scene)
+    status, body, ctype = _get(conn, "/frame.png?w=320&h=200")
+    assert status == 200 and body[:8] == b"\x89PNG\r\n\x1a\n"
+    status, st = _post(conn, "/control", {"action": "open", "value": wav})
+    assert status == 200 and st["loaded"]
+    status, body, _ = _get(conn, "/frame.png?w=320&h=200")
+    assert status == 200 and body[:8] == b"\x89PNG\r\n\x1a\n"
+    assert srv.state.viewport.width == 320
+
+
+def test_marker_edit_and_keys(server):
+    srv, conn, wav = server
+    _post(conn, "/control", {"action": "open", "value": wav})
+    # click in the spectrogram lane → add marker (app.cpp:932-945)
+    status, _ = _post(conn, "/event", {"kind": "button", "x": 300, "y": 200, "pressed": True, "button": 1})
+    assert status == 200
+    _, st = _get_state(conn)
+    assert st["markers"] == 1 and st["selected"] == 0
+    # drag it: motion with left button while selected edits dTime/pitchBend
+    _post(conn, "/event", {"kind": "motion", "x": 310, "y": 190, "dx": 10, "dy": -10, "buttons": 1})
+    m = srv.state.markers[0]
+    assert m.d_time != 0.0 and m.pitch_bend != 0.0
+    # right-click deletes
+    _post(conn, "/event", {"kind": "button", "x": 310, "y": 190, "pressed": True, "button": 3})
+    _, st = _get_state(conn)
+    # (drag may have moved it out of the 8px box; delete at its position)
+    if st["markers"]:
+        tr = srv.state
+        tr.markers.clear()
+        tr.invalidate()
+    # arrow keys move the cursor
+    _post(conn, "/key", {"key": "right"})
+    _, st = _get_state(conn)
+    assert st["cursor"] > 0.0
+
+
+def _get_state(conn):
+    conn.request("GET", "/state")
+    r = conn.getresponse()
+    return r.status, json.loads(r.read())
+
+
+def test_playback_cursor_advances(server):
+    srv, conn, wav = server
+    _post(conn, "/control", {"action": "open", "value": wav})
+    status, st = _post(conn, "/key", {"key": "space"})
+    assert st["playing"]
+    time.sleep(0.15)
+    _, st2 = _get_state(conn)
+    assert st2["cursor"] > st["cursor"]
+    _post(conn, "/key", {"key": "space"})
+    _, st3 = _get_state(conn)
+    assert not st3["playing"]
+
+
+def test_audio_wav_roundtrip(server):
+    srv, conn, wav = server
+    _post(conn, "/control", {"action": "open", "value": wav})
+    status, body, ctype = _get(conn, "/audio.wav")
+    assert status == 200 and body[:4] == b"RIFF" and "audio/wav" in ctype
+
+
+def test_dialog_http_flow(server, tmp_path):
+    srv, conn, wav = server
+    srv._open_dlg.cwd = os.path.dirname(wav)
+    status, d = _get_json(conn, "/dialog/list?mode=open")
+    assert ["song.wav" == n for n, isdir in d["entries"] if not isdir]
+    status, d = _post(conn, "/dialog/activate", {"mode": "open", "name": "song.wav"})
+    assert d["accepted"] and srv.state.loaded
+    # save-as via typed filename
+    srv._save_dlg.cwd = str(tmp_path)
+    status, d = _post(conn, "/dialog/accept", {"mode": "save_as", "filename": "sess"})
+    assert d["accepted"] and d["path"].endswith("sess.mlx")
+    assert os.path.exists(d["path"])
+    # export WAV through the dialog
+    srv._export_dlg.cwd = str(tmp_path)
+    status, d = _post(conn, "/dialog/accept", {"mode": "export", "filename": "out"})
+    assert d["accepted"] and os.path.exists(d["path"]) and d["path"].endswith("out.wav")
+
+
+def _get_json(conn, path):
+    conn.request("GET", path)
+    r = conn.getresponse()
+    return r.status, json.loads(r.read())
+
+
+def test_brightness_tempo_follow(server):
+    srv, conn, wav = server
+    _post(conn, "/control", {"action": "open", "value": wav})
+    _post(conn, "/control", {"action": "brightness", "value": 80})
+    assert srv.state.brightness == 80.0
+    _post(conn, "/control", {"action": "tempo", "value": 999})
+    assert srv.state.tempo == 250.0  # clamped (app.cpp:82)
+    _post(conn, "/control", {"action": "follow", "value": 1})
+    assert srv.state.follow_mode
