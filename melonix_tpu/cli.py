@@ -50,17 +50,23 @@ def cmd_render(args) -> int:
     from .engine.render import render_track
     from .io.wav import write_wav
 
+    import contextlib
+
+    from .utils import trace
+
     wav, rate, markers, _b, _t = _load_any(args.input)
     markers = _markers_from_arg(args.markers, markers)
     t0 = time.perf_counter()
-    knots = MapKnots.from_markers(markers, rate, len(wav))
-    if args.engine == "pv":
-        out = render_track_pv(wav, knots)
-        detail = "phase-vocoder"
-    else:
-        table = build_grain_table(wav)
-        out = render_track(wav, table, knots)
-        detail = f"{len(table)} grains"
+    ctx = trace(args.trace) if args.trace else contextlib.nullcontext()
+    with ctx:
+        knots = MapKnots.from_markers(markers, rate, len(wav))
+        if args.engine == "pv":
+            out = render_track_pv(wav, knots)
+            detail = "phase-vocoder"
+        else:
+            table = build_grain_table(wav)
+            out = render_track(wav, table, knots)
+            detail = f"{len(table)} grains"
     dt = time.perf_counter() - t0
     write_wav(args.output, out, rate, dtype=args.dtype)
     print(
@@ -186,6 +192,7 @@ def build_parser() -> argparse.ArgumentParser:
         default="granular",
         help="granular = reference-parity splicer; pv = phase vocoder",
     )
+    r.add_argument("--trace", help="write a jax.profiler trace to this directory")
     r.set_defaults(fn=cmd_render)
 
     s = sub.add_parser("spectrogram", help="render the editor scene to PNG")

@@ -265,16 +265,21 @@ class TileServer:
         # device program compiles once ever, whatever the viewport does.
         CHUNK = 256
         n_req = len(keys)
-        outs = []
-        for off in range(0, n_req, CHUNK):
-            s = starts[off : off + CHUNK]
-            e = ends[off : off + CHUNK]
-            if len(s) < CHUNK:
-                pad = CHUNK - len(s)
-                s = np.concatenate([s, np.repeat(s[-1:], pad)])
-                e = np.concatenate([e, np.repeat(e[-1:], pad)])
-            outs.append(self._rgb(s, e, k))
-        rgb = np.concatenate(outs)[:n_req]
+        from ..utils import RateMeter, Timer, registry
+
+        with registry("tiles.drain", Timer):
+            outs = []
+            for off in range(0, n_req, CHUNK):
+                s = starts[off : off + CHUNK]
+                e = ends[off : off + CHUNK]
+                if len(s) < CHUNK:
+                    pad = CHUNK - len(s)
+                    s = np.concatenate([s, np.repeat(s[-1:], pad)])
+                    e = np.concatenate([e, np.repeat(e[-1:], pad)])
+                outs.append(self._rgb(s, e, k))
+            rgb = np.concatenate(outs)[:n_req]
+        registry("tiles.computed").inc(n_req)
+        registry("tiles.rate", RateMeter).tick(n_req)
         with self._lock:
             for i, key in enumerate(keys):
                 self._cache.put(key, rgb[i])

@@ -34,6 +34,7 @@ from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
+from ..utils.metrics import snapshot as _metrics_snapshot
 from .dialogs import FileOpenDialog, FileSaveAsDialog
 from .png import encode_png
 from .state import EditorState, Viewport
@@ -213,6 +214,7 @@ class EditorServer:
             "save_name": st.save_name,
             "fps": self._fps,
             "tiles": st.tile_server.stats() if st.loaded and st.tile_server else {},
+            "metrics": _metrics_snapshot(),
         }
 
     def _frame(self, w: int, h: int) -> bytes:
