@@ -39,21 +39,14 @@ class PitchCurve:
         return float(self.note[idx])
 
 
-@partial(jax.jit, static_argnames=("frame", "hop", "n_frames", "lag_min", "lag_max"))
-def _pitch_device(
-    wav: jnp.ndarray,
-    frame: int,
-    hop: int,
-    n_frames: int,
-    lag_min: int,
-    lag_max: int,
-):
-    n = wav.shape[0]
-    pos = jnp.arange(frame, dtype=jnp.int32)[None, :]
-    idx = (jnp.arange(n_frames, dtype=jnp.int32) * hop)[:, None] + pos
-    frames = jnp.where(idx < n, wav[jnp.clip(idx, 0, n - 1)], 0.0)
-    w = frames - jnp.mean(frames, axis=1, keepdims=True)
+def pitch_core(w: jnp.ndarray, frame: int, lag_min: int, lag_max: int):
+    """NSDF pitch analysis of mean-subtracted frames ``w`` (F, frame).
 
+    Returns (lag, clarity, energy) per frame.  Pure function of the frame
+    matrix so both the single-chip path and the seq-sharded multi-chip path
+    (parallel/sharded.sharded_pitch) share one implementation.
+    """
+    n_frames = w.shape[0]
     # McLeod's NSDF: linear autocorrelation via zero-padded rFFT
     # (Wiener-Khinchin), normalized by the running energy term
     # m(τ) = Σ x²[j] + x²[j+τ] so a tapering window isn't needed and the
@@ -104,6 +97,23 @@ def _pitch_device(
     clarity = y0
     energy = jnp.mean(w * w, axis=1)
     return lag, clarity, energy
+
+
+@partial(jax.jit, static_argnames=("frame", "hop", "n_frames", "lag_min", "lag_max"))
+def _pitch_device(
+    wav: jnp.ndarray,
+    frame: int,
+    hop: int,
+    n_frames: int,
+    lag_min: int,
+    lag_max: int,
+):
+    n = wav.shape[0]
+    pos = jnp.arange(frame, dtype=jnp.int32)[None, :]
+    idx = (jnp.arange(n_frames, dtype=jnp.int32) * hop)[:, None] + pos
+    frames = jnp.where(idx < n, wav[jnp.clip(idx, 0, n - 1)], 0.0)
+    w = frames - jnp.mean(frames, axis=1, keepdims=True)
+    return pitch_core(w, frame, lag_min, lag_max)
 
 
 def pitch_curve(

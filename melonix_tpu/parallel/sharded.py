@@ -106,6 +106,61 @@ def sharded_stft_mags(
 
 
 # ----------------------------------------------------------------------
+# Pitch curve, frame axis sharded over `seq` (same halo pattern as the
+# STFT: a frame starting near a shard's right edge reads into the next
+# shard, satisfied by a one-hop ppermute).
+# ----------------------------------------------------------------------
+
+
+def sharded_pitch(
+    wav: jnp.ndarray,
+    mesh: Mesh,
+    *,
+    frame: int,
+    hop: int,
+    lag_min: int,
+    lag_max: int,
+):
+    """(lag, clarity, energy) per frame, frame axis sharded over ``seq``.
+
+    Same shard-quantization contract as sharded_stft_mags: the per-shard
+    chunk must be a multiple of ``hop`` with ``frame - hop <= chunk``.
+    """
+    from ..engine.pitch import pitch_core
+
+    n_seq = mesh.shape["seq"]
+    n = wav.shape[-1]
+    chunk = n // n_seq
+    halo = frame - hop
+    assert chunk % hop == 0 and halo <= chunk, (chunk, hop, frame)
+
+    def body(w_local):
+        idx = jax.lax.axis_index("seq")
+        n_shards = jax.lax.axis_size("seq")
+        head = w_local[0, :halo]
+        perm = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+        recv = jax.lax.ppermute(head, "seq", perm)
+        recv = jnp.where(idx == n_shards - 1, jnp.zeros_like(recv), recv)
+        local = jnp.concatenate([w_local[0], recv], axis=-1)
+        n_frames = chunk // hop
+        pos = jnp.arange(frame, dtype=jnp.int32)[None, :]
+        fidx = (jnp.arange(n_frames, dtype=jnp.int32) * hop)[:, None] + pos
+        frames = local[fidx]
+        w = frames - jnp.mean(frames, axis=1, keepdims=True)
+        lag, clarity, energy = pitch_core(w, frame, lag_min, lag_max)
+        return lag[None], clarity[None], energy[None]
+
+    f = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(None, "seq"),),
+        out_specs=(P(None, "seq"),) * 3,
+    )
+    lag, clarity, energy = f(wav[None])
+    return lag[0], clarity[0], energy[0]
+
+
+# ----------------------------------------------------------------------
 # Reference-semantics spectrogram columns, column axis sharded over `seq`.
 # Columns are independent (each gathers its own end-anchored window from a
 # replicated track), so this is embarrassingly parallel over chips; it is

@@ -141,3 +141,27 @@ def test_session_step_end_to_end(chirp, mesh):
     assert mags.shape == (B, n // hop, size // 2 + 1)
     assert rendered.shape == (B, out_len)
     assert np.isfinite(np.asarray(mags)).all()
+
+
+def test_sharded_pitch_matches_single_device(chirp, mesh):
+    from melonix_tpu.engine.pitch import _pitch_device
+    from melonix_tpu.parallel import sharded_pitch
+
+    x, sr = chirp
+    frame, hop = 1024, 256
+    n_seq = mesh.shape["seq"]
+    quant = n_seq * hop
+    n = quant * (len(x) // quant)
+    x = x[:n]
+    lag_min = max(2, int(sr / 1760.0))
+    lag_max = min(frame - 2, int(sr / 55.0))
+
+    lag_s, cl_s, en_s = sharded_pitch(
+        jnp.asarray(x), mesh, frame=frame, hop=hop, lag_min=lag_min, lag_max=lag_max
+    )
+    nf = 1 + (n - frame) // hop
+    lag_1, cl_1, en_1 = _pitch_device(jnp.asarray(x), frame, hop, nf, lag_min, lag_max)
+    k = min(len(np.asarray(lag_s)), nf)
+    np.testing.assert_allclose(np.asarray(lag_s)[:k], np.asarray(lag_1)[:k], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(cl_s)[:k], np.asarray(cl_1)[:k], rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(en_s)[:k], np.asarray(en_1)[:k], rtol=1e-5)
