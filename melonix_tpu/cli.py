@@ -44,34 +44,39 @@ def _markers_from_arg(path: str | None, existing):
 
 
 def cmd_render(args) -> int:
-    from .engine.grains import build_grain_table
-    from .engine.maps import MapKnots
-    from .engine.phase_vocoder import render_track_pv
-    from .engine.render import render_track
-    from .io.wav import write_wav
-
     import contextlib
 
+    from .engine.session import render_session
+    from .io.audio import load_audio
+    from .io.resample import resample
+    from .io.wav import write_wav
     from .utils import trace
 
-    wav, rate, markers, _b, _t = _load_any(args.input)
+    if args.stereo and not args.input.endswith(".mlx"):
+        wav, rate = load_audio(args.input, mono=False)
+        markers = []
+    else:
+        wav, rate, markers, _b, _t = _load_any(args.input)
     markers = _markers_from_arg(args.markers, markers)
     t0 = time.perf_counter()
     ctx = trace(args.trace) if args.trace else contextlib.nullcontext()
     with ctx:
-        knots = MapKnots.from_markers(markers, rate, len(wav))
-        if args.engine == "pv":
-            out = render_track_pv(wav, knots)
-            detail = "phase-vocoder"
-        else:
-            table = build_grain_table(wav)
-            out = render_track(wav, table, knots)
-            detail = f"{len(table)} grains"
+        out = render_session(
+            wav, markers, rate,
+            engine=args.engine, preserve_formants=args.formant,
+        )
+        out_rate = rate
+        if args.rate and args.rate != rate:
+            out = resample(out, rate, args.rate)
+            out_rate = args.rate
     dt = time.perf_counter() - t0
-    write_wav(args.output, out, rate, dtype=args.dtype)
+    write_wav(args.output, out, out_rate, dtype=args.dtype)
+    ch = out.shape[1] if out.ndim == 2 else 1
+    detail = ("phase-vocoder" + (" formant-preserving" if args.formant else "")
+              if args.engine == "pv" else "granular")
     print(
-        f"rendered {len(out)/rate:.2f}s ({len(markers)} markers, {detail}) "
-        f"in {dt:.2f}s -> {args.output}"
+        f"rendered {len(out)/out_rate:.2f}s x{ch}ch @{out_rate}Hz "
+        f"({len(markers)} markers, {detail}) in {dt:.2f}s -> {args.output}"
     )
     return 0
 
@@ -193,6 +198,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="granular = reference-parity splicer; pv = phase vocoder",
     )
     r.add_argument("--trace", help="write a jax.profiler trace to this directory")
+    r.add_argument("--stereo", action="store_true", help="keep source channels")
+    r.add_argument("--formant", action="store_true",
+                   help="preserve the spectral envelope (pv engine only)")
+    r.add_argument("--rate", type=int, help="resample the output to this rate")
     r.set_defaults(fn=cmd_render)
 
     s = sub.add_parser("spectrogram", help="render the editor scene to PNG")

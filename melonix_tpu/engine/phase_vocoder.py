@@ -86,9 +86,12 @@ def _princarg(x):
     return jnp.mod(x + jnp.pi, 2.0 * jnp.pi) - jnp.pi
 
 
-@partial(jax.jit, static_argnames=("size", "hop", "n_out", "n_frames", "sr"))
+@partial(
+    jax.jit, static_argnames=("size", "hop", "n_out", "n_frames", "sr", "formant", "n_ceps")
+)
 def _pv_device(
-    wav, ks, ts, bs, duration, window, size, hop, n_out, n_frames, sr
+    wav, ks, ts, bs, duration, window, size, hop, n_out, n_frames, sr,
+    formant=False, n_ceps=40,
 ):
     n = wav.shape[0]
     n_bins = size // 2 + 1
@@ -114,6 +117,28 @@ def _pv_device(
     spec = jnp.fft.rfft(frames * window[None, :])
     mag = jnp.abs(spec)
     phi = jnp.angle(spec)
+
+    if formant:
+        # Formant preservation: the final variable-rate resample scales all
+        # frequencies by rho, envelope included.  Pre-warp each frame's
+        # magnitudes by E(k*rho)/E(k) — E the cepstral spectral envelope —
+        # so the resample restores the original envelope (vocal timbre)
+        # while the harmonics still move.
+        rho_m = jnp.exp2(
+            time_to_pitch_bend_interp_jax(ts, bs, duration, t_m).astype(jnp.float32)
+            / 12.0
+        )
+        log_mag = jnp.log(mag + 1e-8)
+        cep = jnp.fft.irfft(log_mag, n=size, axis=-1)
+        q = jnp.arange(size)
+        lifter = ((q < n_ceps) | (q > size - n_ceps)).astype(jnp.float32)
+        env_log = jnp.fft.rfft(cep * lifter[None, :], axis=-1).real[:, :n_bins]
+        bins = jnp.arange(n_bins, dtype=jnp.float32)
+        warped = jax.vmap(
+            lambda e, r: jnp.interp(bins * r, bins, e)
+        )(env_log, rho_m)
+        gain = jnp.exp(jnp.clip(warped - env_log, -6.9, 6.9))  # +-60 dB
+        mag = mag * gain
 
     # 3. Phase propagation as a prefix sum: psi_0 = phi_0 and
     # psi_m = phi_0 + sum_{j<=m} hop*(omega + dphi_j/dA_j).
@@ -145,11 +170,14 @@ def render_track_pv(
     config: Config = DEFAULT_CONFIG,
     size: int | None = None,
     hop: int | None = None,
+    preserve_formants: bool = False,
 ) -> np.ndarray:
     """Full-track phase-vocoder render honoring the marker edit model.
 
     Output spans the warped duration (``knots.duration()``); unlike the
-    granular engine there is no 1500-zero reference tail.
+    granular engine there is no 1500-zero reference tail.  With
+    ``preserve_formants`` the spectral envelope (vocal timbre) stays put
+    while the pitch moves (cepstral envelope warp, BASELINE config #5).
     """
     size = size or config.stft_size
     hop = hop or config.stft_hop
@@ -172,5 +200,6 @@ def render_track_pv(
         jnp.float32(knots.duration()),
         jnp.asarray(hann_window(size)),
         size, hop, n_out_pad, n_frames, sr,
+        formant=preserve_formants,
     )
     return np.asarray(out[:n_out])

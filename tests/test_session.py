@@ -1,0 +1,142 @@
+"""Stereo sessions, formant-preserving PV, band-limited resampling."""
+
+import numpy as np
+import pytest
+
+from melonix_tpu.engine.maps import MapKnots
+from melonix_tpu.engine.phase_vocoder import render_track_pv
+from melonix_tpu.engine.session import render_session
+from melonix_tpu.io.resample import resample
+from melonix_tpu.markers import Marker
+
+SR = 8000
+
+
+def _peak_freq(x, sr):
+    w = np.hanning(len(x))
+    return np.argmax(np.abs(np.fft.rfft(x * w))) * sr / len(x)
+
+
+# ----------------------------------------------------------------------
+# Resampler
+# ----------------------------------------------------------------------
+
+
+def test_resample_preserves_tone():
+    t = np.arange(SR * 2) / SR
+    x = np.sin(2 * np.pi * 440.0 * t).astype(np.float32)
+    for target in (12000, 44100, 4000):
+        y = resample(x, SR, target)
+        assert abs(len(y) - 2 * target) <= 1
+        f = _peak_freq(y[target // 2 : -target // 2], target)
+        assert abs(f - 440.0) < 2.0, (target, f)
+
+
+def test_resample_multichannel_and_identity():
+    x = np.random.default_rng(0).standard_normal((1000, 2)).astype(np.float32)
+    assert resample(x, SR, SR) is x or np.array_equal(resample(x, SR, SR), x)
+    y = resample(x, 8000, 4000)
+    assert y.shape == (500, 2)
+    assert resample(np.zeros(0, np.float32), 8000, 4000).shape == (0,)
+
+
+def test_resample_removes_above_nyquist():
+    t = np.arange(SR * 2) / SR
+    x = (np.sin(2 * np.pi * 3500.0 * t)).astype(np.float32)
+    y = resample(x, SR, 4000)  # new Nyquist = 2000 < 3500 → tone removed
+    assert np.sqrt(np.mean(y**2)) < 0.02
+
+
+# ----------------------------------------------------------------------
+# Stereo session render
+# ----------------------------------------------------------------------
+
+
+def _stereo_song(seconds=1.5):
+    t = np.arange(int(SR * seconds)) / SR
+    left = 0.5 * np.sin(2 * np.pi * 220.0 * t)
+    right = 0.5 * np.sin(2 * np.pi * 330.0 * t)
+    return np.stack([left, right], axis=1).astype(np.float32)
+
+
+def test_stereo_granular_session():
+    x = _stereo_song()
+    # Pure time warp: bend interpolates from 0 at t=0, so a bent marker
+    # would already shift the opening — keep bend 0 for the identity check.
+    markers = [Marker(sample=len(x) // 2, note=57.0, d_time=0.05, pitch_bend=0.0)]
+    out = render_session(x, markers, SR)
+    assert out.ndim == 2 and out.shape[1] == 2
+    # Channels keep their identities (left 220 Hz, right 330 Hz at the start)
+    a = out[: SR // 2, 0]
+    b = out[: SR // 2, 1]
+    assert abs(_peak_freq(a, SR) - 220.0) < 8.0
+    assert abs(_peak_freq(b, SR) - 330.0) < 8.0
+    # Mono path agrees with render_track on the downmix
+    mono = render_session(x.mean(axis=1).astype(np.float32), markers, SR)
+    assert mono.ndim == 1 and abs(len(mono) - len(out)) <= 1
+
+
+def test_stereo_pv_session_many_markers():
+    """BASELINE config #5 shape: 100+ markers through the PV engine."""
+    x = _stereo_song(seconds=3.0)
+    n = len(x)
+    rng = np.random.default_rng(3)
+    samples = np.sort(rng.choice(np.arange(1000, n - 1000), 120, replace=False))
+    markers = [
+        Marker(sample=int(s), note=57.0, d_time=0.0,
+               pitch_bend=float(rng.uniform(-2, 2)))
+        for s in samples
+    ]
+    out = render_session(x, markers, SR, engine="pv")
+    assert out.shape[1] == 2 and len(out) > 0.9 * n
+    assert np.isfinite(out).all()
+    assert np.sqrt(np.mean(out**2)) > 0.1  # didn't collapse to silence
+
+
+# ----------------------------------------------------------------------
+# Formant preservation
+# ----------------------------------------------------------------------
+
+
+def _vowel(seconds=2.0, f0=110.0, formant_hz=880.0, sr=SR):
+    """Pulse-train-ish harmonic stack with a strong spectral envelope peak."""
+    t = np.arange(int(sr * seconds)) / sr
+    x = np.zeros_like(t)
+    for k in range(1, 30):
+        f = k * f0
+        if f > sr / 2 - 200:
+            break
+        amp = np.exp(-0.5 * ((f - formant_hz) / 220.0) ** 2) + 0.05
+        x += amp * np.sin(2 * np.pi * f * t + 0.7 * k)
+    return (0.2 * x / np.abs(x).max()).astype(np.float32)
+
+
+def _band_energy(x, sr, lo, hi):
+    spec = np.abs(np.fft.rfft(x * np.hanning(len(x)))) ** 2
+    freqs = np.fft.rfftfreq(len(x), 1.0 / sr)
+    return spec[(freqs >= lo) & (freqs < hi)].sum()
+
+
+def test_formant_preserving_shift():
+    x = _vowel()
+    n = len(x)
+    markers = [
+        Marker(sample=n // 8, note=45.0, d_time=0.0, pitch_bend=12.0),
+        Marker(sample=7 * n // 8, note=45.0, d_time=0.0, pitch_bend=12.0),
+    ]
+    knots = MapKnots.from_markers(markers, SR, n)
+    plain = render_track_pv(x, knots)
+    formant = render_track_pv(x, knots, preserve_formants=True)
+    mid = slice(int(0.3 * n), int(0.7 * n))
+    # Plain shift moves the envelope peak an octave up (→ ~1760 Hz band);
+    # formant-preserving keeps the energy concentrated around 880 Hz.
+    lo_p = _band_energy(plain[mid], SR, 600, 1200)
+    hi_p = _band_energy(plain[mid], SR, 1400, 2400)
+    lo_f = _band_energy(formant[mid], SR, 600, 1200)
+    hi_f = _band_energy(formant[mid], SR, 1400, 2400)
+    assert hi_p > lo_p, "plain PV should move the envelope up"
+    assert lo_f > hi_f, "formant PV should keep the envelope at 880 Hz"
+    # And the pitch itself still doubled: fundamental near 220 Hz
+    f0_band = _band_energy(formant[mid], SR, 190, 250)
+    f0_orig = _band_energy(formant[mid], SR, 90, 130)
+    assert f0_band > f0_orig
