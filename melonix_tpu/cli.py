@@ -88,7 +88,8 @@ def cmd_spectrogram(args) -> int:
     from .ui.state import EditorState, Viewport
     from .ui.view import render_scene
 
-    ed = EditorState(viewport=Viewport(args.width, args.height))
+    cfg = Config(tile_source="pyramid") if args.pyramid else Config()
+    ed = EditorState(config=cfg, viewport=Viewport(args.width, args.height))
     ed.open_file(args.input)
     ed.markers = sort_markers(_markers_from_arg(args.markers, ed.markers))
     ed.invalidate()
@@ -215,6 +216,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--note-start", type=float)
     s.add_argument("--note-range", type=float)
     s.add_argument("--brightness", type=float, default=50.0)
+    s.add_argument("--pyramid", action="store_true",
+                   help="HBM-resident multi-res STFT pyramid instead of "
+                        "reference-parity on-demand columns")
     s.set_defaults(fn=cmd_spectrogram)
 
     t = sub.add_parser("pitch", help="batched pitch-curve extraction")

@@ -29,6 +29,10 @@ class Config:
     # 2048 texels over ~12 octaves is >= 14 texels/semitone everywhere.
     tile_texels: int = 2048
     tile_frac_min: float = 2.5e-4
+    # Tile source: "reference" = on-demand end-anchored 32768-pt columns
+    # (exact spec.cpp parity); "pyramid" = HBM-resident multi-resolution
+    # Hann-STFT pyramid, zoom/pan becomes a pure gather (spec_pyramid.py).
+    tile_source: str = "reference"
 
     # --- Modern STFT mode (new capability; BASELINE.json configs) ---
     stft_size: int = 2048

@@ -71,6 +71,7 @@ class EditorState:
         # Derived state (rebuilt by _preproc / invalidated on edits)
         self.grains: GrainTable | None = None
         self.pyramid: Pyramid | None = None
+        self.spec_pyramid = None  # SpecPyramid when config.tile_source == "pyramid"
         self.knots: MapKnots | None = None
         self._tile_server = None
         self._dirty_listeners = []
@@ -104,6 +105,10 @@ class EditorState:
         self.selected = None
         self.grains = build_grain_table(self.wav, self.config)
         self.pyramid = build_pyramid(self.wav)
+        if self.config.tile_source == "pyramid":
+            from ..runtime.spec_pyramid import SpecPyramid
+
+            self.spec_pyramid = SpecPyramid(self.wav, config=self.config)
         self._rebuild_knots()
         self.invalidate()
 
@@ -124,8 +129,16 @@ class EditorState:
         if self._tile_server is None and self.loaded:
             from ..runtime.tiles import TileServer
 
+            compute = (
+                self.spec_pyramid.compute_columns
+                if self.spec_pyramid is not None
+                else None
+            )
             self._tile_server = TileServer(
-                self.wav, k=self.config.brightness_to_k(self.brightness), config=self.config
+                self.wav,
+                k=self.config.brightness_to_k(self.brightness),
+                config=self.config,
+                compute=compute,
             )
         return self._tile_server
 

@@ -87,6 +87,11 @@ def _draw_spectrogram(state, img, spec_top: int, lane_h: int, synchronous: bool)
             state.wav,
             k=state.config.brightness_to_k(state.brightness),
             config=state.config,
+            compute=(
+                state.spec_pyramid.compute_columns
+                if state.spec_pyramid is not None
+                else None
+            ),
             synchronous=True,
         )
 
