@@ -163,6 +163,31 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_autotune(args) -> int:
+    from .engine.autotune import autotune
+    from .io.wav import write_wav
+    from .markers import markers_to_json
+
+    wav, rate, _m, _b, _t = _load_any(args.input)
+    t0 = time.perf_counter()
+    out, markers = autotune(
+        wav, rate,
+        scale=args.scale, key=args.key, strength=args.strength,
+        engine=args.engine, preserve_formants=not args.no_formant,
+    )
+    dt = time.perf_counter() - t0
+    write_wav(args.output, out, rate, dtype=args.dtype)
+    if args.markers_out:
+        with open(args.markers_out, "w") as f:
+            f.write(markers_to_json(markers))
+    print(
+        f"autotuned {len(out)/rate:.2f}s: {len(markers)} markers "
+        f"({args.scale}/{args.key}, strength {args.strength}) in {dt:.2f}s "
+        f"-> {args.output}"
+    )
+    return 0
+
+
 def cmd_ui(args) -> int:
     from .ui.web import serve
 
@@ -235,6 +260,18 @@ def build_parser() -> argparse.ArgumentParser:
     j.add_argument("--markers")
     j.add_argument("-o", "--output", required=True)
     j.set_defaults(fn=cmd_project)
+
+    a = sub.add_parser("autotune", help="detect pitch, snap to scale, render")
+    a.add_argument("input")
+    a.add_argument("-o", "--output", required=True)
+    a.add_argument("--scale", choices=["chromatic", "major", "minor"], default="chromatic")
+    a.add_argument("--key", default="a", help="key root (a, c#, bb, ...)")
+    a.add_argument("--strength", type=float, default=1.0)
+    a.add_argument("--engine", choices=["granular", "pv"], default="pv")
+    a.add_argument("--no-formant", action="store_true")
+    a.add_argument("--markers-out", help="also write the suggested markers JSON")
+    a.add_argument("--dtype", choices=["int16", "float32"], default="int16")
+    a.set_defaults(fn=cmd_autotune)
 
     u = sub.add_parser("ui", help="interactive browser editor")
     u.add_argument("input", nargs="?", help="audio file or .mlx project to open")

@@ -1,0 +1,126 @@
+"""Automatic pitch correction — pitch curve → suggested markers → render.
+
+The reference has no analysis-driven editing: every marker is hand-placed
+(app.cpp:932-945).  This module closes the loop the other way: the batched
+pitch engine (engine/pitch.py) measures the performance, note segments are
+snapped to a scale, and the correction is expressed AS MARKERS in the same
+edit model the UI manipulates — so an auto-tuned take remains fully
+hand-editable afterwards (each suggested marker is a normal
+{sample, note, dTime, pitchBend} the user can drag, app.cpp:829-836).
+
+Because the reference's bend curve interpolates linearly between markers
+(app.cpp:1089-1122) and is 0 at t<=0 and at duration, a constant per-note
+correction needs a marker at BOTH ends of each note segment; transitions
+glide across the inter-segment gap, which is exactly the portamento
+behavior a hard-snap tuner wants.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import DEFAULT_CONFIG, Config
+from ..markers import Marker
+from .maps import MapKnots
+from .pitch import PitchCurve, pitch_curve
+
+# Scale degrees in semitones from the key root (reference note scale is
+# A-based: note 24 = 55 Hz = A1, app.cpp:499).
+SCALES = {
+    "chromatic": tuple(range(12)),
+    "major": (0, 2, 4, 5, 7, 9, 11),
+    "minor": (0, 2, 3, 5, 7, 8, 10),
+}
+KEY_OFFSETS = {  # semitones from A
+    "a": 0, "a#": 1, "bb": 1, "b": 2, "c": 3, "c#": 4, "db": 4, "d": 5,
+    "d#": 6, "eb": 6, "e": 7, "f": 8, "f#": 9, "gb": 9, "g": 10, "g#": 11,
+    "ab": 11,
+}
+
+
+def snap_note(note: float, scale: str = "chromatic", key: str = "a") -> float:
+    """Nearest scale note (reference note numbering: 24 = A1 = 55 Hz)."""
+    degrees = set(SCALES[scale])
+    root = KEY_OFFSETS[key.lower()]
+    lo = int(np.floor(note)) - 12
+    cands = [k for k in range(lo, lo + 26) if (k - 24 - root) % 12 in degrees]
+    return float(min(cands, key=lambda k: abs(k - note)))
+
+
+def segment_notes(
+    curve: PitchCurve,
+    *,
+    min_frames: int = 6,
+    split_jump: float = 0.6,
+):
+    """Voiced frame runs with a stable (within ``split_jump`` semitones)
+    median → [(start_frame, end_frame, median_note)] (end exclusive)."""
+    segs = []
+    n = len(curve.note)
+    i = 0
+    while i < n:
+        if not curve.voiced[i]:
+            i += 1
+            continue
+        j = i + 1
+        while (
+            j < n
+            and curve.voiced[j]
+            and abs(float(curve.note[j]) - float(np.median(curve.note[i:j]))) < split_jump
+        ):
+            j += 1
+        if j - i >= min_frames:
+            segs.append((i, j, float(np.median(curve.note[i:j]))))
+        i = j
+    return segs
+
+
+def suggest_markers(
+    wav,
+    sample_rate: int,
+    *,
+    scale: str = "chromatic",
+    key: str = "a",
+    strength: float = 1.0,
+    config: Config = DEFAULT_CONFIG,
+) -> list[Marker]:
+    """Markers that pitch-correct each detected note toward the scale."""
+    curve = pitch_curve(wav, sample_rate, config=config)
+    hop = curve.hop
+    markers: list[Marker] = []
+    for f0, f1, med in segment_notes(curve):
+        target = snap_note(med, scale, key)
+        bend = strength * (target - med)
+        if abs(bend) < 0.03:  # < 3 cents: inaudible, below detector bias
+            continue
+        # Anchor inside the segment (frame centers), both ends → flat bend.
+        s0 = (f0 * hop) + config.pitch_frame // 2
+        s1 = ((f1 - 1) * hop) + config.pitch_frame // 2
+        markers.append(Marker(int(s0), med, 0.0, float(bend)))
+        if s1 > s0:
+            markers.append(Marker(int(s1), med, 0.0, float(bend)))
+    return markers
+
+
+def autotune(
+    wav,
+    sample_rate: int,
+    *,
+    scale: str = "chromatic",
+    key: str = "a",
+    strength: float = 1.0,
+    engine: str = "pv",
+    preserve_formants: bool = True,
+    config: Config = DEFAULT_CONFIG,
+):
+    """Detect → snap → render.  Returns (rendered, markers)."""
+    from .session import render_session
+
+    markers = suggest_markers(
+        wav, sample_rate, scale=scale, key=key, strength=strength, config=config
+    )
+    out = render_session(
+        wav, markers, sample_rate,
+        engine=engine, preserve_formants=preserve_formants, config=config,
+    )
+    return out, markers

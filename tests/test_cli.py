@@ -99,3 +99,18 @@ def test_render_pv_engine(song, marker_file, tmp_path, capsys):
     # +0.05s d_time at the marker → warped duration grows accordingly
     assert abs(len(y) - (len(x) + 0.05 * sr)) < 0.02 * sr
     assert "phase-vocoder" in capsys.readouterr().out
+
+
+def test_autotune_cli(tmp_path, capsys):
+    sr = 16000
+    t = np.arange(int(sr * 1.2)) / sr
+    x = (0.5 * np.sin(2 * np.pi * 220.0 * 2 ** (0.4 / 12) * t)).astype(np.float32)
+    p = str(tmp_path / "flat.wav")
+    write_wav(p, x, sr, dtype="float32")
+    out = str(tmp_path / "tuned.wav")
+    mk = str(tmp_path / "suggested.json")
+    assert main(["autotune", p, "-o", out, "--markers-out", mk]) == 0
+    assert "autotuned" in capsys.readouterr().out
+    y, rate = read_wav(out)
+    assert rate == sr and len(y) > sr
+    assert os.path.getsize(mk) > 10
