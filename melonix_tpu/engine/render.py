@@ -185,6 +185,24 @@ def build_render_plan(
 # ----------------------------------------------------------------------
 
 
+def step_of_sample(plan: "RenderPlan", out_len: int) -> np.ndarray:
+    """Host-side step index per output sample (np.repeat of the plan spans).
+
+    On TPU a per-sample ``searchsorted`` lowers to a while-loop that costs
+    more device time than the entire gather; the mapping is static per plan,
+    so it is materialized once on the host and shipped with the plan.
+    """
+    steps = np.repeat(
+        np.arange(plan.n_steps, dtype=np.int32), plan.sz.astype(np.int64)
+    )
+    if len(steps) < out_len:
+        pad_val = plan.n_steps - 1 if plan.n_steps else 0
+        steps = np.concatenate(
+            [steps, np.full(out_len - len(steps), pad_val, np.int32)]
+        )
+    return steps[:out_len]
+
+
 @partial(jax.jit, static_argnames=("out_len",))
 def render_from_plan_device(
     wav: jnp.ndarray,
@@ -195,12 +213,14 @@ def render_from_plan_device(
     seam_src: jnp.ndarray,
     n_valid_out,
     out_len: int,
+    step: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Render ``out_len`` samples (>= plan total; excess is zero-padded)."""
     n = wav.shape[0]
     j = jnp.arange(out_len, dtype=jnp.int32)
-    step = jnp.searchsorted(out_offset, j, side="right") - 1
-    step = jnp.clip(step, 0, grain_start.shape[0] - 1)
+    if step is None:  # fallback: derive on device (slow TPU while-loop)
+        step = jnp.searchsorted(out_offset, j, side="right") - 1
+        step = jnp.clip(step, 0, grain_start.shape[0] - 1)
     i = (j - out_offset[step]).astype(jnp.float32)
     x = i * rate[step]
     idx_f = jnp.floor(x)
@@ -219,6 +239,159 @@ def render_from_plan_device(
 
 def _round_up(n: int, m: int) -> int:
     return m * -(-n // m)
+
+
+@partial(jax.jit, static_argnames=("out_len",))
+def render_device(
+    wav: jnp.ndarray,
+    offsets: jnp.ndarray,  # int32 (S,) output start of each step (out_offset[:-1])
+    gstart: jnp.ndarray,  # int32 (S,)
+    rate_bits: jnp.ndarray,  # int32 (S,) float32 bit patterns of the rates
+    n_valid_out,
+    out_len: int,
+    fix_idx: jnp.ndarray,  # int32 (K,) seam-fix output positions (out_len = drop)
+    fix_val: jnp.ndarray,  # float32 (K,)
+) -> jnp.ndarray:
+    """Two-gather granular render (the fast path).
+
+    TPU gathers cost ~7.5 ns/element, so per-step values must not be
+    gathered per sample.  Each per-step constant becomes a *segmented
+    broadcast*: scatter its successive differences at the segment-start
+    output positions, prefix-sum (int32 cumsum: ~2 ms for 8M samples, 30x
+    cheaper than a gather).  Rates stay bit-exact through the sum by
+    broadcasting their int32 BIT PATTERNS (wrapping integer arithmetic) and
+    bitcasting back to float32.  Only the two waveform reads (lo/hi) remain
+    as real gathers.  The next-grain seam (app.cpp:312-329) is wav[src+1]
+    everywhere except across time-warp jumps, which arrive as a precomputed
+    host scatter (``fix_*``; see seam_fixes).
+    """
+    n = wav.shape[0]
+    j = jnp.arange(out_len, dtype=jnp.int32)
+
+    def seg_i32(vals):
+        d = jnp.zeros(out_len, jnp.int32).at[offsets[1:]].add(
+            jnp.diff(vals), mode="drop"
+        )
+        return vals[0] + jnp.cumsum(d)
+
+    off = seg_i32(offsets)
+    gs = seg_i32(gstart)
+    r = jax.lax.bitcast_convert_type(seg_i32(rate_bits), jnp.float32)
+    i = (j - off).astype(jnp.float32)
+    x = i * r  # float32, matches the reference's f32(i) * rate
+    idx = jnp.floor(x)
+    frac = x - idx
+    src = gs + idx.astype(jnp.int32)
+    lo = wav[jnp.clip(src, 0, n - 1)]
+    hi = wav[jnp.clip(src + 1, 0, n - 1)]
+    out = (1.0 - frac) * lo + frac * hi
+    out = jnp.where(j < n_valid_out, out, 0.0)
+    return out.at[fix_idx].set(fix_val, mode="drop")
+
+
+def render_device_args(plan: RenderPlan, wav: np.ndarray, out_len: int):
+    """Device operands for render_device (per-plan, tiny uploads)."""
+    fix_idx, fix_val = seam_fixes(plan, wav, out_len)
+    return (
+        np.asarray(plan.out_offset[:-1], np.int32),
+        np.asarray(plan.grain_start, np.int32),
+        plan.rate.astype(np.float32).view(np.int32).copy(),
+        np.int32(plan.out_offset[-1]) if len(plan.out_offset) else np.int32(0),
+        out_len,
+        fix_idx,
+        fix_val,
+    )
+
+
+@partial(jax.jit, static_argnames=("out_len",))
+def render_gather_device(
+    wav: jnp.ndarray,
+    packed: jnp.ndarray,  # float32 (S, 2): (out_offset, grain_start), f32-exact ints
+    rate: jnp.ndarray,  # float32 (S,)
+    step: jnp.ndarray,  # int32 (out_len,) host-precomputed step per sample
+    n_valid_out,
+    out_len: int,
+    fix_idx: jnp.ndarray,  # int32 (K,) seam-fix output positions (out_len = drop)
+    fix_val: jnp.ndarray,  # float32 (K,)
+) -> jnp.ndarray:
+    """Minimal-gather granular render: 4 gathers per output sample.
+
+    TPU gathers cost ~7.5 ns/element regardless of locality, so the kernel
+    is gather-count-bound: per-step scalars ride ONE row gather (two f32s
+    per fetch — out_offset/grain_start are integers < 2^24, exact in f32),
+    the rate one more, and the waveform two (lo/hi).  Grain-length
+    masking and the next-grain seam (app.cpp:312-343) are gone from the hot
+    path: grains tile the track, so ``wav[src + 1]`` IS the next grain's
+    first sample except across time-warp jumps — the host precomputes those
+    few samples exactly and scatters them in afterwards (``fix_*``).
+    """
+    n = wav.shape[0]
+    j = jnp.arange(out_len, dtype=jnp.int32)
+    po = packed[step]  # (out_len, 2) row gather
+    off = po[:, 0]
+    gstart = po[:, 1]
+    r = rate[step]
+    i = j.astype(jnp.float32) - off  # exact: both integers < 2^24
+    x = i * r  # float32, matches the reference's f32(i) * rate
+    idx = jnp.floor(x)
+    frac = x - idx
+    src = (gstart + idx).astype(jnp.int32)
+    lo = wav[jnp.clip(src, 0, n - 1)]
+    hi = wav[jnp.clip(src + 1, 0, n - 1)]
+    out = (1.0 - frac) * lo + frac * hi
+    out = jnp.where(j < n_valid_out, out, 0.0)
+    return out.at[fix_idx].set(fix_val, mode="drop")
+
+
+def seam_fixes(plan: RenderPlan, wav: np.ndarray, out_len: int):
+    """Output positions + exact values where hi != wav[src+1] (warp jumps,
+    track-end grains, seam_src == -1), padded to a static bucket."""
+    wav = np.asarray(wav, np.float32)
+    n = len(wav)
+    gend = plan.grain_start.astype(np.int64) + plan.grain_len
+    differs = (plan.seam_src != gend) | (gend >= n) | (plan.seam_src < 0)
+    idx_list: list[np.ndarray] = []
+    val_list: list[np.ndarray] = []
+    for s in np.where(differs)[0]:
+        length = int(plan.grain_len[s])
+        rate = plan.rate[s]
+        sz = int(plan.sz[s])
+        i = np.arange(sz, dtype=np.float32)
+        x = i * rate
+        ii = np.floor(x)
+        last = ii == length - 1  # samples whose hi is the seam
+        if not last.any():
+            continue
+        frac = (x - ii)[last].astype(np.float32)
+        lo = wav[int(plan.grain_start[s]) + length - 1]
+        seam = plan.seam_src[s]
+        hi = wav[seam] if 0 <= seam < n else np.float32(0.0)
+        vals = (np.float32(1.0) - frac) * lo + frac * hi
+        pos = int(plan.out_offset[s]) + np.where(last)[0]
+        idx_list.append(pos.astype(np.int64))
+        val_list.append(vals.astype(np.float32))
+    if idx_list:
+        idx = np.concatenate(idx_list)
+        val = np.concatenate(val_list)
+        keep = idx < out_len
+        idx, val = idx[keep], val[keep]
+    else:
+        idx = np.zeros(0, np.int64)
+        val = np.zeros(0, np.float32)
+    k = max(256, 256 * -(-len(idx) // 256))
+    out_idx = np.full(k, out_len, np.int64)  # out-of-range → dropped
+    out_val = np.zeros(k, np.float32)
+    out_idx[: len(idx)] = idx
+    out_val[: len(val)] = val
+    return out_idx.astype(np.int32), out_val
+
+
+def pack_plan(plan: RenderPlan) -> np.ndarray:
+    """(S, 2) float32 carrying (out_offset, grain_start) as exact f32 ints."""
+    return np.stack(
+        [plan.out_offset[:-1].astype(np.float32), plan.grain_start.astype(np.float32)],
+        axis=1,
+    )
 
 
 def render(
@@ -240,16 +413,17 @@ def render(
     if plan.n_steps == 0:
         return np.zeros(total, np.float32)
     out_len = _round_up(total, pad_to)
-    wav_dev = jnp.asarray(wav, jnp.float32)
-    out = render_from_plan_device(
-        wav_dev,
-        jnp.asarray(plan.grain_start),
-        jnp.asarray(plan.grain_len),
-        jnp.asarray(plan.rate),
-        jnp.asarray(plan.out_offset, jnp.int32),
-        jnp.asarray(plan.seam_src),
-        jnp.int32(n_grain_out),
+    wav_np = np.asarray(wav, np.float32)
+    offs, gs, rb, n_valid, _, fix_idx, fix_val = render_device_args(plan, wav_np, out_len)
+    out = render_device(
+        jnp.asarray(wav_np),
+        jnp.asarray(offs),
+        jnp.asarray(gs),
+        jnp.asarray(rb),
+        n_valid,
         out_len,
+        jnp.asarray(fix_idx),
+        jnp.asarray(fix_val),
     )
     return np.asarray(out[:total])
 
