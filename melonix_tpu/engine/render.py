@@ -185,58 +185,6 @@ def build_render_plan(
 # ----------------------------------------------------------------------
 
 
-def step_of_sample(plan: "RenderPlan", out_len: int) -> np.ndarray:
-    """Host-side step index per output sample (np.repeat of the plan spans).
-
-    On TPU a per-sample ``searchsorted`` lowers to a while-loop that costs
-    more device time than the entire gather; the mapping is static per plan,
-    so it is materialized once on the host and shipped with the plan.
-    """
-    steps = np.repeat(
-        np.arange(plan.n_steps, dtype=np.int32), plan.sz.astype(np.int64)
-    )
-    if len(steps) < out_len:
-        pad_val = plan.n_steps - 1 if plan.n_steps else 0
-        steps = np.concatenate(
-            [steps, np.full(out_len - len(steps), pad_val, np.int32)]
-        )
-    return steps[:out_len]
-
-
-@partial(jax.jit, static_argnames=("out_len",))
-def render_from_plan_device(
-    wav: jnp.ndarray,
-    grain_start: jnp.ndarray,
-    grain_len: jnp.ndarray,
-    rate: jnp.ndarray,
-    out_offset: jnp.ndarray,
-    seam_src: jnp.ndarray,
-    n_valid_out,
-    out_len: int,
-    step: jnp.ndarray | None = None,
-) -> jnp.ndarray:
-    """Render ``out_len`` samples (>= plan total; excess is zero-padded)."""
-    n = wav.shape[0]
-    j = jnp.arange(out_len, dtype=jnp.int32)
-    if step is None:  # fallback: derive on device (slow TPU while-loop)
-        step = jnp.searchsorted(out_offset, j, side="right") - 1
-        step = jnp.clip(step, 0, grain_start.shape[0] - 1)
-    i = (j - out_offset[step]).astype(jnp.float32)
-    x = i * rate[step]
-    idx_f = jnp.floor(x)
-    frac = x - idx_f
-    idx = idx_f.astype(jnp.int32)
-    src = grain_start[step] + idx
-    in_grain = idx + 1 < grain_len[step]
-    seam = seam_src[step]
-    lo = wav[jnp.clip(src, 0, n - 1)]
-    hi_in = wav[jnp.clip(src + 1, 0, n - 1)]
-    hi_seam = jnp.where(seam >= 0, wav[jnp.clip(seam, 0, n - 1)], 0.0)
-    hi = jnp.where(in_grain, hi_in, hi_seam)
-    out = (1.0 - frac) * lo + frac * hi
-    return jnp.where(j < n_valid_out, out, 0.0)
-
-
 def _round_up(n: int, m: int) -> int:
     return m * -(-n // m)
 
@@ -303,46 +251,6 @@ def render_device_args(plan: RenderPlan, wav: np.ndarray, out_len: int):
     )
 
 
-@partial(jax.jit, static_argnames=("out_len",))
-def render_gather_device(
-    wav: jnp.ndarray,
-    packed: jnp.ndarray,  # float32 (S, 2): (out_offset, grain_start), f32-exact ints
-    rate: jnp.ndarray,  # float32 (S,)
-    step: jnp.ndarray,  # int32 (out_len,) host-precomputed step per sample
-    n_valid_out,
-    out_len: int,
-    fix_idx: jnp.ndarray,  # int32 (K,) seam-fix output positions (out_len = drop)
-    fix_val: jnp.ndarray,  # float32 (K,)
-) -> jnp.ndarray:
-    """Minimal-gather granular render: 4 gathers per output sample.
-
-    TPU gathers cost ~7.5 ns/element regardless of locality, so the kernel
-    is gather-count-bound: per-step scalars ride ONE row gather (two f32s
-    per fetch — out_offset/grain_start are integers < 2^24, exact in f32),
-    the rate one more, and the waveform two (lo/hi).  Grain-length
-    masking and the next-grain seam (app.cpp:312-343) are gone from the hot
-    path: grains tile the track, so ``wav[src + 1]`` IS the next grain's
-    first sample except across time-warp jumps — the host precomputes those
-    few samples exactly and scatters them in afterwards (``fix_*``).
-    """
-    n = wav.shape[0]
-    j = jnp.arange(out_len, dtype=jnp.int32)
-    po = packed[step]  # (out_len, 2) row gather
-    off = po[:, 0]
-    gstart = po[:, 1]
-    r = rate[step]
-    i = j.astype(jnp.float32) - off  # exact: both integers < 2^24
-    x = i * r  # float32, matches the reference's f32(i) * rate
-    idx = jnp.floor(x)
-    frac = x - idx
-    src = (gstart + idx).astype(jnp.int32)
-    lo = wav[jnp.clip(src, 0, n - 1)]
-    hi = wav[jnp.clip(src + 1, 0, n - 1)]
-    out = (1.0 - frac) * lo + frac * hi
-    out = jnp.where(j < n_valid_out, out, 0.0)
-    return out.at[fix_idx].set(fix_val, mode="drop")
-
-
 def seam_fixes(plan: RenderPlan, wav: np.ndarray, out_len: int):
     """Output positions + exact values where hi != wav[src+1] (warp jumps,
     track-end grains, seam_src == -1), padded to a static bucket."""
@@ -384,14 +292,6 @@ def seam_fixes(plan: RenderPlan, wav: np.ndarray, out_len: int):
     out_idx[: len(idx)] = idx
     out_val[: len(val)] = val
     return out_idx.astype(np.int32), out_val
-
-
-def pack_plan(plan: RenderPlan) -> np.ndarray:
-    """(S, 2) float32 carrying (out_offset, grain_start) as exact f32 ints."""
-    return np.stack(
-        [plan.out_offset[:-1].astype(np.float32), plan.grain_start.astype(np.float32)],
-        axis=1,
-    )
 
 
 def render(
