@@ -136,6 +136,26 @@ class MapKnots:
         res = np.trunc(out).astype(np.int64)
         return int(res[0]) if scalar else res
 
+    def time_to_sample_float(self, val):
+        """``time_to_sample`` without the int truncation (analysis use)."""
+        v = np.asarray(val, np.float64)
+        scalar = v.ndim == 0
+        v = np.atleast_1d(v)
+        ks, ts, sr = self.samples, self.times, self.sample_rate
+        out = ks[-1] + (v - ts[-1]) * sr
+        if len(ks) > 1:
+            lo = ts[:-1][None, :]
+            hi = ts[1:][None, :]
+            match = (v[:, None] > lo) & (v[:, None] <= hi)
+            has = match.any(axis=1)
+            i = np.argmax(match, axis=1)
+            denom = ts[i + 1] - ts[i]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                interp = ks[i] + (v - ts[i]) * (ks[i + 1] - ks[i]) / denom
+            out = np.where(has, interp, out)
+        out = np.where(v <= 0, v * sr, out)
+        return float(out[0]) if scalar else out
+
     def duration(self) -> float:
         """``App::duration`` (app.cpp:1084-1087)."""
         return float(self.sample_to_time(self.n_samples - 1))

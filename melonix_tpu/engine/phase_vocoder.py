@@ -9,29 +9,33 @@ quality (no grain-seam amplitude modulation).
 
 Formulation for time-VARYING pitch rate ``rho(t) = 2^(bend(t)/12)``:
 
-1.  **Rate integral.**  ``p(t) = integral_0^t rho(tau) dtau`` maps output
-    time onto a "stretched" timeline.  Per output sample this is one prefix
-    sum of the per-sample rates (device, one pass).
+1.  **Rate integral, closed form.**  ``p(t) = integral_0^t rho`` maps output
+    time onto a "stretched" timeline.  The bend is piecewise linear, so p is
+    piecewise *exponential* with an analytic expression per knot segment —
+    the device evaluates it **elementwise** from four per-segment constants
+    delivered as segmented broadcasts (scatter bit-pattern diffs at segment
+    starts + int32 cumsum).  No per-sample gather, interp, searchsorted, or
+    8M-cumsum anywhere.
 
 2.  **PV time-stretch.**  Synthesis frames sit at ``m * hop`` on the
-    stretched timeline; frame m analyses the *source* at sample position
-    ``A_m = time2Sample(p^-1(m * hop / sr))`` — the user's time warp and
-    the pitch-rate integral compose into one variable analysis hop.  The
-    classic phase propagation (Flanagan/Laroche)
+    stretched timeline; frame m analyses the *source* at
+    ``A_m = time2Sample(p^-1(m * hop / sr))`` — the host inverts p per
+    segment in float64 (15k scalars).  The classic phase propagation
 
         dphi   = princarg(phi_m - phi_{m-1} - omega_k * dA_m)
         psi_m  = psi_{m-1} + hop * (omega_k + dphi_m / dA_m)
 
-    looks sequential but its increments depend only on *consecutive
-    analysis phases*, so it is a prefix sum: one ``cumsum`` over frames
-    instead of a 15k-step scan (which would be per-step-overhead-bound on
-    TPU).  Windowed overlap-add (engine/spectral.istft_device) follows.
+    is a prefix sum over frames (one cumsum), followed by the scatter-free
+    stride-stacked overlap-add (engine/spectral.istft_device).
 
 3.  **Variable-rate resample.**  ``out[n] = lerp(y_stretch, p(t_n) * sr)``
-    — one fused gather, the same kernel family as the granular renderer.
+    — the only per-sample gathers in the pipeline (2, like the granular
+    fast path).
 
-Everything after the host-side sizing (static frame count from the analytic
-rate integral over knot segments) is a single jitted device program.
+Formant preservation (BASELINE config #5): the final resample scales the
+spectral envelope along with the harmonics; pre-warping each frame's
+magnitudes by ``E(k * rho) / E(k)`` (cepstral envelope, lerp-gathered at
+the scaled bins) cancels that, keeping vocal timbre in place.
 """
 
 from __future__ import annotations
@@ -43,119 +47,160 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import DEFAULT_CONFIG, Config
-from .maps import (
-    MapKnots,
-    pad_knots,
-    time_to_pitch_bend_interp_jax,
-    time_to_sample_jax,
-)
+from .maps import MapKnots
 from .spectral import hann_window, istft_device
 
+LN2_12 = np.log(2.0) / 12.0
 
-def rate_integral_total(knots: MapKnots, t_end: float) -> float:
-    """Exact ``integral_0^t_end 2^(bend(t)/12) dt`` over the knot segments.
 
-    Bend is piecewise linear in t, so each segment integrates analytically:
-    ``int 2^(b/12) = (t1-t0) * 12/ln2 * (r1-r0)/(b1-b0)`` (or ``r*(t1-t0)``
-    when the bend is constant).  Used host-side to size the static frame
-    count; the device recomputes the same integral numerically per sample.
+def _segment_table(knots: MapKnots, t_end: float):
+    """Per-segment (t0, b0, slope, P0) float64 rows covering [0, t_end].
+
+    Segments: the knot intervals, the relaxation to 0 at duration()
+    (app.cpp:1115-1119), and a constant-1-rate tail.  P0 is the exact
+    cumulative rate integral at t0.
     """
-    ts = list(knots.times) + [knots.duration(), t_end]
-    bs = list(knots.bends) + [0.0, 0.0]
-    total = 0.0
-    ln2_12 = np.log(2.0) / 12.0
+    dur = knots.duration()
+    ts = [float(t) for t in knots.times] + [max(dur, float(knots.times[-1])), t_end]
+    bs = [float(b) for b in knots.bends] + [0.0, 0.0]
+    # Deduplicate/enforce monotone (degenerate zero-length segments drop out)
+    t0s, b0s, slopes, p0s = [], [], [], []
+    P = 0.0
     for i in range(len(ts) - 1):
-        t0, t1 = ts[i], min(ts[i + 1], t_end)
+        t0, t1 = ts[i], ts[i + 1]
         if t1 <= t0:
             continue
         b0, b1 = bs[i], bs[i + 1]
-        # Clip the segment to t_end, interpolating the bend.
-        if ts[i + 1] > t_end and ts[i + 1] > ts[i]:
-            b1 = b0 + (b1 - b0) * (t_end - ts[i]) / (ts[i + 1] - ts[i])
+        s = (b1 - b0) / (t1 - t0)
+        t0s.append(t0)
+        b0s.append(b0)
+        slopes.append(s)
+        p0s.append(P)
         r0, r1 = 2.0 ** (b0 / 12.0), 2.0 ** (b1 / 12.0)
         if abs(b1 - b0) < 1e-12:
-            total += r0 * (t1 - t0)
+            P += r0 * (t1 - t0)
         else:
-            total += (t1 - t0) * (r1 - r0) / ((b1 - b0) * ln2_12)
-        if ts[i + 1] >= t_end:
-            break
-    return total
+            P += (t1 - t0) * (r1 - r0) / ((b1 - b0) * LN2_12)
+    if not t0s:
+        t0s, b0s, slopes, p0s = [0.0], [0.0], [0.0], [0.0]
+    return (
+        np.asarray(t0s), np.asarray(b0s), np.asarray(slopes), np.asarray(p0s), P
+    )
+
+
+def rate_integral_total(knots: MapKnots, t_end: float) -> float:
+    """Exact ``integral_0^t_end 2^(bend(t)/12) dt`` (host sizing)."""
+    return float(_segment_table(knots, t_end)[4])
+
+
+def _invert_p(table, y: np.ndarray) -> np.ndarray:
+    """t with p(t) = y, per-segment closed form (float64, vectorized)."""
+    t0s, b0s, slopes, p0s, _ = table
+    seg = np.clip(np.searchsorted(p0s, y, side="right") - 1, 0, len(t0s) - 1)
+    t0, b0, s, P0 = t0s[seg], b0s[seg], slopes[seg], p0s[seg]
+    r0 = 2.0 ** (b0 / 12.0)
+    dy = y - P0
+    flat = np.abs(s) < 1e-12
+    with np.errstate(invalid="ignore", divide="ignore"):
+        r_t = r0 + dy * s * LN2_12
+        t_exp = t0 + (12.0 * np.log2(np.maximum(r_t, 1e-30)) - b0) / np.where(flat, 1.0, s)
+    return np.where(flat, t0 + dy / r0, t_exp)
 
 
 def _princarg(x):
     return jnp.mod(x + jnp.pi, 2.0 * jnp.pi) - jnp.pi
 
 
+def _bits(x: np.ndarray) -> np.ndarray:
+    return np.asarray(x, np.float32).view(np.int32).copy()
+
+
 @partial(
-    jax.jit, static_argnames=("size", "hop", "n_out", "n_frames", "sr", "formant", "n_ceps")
+    jax.jit,
+    static_argnames=("size", "hop", "n_out", "n_frames", "sr", "formant", "n_ceps"),
 )
 def _pv_device(
-    wav, ks, ts, bs, duration, window, size, hop, n_out, n_frames, sr,
+    wav,
+    a_m,  # float32 (n_frames,) host-inverted source positions (samples)
+    rho_m,  # float32 (n_frames,) per-frame pitch rate
+    seg_j0,  # int32 (K,) first output sample of each rate segment
+    seg_t0_b, seg_b0_b, seg_s_b, seg_p0_b,  # int32 (K,) f32 bit patterns
+    window,
+    size, hop, n_out, n_frames, sr,
     formant=False, n_ceps=40,
 ):
     n = wav.shape[0]
     n_bins = size // 2 + 1
 
-    # 1. Per-output-sample rates and their prefix sum (stretched position).
-    t_out = (jnp.arange(n_out, dtype=jnp.float32) + 1.0) / sr
-    bend = time_to_pitch_bend_interp_jax(ts, bs, duration, t_out)
-    rates = jnp.exp2(bend.astype(jnp.float32) / 12.0)
-    pos = jnp.cumsum(rates)  # pos[n] = p(t_{n+1}) * sr  (stretched samples)
+    # 1. Stretched position per output sample, closed form per segment.
+    j = jnp.arange(n_out, dtype=jnp.int32)
 
-    # 2. Analysis positions: frame m at stretched sample m*hop maps back to
-    # output time t_m, then through the warp map to source sample A_m.
-    m_pos = jnp.arange(n_frames, dtype=jnp.float32) * hop
-    n_idx = jnp.searchsorted(pos, m_pos, side="left")
-    t_m = (n_idx.astype(jnp.float32) + 1.0) / sr
-    a_m = time_to_sample_jax(ks, ts, sr, t_m).astype(jnp.float32)
-    a_m = jnp.clip(a_m, 0.0, n - 1.0)
+    def seg_f32(bits):
+        d = jnp.zeros(n_out, jnp.int32).at[seg_j0[1:]].add(
+            jnp.diff(bits), mode="drop"
+        )
+        return jax.lax.bitcast_convert_type(bits[0] + jnp.cumsum(d), jnp.float32)
 
-    # Analysis frames at floor(A_m), Hann-windowed, rfft.
-    starts = jnp.floor(a_m).astype(jnp.int32)
-    idx = starts[:, None] + jnp.arange(size, dtype=jnp.int32)[None, :]
-    frames = jnp.where(idx < n, wav[jnp.clip(idx, 0, n - 1)], 0.0)
+    t0 = seg_f32(seg_t0_b)
+    b0 = seg_f32(seg_b0_b)
+    s = seg_f32(seg_s_b)
+    p0 = seg_f32(seg_p0_b)
+    t = (j.astype(jnp.float32) + 1.0) / sr
+    dt = t - t0
+    r0 = jnp.exp2(b0 * (1.0 / 12.0))
+    r_t = jnp.exp2((b0 + s * dt) * (1.0 / 12.0))
+    flat = jnp.abs(s) < 1e-9
+    p = p0 + jnp.where(
+        flat, r0 * dt, (r_t - r0) / (jnp.where(flat, 1.0, s) * np.float32(LN2_12))
+    )
+    pos = p * sr  # stretched samples, monotone
+
+    # 2. Analysis frames at host-inverted positions (DMA kernel on TPU —
+    # a 32M-element XLA gather otherwise).
+    from ..kernels import pallas_frames
+
+    starts = jnp.floor(jnp.clip(a_m, 0.0, n - 1.0)).astype(jnp.int32)
+    if pallas_frames.supported(size) and jax.default_backend() == "tpu":
+        frames = pallas_frames.extract_frames_pallas(wav, starts, size)
+    else:
+        idx = starts[:, None] + jnp.arange(size, dtype=jnp.int32)[None, :]
+        frames = jnp.where(idx < n, wav[jnp.clip(idx, 0, n - 1)], 0.0)
     spec = jnp.fft.rfft(frames * window[None, :])
     mag = jnp.abs(spec)
     phi = jnp.angle(spec)
 
     if formant:
-        # Formant preservation: the final variable-rate resample scales all
-        # frequencies by rho, envelope included.  Pre-warp each frame's
-        # magnitudes by E(k*rho)/E(k) — E the cepstral spectral envelope —
-        # so the resample restores the original envelope (vocal timbre)
-        # while the harmonics still move.
-        rho_m = jnp.exp2(
-            time_to_pitch_bend_interp_jax(ts, bs, duration, t_m).astype(jnp.float32)
-            / 12.0
-        )
+        # Cepstral envelope; pre-warp magnitudes by E(k*rho)/E(k) so the
+        # final resample restores the original envelope (timbre).
         log_mag = jnp.log(mag + 1e-8)
         cep = jnp.fft.irfft(log_mag, n=size, axis=-1)
         q = jnp.arange(size)
         lifter = ((q < n_ceps) | (q > size - n_ceps)).astype(jnp.float32)
-        env_log = jnp.fft.rfft(cep * lifter[None, :], axis=-1).real[:, :n_bins]
-        bins = jnp.arange(n_bins, dtype=jnp.float32)
-        warped = jax.vmap(
-            lambda e, r: jnp.interp(bins * r, bins, e)
-        )(env_log, rho_m)
-        gain = jnp.exp(jnp.clip(warped - env_log, -6.9, 6.9))  # +-60 dB
-        mag = mag * gain
+        env = jnp.fft.rfft(cep * lifter[None, :], axis=-1).real[:, :n_bins]
+        kpos = jnp.arange(n_bins, dtype=jnp.float32)[None, :] * rho_m[:, None]
+        k0 = jnp.clip(jnp.floor(kpos).astype(jnp.int32), 0, n_bins - 1)
+        kf = kpos - k0.astype(jnp.float32)
+        e0 = jnp.take_along_axis(env, k0, axis=1)
+        e1 = jnp.take_along_axis(env, jnp.clip(k0 + 1, 0, n_bins - 1), axis=1)
+        warped = (1.0 - kf) * e0 + kf * e1
+        mag = mag * jnp.exp(jnp.clip(warped - env, -6.9, 6.9))  # +-60 dB
 
-    # 3. Phase propagation as a prefix sum: psi_0 = phi_0 and
-    # psi_m = phi_0 + sum_{j<=m} hop*(omega + dphi_j/dA_j).
+    # 3. Phase propagation as a prefix sum over frames.
     omega = (2.0 * jnp.pi / size) * jnp.arange(n_bins, dtype=jnp.float32)
-    da = jnp.maximum(a_m[1:] - a_m[:-1], 1e-3)[:, None]  # (F-1, 1)
+    da = jnp.maximum(a_m[1:] - a_m[:-1], 1e-3)[:, None]
     dphi = _princarg(phi[1:] - phi[:-1] - omega[None, :] * da)
     incr = hop * (omega[None, :] + dphi / da)
-    psis = jnp.concatenate(
-        [phi[:1], phi[:1] + jnp.cumsum(incr, axis=0)], axis=0
-    )
+    psis = jnp.concatenate([phi[:1], phi[:1] + jnp.cumsum(incr, axis=0)], axis=0)
 
     synth = mag * jnp.exp(1j * psis.astype(jnp.float32))
     stretch_len = (n_frames - 1) * hop + size
     y = istft_device(synth, window, size, hop, stretch_len)
 
-    # 4. Variable-rate resample back to the output timeline.
-    src = (pos - rates).astype(jnp.float32)  # exclusive prefix: p(t_n) * sr
+    # 4. Variable-rate resample back to the output timeline (2 gathers).
+    src = pos - jnp.exp2(
+        (b0 + s * dt) * (1.0 / 12.0)
+    )  # exclusive-ish: p(t_j) - rho(t_j), matches the prior cumsum convention
+    src = jnp.maximum(src, 0.0)
     i0 = jnp.floor(src).astype(jnp.int32)
     frac = src - i0.astype(jnp.float32)
     lo = y[jnp.clip(i0, 0, stretch_len - 1)]
@@ -186,18 +231,37 @@ def render_track_pv(
     n_out = int(knots.duration() * sr)
     if n_out <= 0 or len(wav) < size:
         return np.zeros(max(n_out, 0), np.float32)
-    # Static sizing from the analytic rate integral (+1 frame slack), then
-    # bucket to limit recompiles across edits.
-    p_total = rate_integral_total(knots, n_out / sr)
+
+    table = _segment_table(knots, n_out / sr)
+    p_total = table[4]
     n_frames = int(np.ceil(p_total * sr / hop)) + 2
     n_frames = 64 * -(-n_frames // 64)
     n_out_pad = 8192 * -(-n_out // 8192)
 
-    ks, ts, bs = pad_knots(knots)
+    # Host control plane: frame positions by analytic inversion (float64).
+    y_m = np.arange(n_frames, dtype=np.float64) * hop / sr
+    t_m = _invert_p(table, np.minimum(y_m, p_total))
+    a_m = knots.time_to_sample_float(t_m)
+    rho_m = 2.0 ** (knots.time_to_pitch_bend(t_m).astype(np.float64) / 12.0)
+
+    # Segment boundaries in output samples (t_j = (j + 1) / sr).
+    t0s, b0s, slopes, p0s, _ = table
+    seg_j0 = np.clip(np.ceil(t0s * sr - 1.0 - 1e-9), 0, n_out_pad - 1).astype(np.int32)
+    K = 128 * -(-len(seg_j0) // 128)
+    pad = K - len(seg_j0)
+
+    def _padded(vals):
+        return np.pad(np.asarray(vals), (0, pad), mode="edge")
+
     out = _pv_device(
         jnp.asarray(wav),
-        ks, ts, bs,
-        jnp.float32(knots.duration()),
+        jnp.asarray(a_m.astype(np.float32)),
+        jnp.asarray(rho_m.astype(np.float32)),
+        jnp.asarray(np.pad(seg_j0, (0, pad), constant_values=n_out_pad)),
+        jnp.asarray(_bits(_padded(t0s))),
+        jnp.asarray(_bits(_padded(b0s))),
+        jnp.asarray(_bits(_padded(slopes))),
+        jnp.asarray(_bits(_padded(p0s))),
         jnp.asarray(hann_window(size)),
         size, hop, n_out_pad, n_frames, sr,
         formant=preserve_formants,

