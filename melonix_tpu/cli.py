@@ -56,6 +56,9 @@ def cmd_render(args) -> int:
         wav, rate = load_audio(args.input, mono=False)
         markers = []
     else:
+        if args.stereo:
+            print("warning: .mlx projects store mono audio; --stereo ignored",
+                  file=sys.stderr)
         wav, rate, markers, _b, _t = _load_any(args.input)
     markers = _markers_from_arg(args.markers, markers)
     t0 = time.perf_counter()

@@ -245,24 +245,6 @@ def time_to_sample_jax(ks, ts, sample_rate, v):
     return jnp.where(v <= 0, v * sample_rate, out)
 
 
-def time_to_pitch_bend_interp_jax(ts, bends, duration, v):
-    """O(log n)-per-query bend curve via ``jnp.interp``.
-
-    The exact twin below materializes a (queries, knots) match matrix —
-    fine for thousands of queries, ruinous for per-sample curves (8M
-    samples x 128 padded knots is GBs of HBM traffic).  Marker times are
-    non-decreasing in every non-pathological edit (d_time reversals that
-    fold time are UB for the curve anyway), so interp over the knot
-    polyline + the (duration, 0) relaxation point is equivalent.
-    """
-    v = jnp.asarray(v)
-    xp = jnp.concatenate([ts, jnp.maximum(duration, ts[-1])[None]])
-    fp = jnp.concatenate([bends, jnp.zeros((1,), bends.dtype)])
-    out = jnp.interp(v, xp, fp)
-    out = jnp.where((v <= 0) | (v > duration), 0.0, out)
-    return out
-
-
 def time_to_pitch_bend_jax(ts, bends, duration, v):
     """jnp twin of ``MapKnots.time_to_pitch_bend``."""
     v = jnp.asarray(v)

@@ -201,12 +201,24 @@ def _pv_device(
             gain_log = gain_log + 2.0 * cep[:, qi - 1 : qi] * (tw_cur - tp_cur)
         mag = mag * jnp.exp(jnp.clip(gain_log, -6.9, 6.9))  # +-60 dB
 
-    # 3. Phase propagation as a prefix sum over frames.
+    # 3. Phase propagation as a prefix sum over frames.  psi_m splits into
+    # the exact linear ramp m*hop*omega_k (evaluated mod 2pi with int32
+    # arithmetic — a float32 running sum would hit 2.5e7 rad on a 3-minute
+    # track, where one ulp is ~2 rad) plus a cumsum of the small wrapped
+    # residuals (|res| <= pi*hop/da per frame, so float32 stays coherent).
     omega = (2.0 * jnp.pi / size) * jnp.arange(n_bins, dtype=jnp.float32)
     da = jnp.maximum(a_m[1:] - a_m[:-1], 1e-3)[:, None]
     dphi = _princarg(phi[1:] - phi[:-1] - omega[None, :] * da)
-    incr = hop * (omega[None, :] + dphi / da)
-    psis = jnp.concatenate([phi[:1], phi[:1] + jnp.cumsum(incr, axis=0)], axis=0)
+    resid = jnp.concatenate(
+        [jnp.zeros((1, n_bins), jnp.float32), jnp.cumsum(hop * dphi / da, axis=0)],
+        axis=0,
+    )
+    m_idx = jnp.arange(n_frames, dtype=jnp.int32)
+    hm = jnp.mod(m_idx * hop, size)  # < size, exact
+    k_idx = jnp.arange(n_bins, dtype=jnp.int32)
+    ramp_int = jnp.mod(hm[:, None] * k_idx[None, :], size)  # < size^2/2, exact
+    ramp = (2.0 * jnp.pi / size) * ramp_int.astype(jnp.float32)
+    psis = phi[:1] + ramp + resid
 
     synth = mag * jnp.exp(1j * psis.astype(jnp.float32))
     stretch_len = (n_frames - 1) * hop + size

@@ -80,22 +80,33 @@ class SpecPyramid:
         self.hops: list[int] = [self.base_hop]
         nf = num_frames(self.n_samples, self.size, self.base_hop)
         base = stft_mags_device(wav_dev, win, self.size, self.base_hop, nf)
-        self.levels: list[jnp.ndarray] = [base]  # (n_frames_l, size//2) f32, HBM
-        self.levels.extend(_build_levels(base, min_frames))
-        self.hops.extend(self.base_hop * 2 ** (i + 1) for i in range(len(self.levels) - 1))
+        levels = [base]
+        levels.extend(_build_levels(base, min_frames))
+        self.hops.extend(self.base_hop * 2 ** (i + 1) for i in range(len(levels) - 1))
         # One flat (sum_frames, n_bins) array so every zoom level shares a
-        # single compiled gather (per-level shapes would each recompile).
-        self._flat = jnp.concatenate(self.levels, axis=0)
+        # single compiled gather (per-level shapes would each recompile);
+        # the per-level arrays are NOT retained — that would double HBM.
+        self._flat = jnp.concatenate(levels, axis=0)
+        self._level_shapes = [l.shape for l in levels]
         self._offsets = np.concatenate(
-            [[0], np.cumsum([l.shape[0] for l in self.levels])]
+            [[0], np.cumsum([s[0] for s in self._level_shapes])]
         ).astype(np.int64)
+        del levels
+
+    @property
+    def levels(self) -> list[jnp.ndarray]:
+        """Per-level views (sliced on demand; storage is the flat array)."""
+        return [
+            self._flat[self._offsets[i] : self._offsets[i + 1]]
+            for i in range(len(self._level_shapes))
+        ]
 
     @property
     def n_bins(self) -> int:
         return self.size // 2
 
     def nbytes(self) -> int:
-        return sum(int(np.prod(l.shape)) * 4 for l in self.levels)
+        return sum(int(np.prod(s)) * 4 for s in self._level_shapes)
 
     def level_for(self, samples_per_px: float) -> int:
         """Finest level whose hop does not oversample the request."""

@@ -165,10 +165,10 @@ class TileServer:
                 )
             # Log-texel resample (max-pool + nearest fill) + colormap on
             # device; only final uint8 texels cross to the host.
+            # NOTE: ids are NOT sorted (dropped bins get id == texels at the
+            # front), so no indices_are_sorted hint — it would be UB.
             pooled = jax.vmap(
-                lambda m: jax.ops.segment_max(
-                    m, ids, num_segments=texels + 1, indices_are_sorted=True
-                )[:texels]
+                lambda m: jax.ops.segment_max(m, ids, num_segments=texels + 1)[:texels]
             )(mags)
             tex = jnp.maximum(pooled, mags[:, nearest])
             return colormap_jax(tex, kgain)

@@ -104,24 +104,46 @@ function openDlg(mode) {
   dlgMode = mode;
   fetch('/dialog/list?mode='+mode).then(r=>r.json()).then(showDlg);
 }
+let dlgEntries = [];
 function showDlg(d) {
+  // Build DOM nodes with textContent — file names are untrusted content.
+  dlgEntries = d.entries;
   const el = document.getElementById('dlg');
   el.style.display = 'block';
-  let h = '<b>'+d.cwd+'</b>';
-  if (d.save) h += '<br><input id="fname" type="text" value="'+d.filename+'">' +
-                   '<button onclick="dlgAccept()">OK</button>';
-  h += '<button style="float:right" onclick="dlg.style.display=\\'none\\'">x</button>';
-  for (const [name, isdir] of d.entries)
-    h += '<div class="e" onclick="dlgGo(\\''+name.replace(/'/g, "\\\\'")+'\\')">' +
-         (isdir?'&#128193; ':'&#128196; ')+name+'</div>';
-  el.innerHTML = h;
+  el.replaceChildren();
+  const head = document.createElement('b');
+  head.textContent = d.cwd;
+  el.appendChild(head);
+  const close = document.createElement('button');
+  close.style.cssFloat = 'right';
+  close.textContent = 'x';
+  close.onclick = () => { el.style.display = 'none'; };
+  el.appendChild(close);
+  if (d.save) {
+    el.appendChild(document.createElement('br'));
+    const inp = document.createElement('input');
+    inp.id = 'fname'; inp.type = 'text'; inp.value = d.filename;
+    el.appendChild(inp);
+    const ok = document.createElement('button');
+    ok.textContent = 'OK';
+    ok.onclick = dlgAccept;
+    el.appendChild(ok);
+  }
+  d.entries.forEach(([name, isdir], i) => {
+    const div = document.createElement('div');
+    div.className = 'e';
+    div.textContent = (isdir ? '\\u{1F4C1} ' : '\\u{1F4C4} ') + name;
+    div.onclick = () => dlgGo(i);
+    el.appendChild(div);
+  });
 }
 const dlg = document.getElementById('dlg');
-function dlgGo(name) {
-  post('/dialog/activate', {name, mode:dlgMode}).then(r=>r.json()).then(d=>{
-    if (d.accepted) { dlg.style.display='none'; refresh(); loadAudio(); }
-    else showDlg(d);
-  });
+function dlgGo(i) {
+  post('/dialog/activate', {name: dlgEntries[i][0], mode:dlgMode})
+    .then(r=>r.json()).then(d=>{
+      if (d.accepted) { dlg.style.display='none'; refresh(); loadAudio(); }
+      else showDlg(d);
+    });
 }
 function dlgAccept() {
   post('/dialog/accept', {mode:dlgMode, filename:document.getElementById('fname').value})

@@ -61,19 +61,24 @@ class RateMeter:
 
 
 class Timer:
-    """Accumulating context-manager timer: total seconds + call count."""
+    """Accumulating context-manager timer: total seconds + call count.
+
+    The start time lives in thread-local storage so one registry Timer can
+    be entered concurrently from several threads (e.g. two tile workers).
+    """
 
     def __init__(self):
         self.total = 0.0
         self.count = 0
         self._lock = threading.Lock()
+        self._local = threading.local()
 
     def __enter__(self):
-        self._t0 = time.perf_counter()
+        self._local.t0 = time.perf_counter()
         return self
 
     def __exit__(self, *exc):
-        dt = time.perf_counter() - self._t0
+        dt = time.perf_counter() - self._local.t0
         with self._lock:
             self.total += dt
             self.count += 1
