@@ -199,18 +199,35 @@ def sharded_spectrogram_columns(
 
 
 def _render_one(wav, grain_start, grain_len, rate, out_offset, seam_src, n_valid, out_len):
+    """One track's granular render, same segmented-broadcast formulation as
+    engine/render.render_device (two wav gathers; per-step constants reach
+    samples via scatter-diff + int32 cumsum).  The batched plans are padded,
+    so the in-grain/seam masking stays in-kernel here instead of the host
+    seam-fix scatter the single-track path uses."""
     n = wav.shape[0]
     j = jnp.arange(out_len, dtype=jnp.int32)
-    step = jnp.searchsorted(out_offset, j, side="right") - 1
-    step = jnp.clip(step, 0, grain_start.shape[0] - 1)
-    i = (j - out_offset[step]).astype(jnp.float32)
-    x = i * rate[step]
+    offsets = out_offset[:-1].astype(jnp.int32)
+
+    def seg_i32(vals):
+        d = jnp.zeros(out_len, jnp.int32).at[offsets[1:]].add(
+            jnp.diff(vals), mode="drop"
+        )
+        return vals[0] + jnp.cumsum(d)
+
+    off = seg_i32(offsets)
+    gs = seg_i32(grain_start.astype(jnp.int32))
+    gl = seg_i32(grain_len.astype(jnp.int32))
+    seam = seg_i32(seam_src.astype(jnp.int32))
+    r = jax.lax.bitcast_convert_type(
+        seg_i32(jax.lax.bitcast_convert_type(rate, jnp.int32)), jnp.float32
+    )
+    i = (j - off).astype(jnp.float32)
+    x = i * r
     idx_f = jnp.floor(x)
     frac = x - idx_f
     idx = idx_f.astype(jnp.int32)
-    src = grain_start[step] + idx
-    in_grain = idx + 1 < grain_len[step]
-    seam = seam_src[step]
+    src = gs + idx
+    in_grain = idx + 1 < gl
     lo = wav[jnp.clip(src, 0, n - 1)]
     hi = jnp.where(
         in_grain,

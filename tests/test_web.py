@@ -180,3 +180,28 @@ def test_brightness_tempo_follow(server):
     assert srv.state.tempo == 250.0  # clamped (app.cpp:82)
     _post(conn, "/control", {"action": "follow", "value": 1})
     assert srv.state.follow_mode
+
+
+def test_fail_soft_bad_file(server, tmp_path):
+    """Errors during open leave the prior state intact (app.cpp:628-694:
+    decode failures LOG and return without clobbering the session)."""
+    srv, conn, wav = server
+    _post(conn, "/control", {"action": "open", "value": wav})
+    _, st0 = _get_state(conn)
+    assert st0["loaded"]
+    bad = str(tmp_path / "garbage.wav")
+    with open(bad, "wb") as f:
+        f.write(b"this is not a RIFF file at all........")
+    conn.request("POST", "/control", json.dumps({"action": "open", "value": bad}))
+    r = conn.getresponse()
+    body = json.loads(r.read())
+    assert r.status == 500 and "error" in body
+    _, st1 = _get_state(conn)
+    assert st1["loaded"] and st1["duration"] == st0["duration"]
+    # missing file: same contract
+    conn.request("POST", "/control", json.dumps({"action": "open", "value": "/nope.wav"}))
+    r = conn.getresponse()
+    assert r.status == 500
+    r.read()
+    _, st2 = _get_state(conn)
+    assert st2["loaded"]
