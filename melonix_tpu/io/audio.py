@@ -54,6 +54,14 @@ def load_audio(path: str, *, mono: bool = True) -> tuple[np.ndarray, int]:
     """
     lower = path.lower()
     if lower.endswith(".wav"):
+        from ..runtime import native
+
+        lib = native.try_load()
+        if lib is not None and hasattr(lib, "mlx_wav_info"):
+            try:
+                return native.decode_wav(lib, path, mono=mono)
+            except ValueError as e:
+                raise DecodeError(str(e)) from e
         x, rate = read_wav(path)
         return (downmix_mono(x) if mono else x), rate
 

@@ -159,3 +159,42 @@ def build_grains(lib: ctypes.CDLL, wav: np.ndarray, pgs: int):
         cap,
     )
     return GrainTable(starts[:count].copy(), lengths[:count].copy())
+
+
+def decode_wav(lib: ctypes.CDLL, path: str, *, mono: bool = True):
+    """Native WAV decode → (float32 (n,) or (n, ch), rate); None = can't."""
+    if not hasattr(lib, "mlx_wav_info"):
+        return None
+    lib.mlx_wav_info.restype = ctypes.c_int32
+    lib.mlx_wav_info.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.mlx_wav_read.restype = ctypes.c_int32
+    lib.mlx_wav_read.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.c_int32,
+    ]
+    n = ctypes.c_int64()
+    ch = ctypes.c_int32()
+    rate = ctypes.c_int32()
+    rc = lib.mlx_wav_info(path.encode(), ctypes.byref(n), ctypes.byref(ch), ctypes.byref(rate))
+    if rc != 0:
+        raise ValueError(f"{path}: not a decodable WAV (native rc {rc})")
+    frames = int(n.value)
+    channels = int(ch.value)
+    shape = (frames,) if (mono or channels == 1) else (frames, channels)
+    out = np.zeros(shape, np.float32)
+    rc = lib.mlx_wav_read(
+        path.encode(),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        frames,
+        1 if mono else 0,
+    )
+    if rc != 0:
+        raise ValueError(f"{path}: native WAV read failed (rc {rc})")
+    return out, int(rate.value)

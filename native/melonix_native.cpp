@@ -409,4 +409,154 @@ void mlx_ring_clear(void* h) {
                 std::memory_order_release);
 }
 
+
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// WAV decoder (the native data loader; reference decodes via FFmpeg's C
+// libav*/libswresample, app.cpp:624-741).  RIFF parse, PCM 8/16/24/32 and
+// IEEE float32/64, optional mean downmix (libswresample's default matrix).
+// Two-call protocol: mlx_wav_info sizes the caller's buffer, mlx_wav_read
+// fills it.  Returns 0 on success, negative error codes on bad input.
+// ---------------------------------------------------------------------------
+
+#include <cstdio>
+
+namespace {
+
+struct WavFmt {
+  uint16_t tag = 0;
+  uint16_t channels = 0;
+  uint32_t rate = 0;
+  uint16_t bits = 0;
+  long data_pos = -1;
+  uint32_t data_size = 0;
+};
+
+static int wav_parse(FILE* f, WavFmt* w) {
+  unsigned char hdr[12];
+  if (fread(hdr, 1, 12, f) != 12) return -2;
+  if (memcmp(hdr, "RIFF", 4) != 0 || memcmp(hdr + 8, "WAVE", 4) != 0) return -2;
+  unsigned char ch[8];
+  while (fread(ch, 1, 8, f) == 8) {
+    const uint32_t size = (uint32_t)ch[4] | ((uint32_t)ch[5] << 8) |
+                          ((uint32_t)ch[6] << 16) | ((uint32_t)ch[7] << 24);
+    if (memcmp(ch, "fmt ", 4) == 0) {
+      unsigned char fmt[40];
+      const uint32_t take = size < sizeof(fmt) ? size : (uint32_t)sizeof(fmt);
+      if (fread(fmt, 1, take, f) != take) return -3;
+      if (size > take && fseek(f, (long)(size - take), SEEK_CUR) != 0) return -3;
+      w->tag = (uint16_t)(fmt[0] | (fmt[1] << 8));
+      w->channels = (uint16_t)(fmt[2] | (fmt[3] << 8));
+      w->rate = (uint32_t)fmt[4] | ((uint32_t)fmt[5] << 8) |
+                ((uint32_t)fmt[6] << 16) | ((uint32_t)fmt[7] << 24);
+      w->bits = (uint16_t)(fmt[14] | (fmt[15] << 8));
+      if (w->tag == 0xFFFE && size >= 26)  // WAVE_FORMAT_EXTENSIBLE
+        w->tag = (uint16_t)(fmt[24] | (fmt[25] << 8));
+    } else if (memcmp(ch, "data", 4) == 0) {
+      w->data_pos = ftell(f);
+      w->data_size = size;
+      if (fseek(f, (long)size, SEEK_CUR) != 0) break;
+    } else {
+      if (fseek(f, (long)size, SEEK_CUR) != 0) return -3;
+    }
+    if (size & 1) fseek(f, 1, SEEK_CUR);
+  }
+  if (w->data_pos < 0 || w->channels == 0 || w->bits == 0) return -4;
+  // Clamp the declared size to the actual payload (the reference's own
+  // writer over-reports by 16, save-wav.cpp:43).
+  if (fseek(f, 0, SEEK_END) != 0) return -3;
+  const long end = ftell(f);
+  if (end - w->data_pos < (long)w->data_size)
+    w->data_size = (uint32_t)(end - w->data_pos);
+  return 0;
+}
+
+}  // namespace
+
+extern "C" int32_t mlx_wav_info(const char* path, int64_t* n_frames, int32_t* channels,
+                     int32_t* rate) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  WavFmt w;
+  const int rc = wav_parse(f, &w);
+  fclose(f);
+  if (rc != 0) return rc;
+  const uint32_t frame_bytes = (uint32_t)w.channels * (w.bits / 8);
+  if (frame_bytes == 0) return -4;
+  *n_frames = (int64_t)(w.data_size / frame_bytes);
+  *channels = w.channels;
+  *rate = (int32_t)w.rate;
+  return 0;
+}
+
+extern "C" int32_t mlx_wav_read(const char* path, float* out, int64_t n_frames,
+                     int32_t mono) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  WavFmt w;
+  int rc = wav_parse(f, &w);
+  if (rc != 0) {
+    fclose(f);
+    return rc;
+  }
+  fseek(f, w.data_pos, SEEK_SET);
+  const int ch = w.channels;
+  const int bytes = w.bits / 8;
+  std::vector<unsigned char> buf((size_t)(1 << 16) * ch * bytes);
+  const int64_t frames_per_buf = (int64_t)(1 << 16);
+  int64_t done = 0;
+  const float inv_mean = mono ? 1.0f / (float)ch : 1.0f;
+  while (done < n_frames) {
+    const int64_t want = std::min(frames_per_buf, n_frames - done);
+    const size_t got = fread(buf.data(), (size_t)ch * bytes, (size_t)want, f);
+    if (got == 0) break;
+    for (size_t i = 0; i < got; ++i) {
+      float acc = 0.0f;
+      for (int c = 0; c < ch; ++c) {
+        const unsigned char* p = buf.data() + (i * ch + c) * bytes;
+        float v = 0.0f;
+        switch (w.tag) {
+          case 1:  // PCM
+            if (w.bits == 16) {
+              v = (float)(int16_t)(p[0] | (p[1] << 8)) / 32768.0f;
+            } else if (w.bits == 8) {
+              v = ((float)p[0] - 128.0f) / 128.0f;
+            } else if (w.bits == 24) {
+              int32_t s = (int32_t)p[0] | ((int32_t)p[1] << 8) |
+                          ((int32_t)p[2] << 16);
+              if (s >= (1 << 23)) s -= (1 << 24);
+              v = (float)s / 8388608.0f;
+            } else if (w.bits == 32) {
+              int32_t s;
+              memcpy(&s, p, 4);
+              v = (float)s / 2147483648.0f;
+            }
+            break;
+          case 3:  // IEEE float
+            if (w.bits == 32) {
+              memcpy(&v, p, 4);
+            } else if (w.bits == 64) {
+              double d;
+              memcpy(&d, p, 8);
+              v = (float)d;
+            }
+            break;
+          default:
+            fclose(f);
+            return -5;
+        }
+        if (mono) {
+          acc += v;
+        } else {
+          out[(done + (int64_t)i) * ch + c] = v;
+        }
+      }
+      if (mono) out[done + (int64_t)i] = acc * inv_mean;
+    }
+    done += (int64_t)got;
+  }
+  fclose(f);
+  return 0;
+}
+

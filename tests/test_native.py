@@ -152,3 +152,30 @@ def test_native_ring():
         assert lib.mlx_ring_avail(h) == 0
     finally:
         lib.mlx_ring_free(h)
+
+
+def test_native_wav_decoder(chirp, tmp_path):
+    from melonix_tpu.io.wav import write_wav, read_wav
+    from melonix_tpu.io.audio import downmix_mono
+    from melonix_tpu.runtime import native
+
+    lib = native.try_load()
+    if lib is None or not hasattr(lib, "mlx_wav_info"):
+        pytest.skip("native runtime not built")
+    x, sr = chirp
+    stereo = np.stack([x, -0.5 * x], axis=1).astype(np.float32)
+    for dtype in ("float32", "int16"):
+        p = str(tmp_path / f"st_{dtype}.wav")
+        write_wav(p, stereo, sr, dtype=dtype)
+        want, wrate = read_wav(p)
+        got_m, rate = native.decode_wav(lib, p, mono=True)
+        got_s, rate2 = native.decode_wav(lib, p, mono=False)
+        assert rate == wrate == rate2 == sr
+        np.testing.assert_allclose(got_s, want, atol=1e-6)
+        np.testing.assert_allclose(got_m, downmix_mono(want), atol=1e-6)
+    # corrupt file → error, not crash
+    bad = str(tmp_path / "bad.wav")
+    with open(bad, "wb") as f:
+        f.write(b"garbage garbage garbage")
+    with pytest.raises(ValueError):
+        native.decode_wav(lib, bad)
