@@ -62,6 +62,14 @@ body { margin:0; background:#111; color:#ddd; font:13px sans-serif; }
  <label>Tempo <input id="tempo" type="range" min="30" max="250" value="130"
    oninput="ctl('tempo', this.value)"></label>
  <label><input id="follow" type="checkbox" onchange="ctl('follow', this.checked?1:0)">Follow</label>
+ <span id="marker" style="display:none">
+  dTime <input id="mdt" type="number" step="0.01" style="width:70px"
+    onchange="ctl('marker_dtime', parseFloat(this.value)||0)">
+  <button onclick="ctl('marker_dtime', null)">0</button>
+  bend <input id="mpb" type="number" step="0.1" style="width:60px"
+    onchange="ctl('marker_bend', parseFloat(this.value)||0)">
+  <button onclick="ctl('marker_bend', null)">0</button>
+ </span>
  <span id="readout"></span>
  <span class="hint">drag=pan &middot; ctrl+drag=zoom t &middot; alt+drag=note axis &middot;
   click=marker &middot; rclick=delete &middot; space/&larr;/&rarr;</span>
@@ -167,6 +175,13 @@ setInterval(() => {
       s.loaded ? (s.cursor.toFixed(2)+'s / '+s.duration.toFixed(2)+'s · '+
                   s.markers+' markers · '+s.fps.toFixed(0)+' fps') : 'no file';
     document.getElementById('follow').checked = s.follow;
+    const mk = document.getElementById('marker');
+    mk.style.display = s.marker ? 'inline' : 'none';
+    if (s.marker) {
+      const dt = document.getElementById('mdt'), pb = document.getElementById('mpb');
+      if (document.activeElement !== dt) dt.value = s.marker.d_time.toFixed(3);
+      if (document.activeElement !== pb) pb.value = s.marker.pitch_bend.toFixed(2);
+    }
     if (s.playing !== playing) syncAudio(s);
     if (s.playing) refresh();
   });
@@ -229,6 +244,15 @@ class EditorServer:
             "range_note": st.range_note,
             "markers": len(st.markers),
             "selected": st.selected,
+            "marker": (
+                {
+                    "d_time": st.markers[st.selected].d_time,
+                    "pitch_bend": st.markers[st.selected].pitch_bend,
+                    "note": st.markers[st.selected].note,
+                }
+                if st.selected is not None and st.selected < len(st.markers)
+                else None
+            ),
             "playing": st.is_playing,
             "follow": st.follow_mode,
             "brightness": st.brightness,
@@ -310,6 +334,16 @@ class EditorServer:
             st.follow_mode = bool(int(value))
         elif action == "open":  # direct path open (tests / CLI arg)
             st.open_file(str(value))
+        elif action in ("marker_dtime", "marker_bend") and st.selected is not None:
+            # Marker window numeric edit (app.cpp:87-107); value None = the
+            # zero button.
+            m = st.markers[st.selected]
+            v = 0.0 if value is None else float(value)
+            if action == "marker_dtime":
+                m.d_time = v
+            else:
+                m.pitch_bend = v
+            st.invalidate()
 
     def _audio_wav(self) -> bytes:
         """Rendered edit as an in-memory WAV (the playback signal)."""

@@ -205,3 +205,21 @@ def test_fail_soft_bad_file(server, tmp_path):
     r.read()
     _, st2 = _get_state(conn)
     assert st2["loaded"]
+
+
+def test_marker_numeric_edit(server):
+    """Marker window numeric edit + zero buttons (app.cpp:87-107)."""
+    srv, conn, wav = server
+    _post(conn, "/control", {"action": "open", "value": wav})
+    _post(conn, "/event", {"kind": "button", "x": 300, "y": 200, "pressed": True, "button": 1})
+    _, st = _get_state(conn)
+    assert st["selected"] == 0 and st["marker"] is not None
+    _post(conn, "/control", {"action": "marker_dtime", "value": 0.25})
+    _post(conn, "/control", {"action": "marker_bend", "value": -3.5})
+    m = srv.state.markers[0]
+    assert m.d_time == 0.25 and m.pitch_bend == -3.5
+    _, st = _get_state(conn)
+    assert st["marker"]["d_time"] == 0.25 and st["marker"]["pitch_bend"] == -3.5
+    # zero buttons send null
+    _post(conn, "/control", {"action": "marker_dtime", "value": None})
+    assert srv.state.markers[0].d_time == 0.0
