@@ -64,6 +64,7 @@ def main() -> None:
         render_device,
         render_device_args,
     )
+    from melonix_tpu.kernels import pallas_render
     from melonix_tpu.engine.spectral import hann_window, num_frames, stft_mags_device
     from melonix_tpu.markers import Marker
 
@@ -104,9 +105,29 @@ def main() -> None:
     )
     t_plan = time.perf_counter() - t0
 
+    use_pallas = (
+        jax.default_backend() == "tpu" and pallas_render.plan_supported(plan)
+    )
+    if use_pallas:
+        gmax, szmax = pallas_render._buckets(plan)
+        pallas_args = (
+            jnp.asarray(gs),
+            jnp.asarray(plan.rate),
+            jnp.asarray(plan.sz, jnp.int32),
+            jnp.asarray(offs),
+            out_len,
+            jnp.asarray(fix_idx),
+            jnp.asarray(fix_val),
+        )
+
     def pipeline():
         mags = stft_mags_device(wav_dev, win, cfg.stft_size, cfg.stft_hop, nf)
-        out = render_device(wav_dev, *dev_args)
+        if use_pallas:
+            out = pallas_render.granular_render_pallas(
+                wav_dev, *pallas_args, gmax=gmax, szmax=szmax
+            )
+        else:
+            out = render_device(wav_dev, *dev_args)
         return mags, out
 
     # Warm-up / compile, then correctness anchor (forces real execution).

@@ -158,3 +158,56 @@ def test_extract_frames_pallas(rng):
         avail = min(size, n - s)
         want[:avail] = wav[s : s + avail]
         np.testing.assert_array_equal(got[i], want, err_msg=f"frame {i} start {s}")
+
+
+# ----------------------------------------------------------------------
+# Gather-free granular render (kernels/pallas_render.py)
+# ----------------------------------------------------------------------
+
+
+def test_granular_render_pallas_matches_xla():
+    import jax
+
+    from melonix_tpu.engine.grains import build_grain_table
+    from melonix_tpu.engine.maps import MapKnots
+    from melonix_tpu.engine.render import (
+        build_render_plan,
+        render_device,
+        render_device_args,
+    )
+    from melonix_tpu.kernels.pallas_render import (
+        granular_render_pallas,
+        plan_supported,
+    )
+    from melonix_tpu.markers import Marker
+
+    sr = 8000
+    t = np.arange(int(sr * 0.6)) / sr
+    x = (0.6 * np.sin(2 * np.pi * 190.0 * t) + 0.02 * np.sin(2 * np.pi * 41.0 * t)).astype(
+        np.float32
+    )
+    table = build_grain_table(x)
+    markers = [Marker(sample=len(x) // 2, note=57.0, d_time=0.03, pitch_bend=4.0)]
+    knots = MapKnots.from_markers(markers, sr, len(x))
+    plan = build_render_plan(table, knots)
+    assert plan_supported(plan)
+    out_len = 1024 * -(-plan.total_out // 1024)
+    offs, gs, rb, n_valid, _, fi, fv = render_device_args(plan, x, out_len)
+
+    want = np.asarray(
+        render_device(
+            jnp.asarray(x), jnp.asarray(offs), jnp.asarray(gs), jnp.asarray(rb),
+            n_valid, out_len, jnp.asarray(fi), jnp.asarray(fv),
+        )
+    )
+    got = np.asarray(
+        granular_render_pallas(
+            jnp.asarray(x), jnp.asarray(gs), jnp.asarray(plan.rate),
+            jnp.asarray(plan.sz, jnp.int32), jnp.asarray(offs),
+            out_len, jnp.asarray(fi), jnp.asarray(fv), interpret=True,
+        )
+    )
+    # 1-ulp differences allowed: the two backends may contract the lerp's
+    # multiply-add differently (fma); indices/masking must agree exactly.
+    np.testing.assert_allclose(got, want, atol=2e-6)
+    assert np.mean(got == want) > 0.8
