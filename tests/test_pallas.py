@@ -211,3 +211,51 @@ def test_granular_render_pallas_matches_xla():
     # multiply-add differently (fma); indices/masking must agree exactly.
     np.testing.assert_allclose(got, want, atol=2e-6)
     assert np.mean(got == want) > 0.8
+
+
+def test_granular_render_pallas_extreme_bends():
+    """Rates at the kernel's span limits (+-24 semitones) stay correct."""
+    from melonix_tpu.engine.grains import build_grain_table
+    from melonix_tpu.engine.maps import MapKnots
+    from melonix_tpu.engine.render import (
+        build_render_plan,
+        render_device,
+        render_device_args,
+    )
+    from melonix_tpu.kernels.pallas_render import (
+        _buckets,
+        granular_render_pallas,
+        plan_supported,
+    )
+    from melonix_tpu.markers import Marker
+
+    sr = 8000
+    t = np.arange(int(sr * 0.5)) / sr
+    x = (0.5 * np.sin(2 * np.pi * 210.0 * t)).astype(np.float32)
+    n = len(x)
+    for bend in (24.0, -24.0):
+        markers = [
+            Marker(sample=n // 8, note=57.0, d_time=0.0, pitch_bend=bend),
+            Marker(sample=7 * n // 8, note=57.0, d_time=0.0, pitch_bend=bend),
+        ]
+        knots = MapKnots.from_markers(markers, sr, n)
+        plan = build_render_plan(knots=knots, grains=build_grain_table(x))
+        assert plan_supported(plan), (bend, int(plan.sz.max()))
+        gmax, szmax = _buckets(plan)
+        out_len = 1024 * -(-plan.total_out // 1024)
+        offs, gs, rb, n_valid, _, fi, fv = render_device_args(plan, x, out_len)
+        want = np.asarray(
+            render_device(
+                jnp.asarray(x), jnp.asarray(offs), jnp.asarray(gs), jnp.asarray(rb),
+                n_valid, out_len, jnp.asarray(fi), jnp.asarray(fv),
+            )
+        )
+        got = np.asarray(
+            granular_render_pallas(
+                jnp.asarray(x), jnp.asarray(gs), jnp.asarray(plan.rate),
+                jnp.asarray(plan.sz, jnp.int32), jnp.asarray(offs),
+                out_len, jnp.asarray(fi), jnp.asarray(fv),
+                gmax=gmax, szmax=szmax, interpret=True,
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=2e-6, err_msg=f"bend {bend}")
