@@ -117,7 +117,9 @@ def _bits(x: np.ndarray) -> np.ndarray:
 
 @partial(
     jax.jit,
-    static_argnames=("size", "hop", "n_out", "n_frames", "sr", "formant", "n_ceps"),
+    static_argnames=(
+        "size", "hop", "n_out", "n_frames", "sr", "formant", "n_ceps", "resample"
+    ),
 )
 def _pv_device(
     wav,
@@ -127,7 +129,7 @@ def _pv_device(
     seg_t0_b, seg_b0_b, seg_s_b, seg_p0_b,  # int32 (K,) f32 bit patterns
     window,
     size, hop, n_out, n_frames, sr,
-    formant=False, n_ceps=40,
+    formant=False, n_ceps=40, resample=True,
 ):
     n = wav.shape[0]
     n_bins = size // 2 + 1
@@ -224,11 +226,14 @@ def _pv_device(
     stretch_len = (n_frames - 1) * hop + size
     y = istft_device(synth, window, size, hop, stretch_len)
 
-    # 4. Variable-rate resample back to the output timeline (2 gathers).
+    # 4. Variable-rate resample back to the output timeline.
     src = pos - jnp.exp2(
         (b0 + s * dt) * (1.0 / 12.0)
     )  # exclusive-ish: p(t_j) - rho(t_j), matches the prior cumsum convention
     src = jnp.maximum(src, 0.0)
+    if not resample:
+        # Caller finishes with the Pallas lane-gather resampler (TPU path).
+        return y, src
     i0 = jnp.floor(src).astype(jnp.int32)
     frac = src - i0.astype(jnp.float32)
     lo = y[jnp.clip(i0, 0, stretch_len - 1)]
@@ -281,7 +286,9 @@ def render_track_pv(
     def _padded(vals):
         return np.pad(np.asarray(vals), (0, pad), mode="edge")
 
-    out = _pv_device(
+    from ..kernels import pallas_resample
+
+    dev_args = (
         jnp.asarray(wav),
         jnp.asarray(a_m.astype(np.float32)),
         jnp.asarray(rho_m.astype(np.float32)),
@@ -291,7 +298,33 @@ def render_track_pv(
         jnp.asarray(_bits(_padded(slopes))),
         jnp.asarray(_bits(_padded(p0s))),
         jnp.asarray(hann_window(size)),
-        size, hop, n_out_pad, n_frames, sr,
-        formant=preserve_formants,
     )
+    if jax.default_backend() == "tpu":
+        # Lane-gather resample: the XLA tail's two 8M-element gathers are
+        # ~75% of the whole render's device time.
+        y, src = _pv_device(
+            *dev_args, size, hop, n_out_pad, n_frames, sr,
+            formant=preserve_formants, resample=False,
+        )
+        blk = pallas_resample.BLK
+        t_blocks = (np.arange(n_out_pad // blk, dtype=np.float64) * blk + 1.0) / sr
+        seg = np.clip(np.searchsorted(t0s, t_blocks, side="right") - 1, 0, len(t0s) - 1)
+        dtb = t_blocks - t0s[seg]
+        rho_b = 2.0 ** ((b0s[seg] + slopes[seg] * dtb) / 12.0)
+        flat = np.abs(slopes[seg]) < 1e-12
+        r0 = 2.0 ** (b0s[seg] / 12.0)
+        with np.errstate(invalid="ignore"):
+            p_b = p0s[seg] + np.where(
+                flat, r0 * dtb, (rho_b - r0) / (np.where(flat, 1.0, slopes[seg]) * LN2_12)
+            )
+        src_b = np.maximum(p_b * sr - rho_b, 0.0)
+        stretch_len = (n_frames - 1) * hop + size
+        base = pallas_resample.block_bases(src_b, stretch_len)
+        rows = pallas_resample.rows_for(float(max(rho_m.max(), 1.0)))
+        out = pallas_resample.resample_lerp_pallas(y, src, jnp.asarray(base), rows)
+    else:
+        out = _pv_device(
+            *dev_args, size, hop, n_out_pad, n_frames, sr,
+            formant=preserve_formants,
+        )
     return np.asarray(out[:n_out])

@@ -1,0 +1,135 @@
+"""Pallas variable-position lerp resampler.
+
+``out[j] = lerp(y, pos[j])`` with monotone positions is the tail of the
+phase vocoder (and any variable-rate playback path).  As XLA gathers the
+two taps cost ~7.5 ns/element (~135 ms for a 3-minute track); here each
+2048-sample output block DMAs the contiguous source span it covers and
+lane-gathers within it (the kernels/pallas_render.py machinery, but with
+aligned non-overlapping output blocks — no compaction pass needed).
+
+The per-block source spans come from the HOST (analytic float64 evaluation
+of the position curve at block starts, padded with slack so float32
+rounding on the device can never escape the slab).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLK = 2048  # output samples per block
+BLK_ROWS = BLK // 128
+SLACK = 128  # guard below the host base for device f32 rounding
+
+
+def _kernel(base_ref, y_hbm, pos_ref, o_ref, slab, sems, *, rows):
+    b = pl.program_id(0)
+    nb = pl.num_programs(0)
+
+    def _copy(blk, slot):
+        row0 = jax.lax.div(base_ref[blk], 128)
+        return pltpu.make_async_copy(
+            y_hbm.at[pl.ds(row0, rows)], slab.at[slot], sems.at[slot]
+        )
+
+    @pl.when(b == 0)
+    def _():
+        _copy(0, 0).start()
+
+    @pl.when(b + 1 < nb)
+    def _():
+        _copy(b + 1, (b + 1) % 2).start()
+
+    _copy(b, b % 2).wait()
+
+    base = base_ref[b]
+    rem = jax.lax.rem(base, 128)
+    cur = slab[b % 2]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+    sh = jax.lax.rem(128 - rem, 128)
+    a_same = pltpu.roll(cur, sh, 1)
+    a_next = pltpu.roll(pltpu.roll(cur, rows - 1, 0), sh, 1)
+    g = jnp.where(lane + rem < 128, a_same, a_next)
+    h_lane = pltpu.roll(g, 127, 1)
+    h_carry = pltpu.roll(h_lane, rows - 1, 0)
+    hsh = jnp.where(lane < 127, h_lane, h_carry)
+
+    pos = pos_ref[0]
+    idx_f = jnp.floor(pos)
+    frac = pos - idx_f
+    rel = jnp.clip(idx_f.astype(jnp.int32) - base, 0, rows * 128 - 2)
+    row = rel >> 7
+    lanei = rel & 127
+    lo = jnp.zeros((BLK_ROWS, 128), jnp.float32)
+    hi = jnp.zeros((BLK_ROWS, 128), jnp.float32)
+    for h in range(rows - 1):
+        sel = row == h
+        g_row = jnp.broadcast_to(g[h][None, :], (BLK_ROWS, 128))
+        h_row = jnp.broadcast_to(hsh[h][None, :], (BLK_ROWS, 128))
+        lo = jnp.where(sel, jnp.take_along_axis(g_row, lanei, axis=1), lo)
+        hi = jnp.where(sel, jnp.take_along_axis(h_row, lanei, axis=1), hi)
+    o_ref[0] = (1.0 - frac) * lo + frac * hi
+
+
+def block_bases(pos_block_starts: np.ndarray, n_src: int) -> np.ndarray:
+    """Host: slab base per block from float64 start positions (with slack)."""
+    base = np.floor(pos_block_starts).astype(np.int64) - SLACK
+    return np.clip(base, 0, max(n_src - 1, 0)).astype(np.int32)
+
+
+def rows_for(max_rate: float) -> int:
+    """Slab rows covering one block's span at ``max_rate`` plus guards."""
+    span = int(BLK * max(max_rate, 0.01)) + 2 * SLACK + 256
+    return 8 * -(-(span // 128 + 2) // 8)
+
+
+@partial(jax.jit, static_argnames=("rows", "interpret"))
+def resample_lerp_pallas(
+    y: jnp.ndarray,  # (n_src,) float32 source
+    pos: jnp.ndarray,  # (n_out,) float32 monotone positions, n_out % BLK == 0
+    base: jnp.ndarray,  # int32 (n_out // BLK,) host slab bases
+    rows: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    n_src = y.shape[0]
+    n_out = pos.shape[0]
+    nb = n_out // BLK
+    total = 128 * -(-(n_src + (rows + 2) * 128) // 128)
+    yp = jnp.zeros((total,), jnp.float32)
+    yp = jax.lax.dynamic_update_slice(yp, y.astype(jnp.float32), (0,))
+    y2d = yp.reshape(total // 128, 128)
+
+    out = pl.pallas_call(
+        partial(_kernel, rows=rows),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(
+                    (1, BLK_ROWS, 128), lambda b, s: (b, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, BLK_ROWS, 128), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, rows, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((nb, BLK_ROWS, 128), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=n_out * 8,
+            bytes_accessed=4 * (nb * rows * 128 + 2 * n_out),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(base, y2d, pos.reshape(nb, BLK_ROWS, 128))
+    return out.reshape(n_out)

@@ -259,3 +259,30 @@ def test_granular_render_pallas_extreme_bends():
             )
         )
         np.testing.assert_allclose(got, want, atol=2e-6, err_msg=f"bend {bend}")
+
+
+def test_resample_lerp_pallas_matches_xla(rng):
+    from melonix_tpu.kernels.pallas_resample import (
+        BLK,
+        block_bases,
+        resample_lerp_pallas,
+        rows_for,
+    )
+
+    n_src = 9000
+    y = rng.standard_normal(n_src).astype(np.float32)
+    n_out = 2 * BLK
+    # Monotone positions with rate wandering in [0.6, 1.9]
+    rates = (1.25 + 0.65 * np.sin(np.linspace(0, 9, n_out))).astype(np.float64)
+    pos64 = np.cumsum(rates) - rates
+    pos = pos64.astype(np.float32)
+    base = block_bases(pos64[::BLK], n_src)
+    rows = rows_for(1.9)
+    got = np.asarray(
+        resample_lerp_pallas(jnp.asarray(y), jnp.asarray(pos), jnp.asarray(base), rows, interpret=True)
+    )
+    i0 = np.clip(np.floor(pos).astype(np.int64), 0, n_src - 1)
+    frac = (pos - np.floor(pos)).astype(np.float32)
+    yp = np.concatenate([y, np.zeros(8192, np.float32)])
+    want = (1 - frac) * yp[i0] + frac * yp[i0 + 1]
+    np.testing.assert_allclose(got, want, atol=2e-6)
