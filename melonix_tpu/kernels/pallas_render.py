@@ -167,9 +167,14 @@ def _compact(vals, offsets, out_len: int, szmax: int):
     return out[:out_len]
 
 
+MAX_STEPS = 24576  # 3 scalar-prefetch arrays must fit SMEM (1 MB)
+
+
 def plan_supported(plan) -> bool:
-    """Kernel limits: grain + seam tap within the caps (host-checked)."""
-    if plan.n_steps == 0:
+    """Kernel limits (host-checked): grain + seam tap within the caps, and
+    few enough steps that the scalar-prefetch arrays fit SMEM (~25 min of
+    audio; longer tracks use the XLA segmented-broadcast kernel)."""
+    if plan.n_steps == 0 or plan.n_steps > MAX_STEPS:
         return False
     return int(plan.grain_len.max()) < GMAX_CAP and int(plan.sz.max()) <= SZMAX_CAP
 
