@@ -109,16 +109,7 @@ def main() -> None:
         jax.default_backend() == "tpu" and pallas_render.plan_supported(plan)
     )
     if use_pallas:
-        gmax, szmax = pallas_render._buckets(plan)
-        pallas_args = (
-            jnp.asarray(gs),
-            jnp.asarray(plan.rate),
-            jnp.asarray(plan.sz, jnp.int32),
-            jnp.asarray(offs),
-            out_len,
-            jnp.asarray(fix_idx),
-            jnp.asarray(fix_val),
-        )
+        pallas_args, gmax, szmax = pallas_render.args_for(plan, x, out_len)
 
     def pipeline():
         mags = stft_mags_device(wav_dev, win, cfg.stft_size, cfg.stft_hop, nf)

@@ -320,7 +320,10 @@ def render_track_pv(
         src_b = np.maximum(p_b * sr - rho_b, 0.0)
         stretch_len = (n_frames - 1) * hop + size
         base = pallas_resample.block_bases(src_b, stretch_len)
-        rows = pallas_resample.rows_for(float(max(rho_m.max(), 1.0)))
+        # Slab sizing from the KNOT-wise bend maximum (the curve's true
+        # extremum — frame-sampled rho_m can miss a spike between frames).
+        rho_max = float(2.0 ** (max(np.max(b0s), 0.0) / 12.0))
+        rows = pallas_resample.rows_for(max(rho_max, float(rho_m.max()), 1.0))
         out = pallas_resample.resample_lerp_pallas(y, src, jnp.asarray(base), rows)
     else:
         out = _pv_device(

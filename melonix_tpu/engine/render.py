@@ -314,26 +314,17 @@ def render(
         return np.zeros(total, np.float32)
     out_len = _round_up(total, pad_to)
     wav_np = np.asarray(wav, np.float32)
-    offs, gs, rb, n_valid, _, fix_idx, fix_val = render_device_args(plan, wav_np, out_len)
 
     from ..kernels import pallas_render
 
     if jax.default_backend() == "tpu" and pallas_render.plan_supported(plan):
         # Gather-free Pallas path: per-step DMA + lane-gather resample.
-        gmax, szmax = pallas_render._buckets(plan)
+        args, gmax, szmax = pallas_render.args_for(plan, wav_np, out_len)
         out = pallas_render.granular_render_pallas(
-            jnp.asarray(wav_np),
-            jnp.asarray(gs),
-            jnp.asarray(plan.rate),
-            jnp.asarray(plan.sz, jnp.int32),
-            jnp.asarray(offs),
-            out_len,
-            jnp.asarray(fix_idx),
-            jnp.asarray(fix_val),
-            gmax=gmax,
-            szmax=szmax,
+            jnp.asarray(wav_np), *args, gmax=gmax, szmax=szmax
         )
         return np.asarray(out[:total])
+    offs, gs, rb, n_valid, _, fix_idx, fix_val = render_device_args(plan, wav_np, out_len)
     out = render_device(
         jnp.asarray(wav_np),
         jnp.asarray(offs),

@@ -82,13 +82,17 @@ def _polyphase_device(x2, banks, m_out: int, down: int, front_rows: int):
     """x2: (C, rows, down) padded source view; banks (R, down, up)."""
     del down, front_rows  # encoded in the shapes / bank construction
     r_shifts = banks.shape[0]
+    # precision=HIGHEST: the default TPU matmul precision is bf16-class and
+    # would cap the resampler at ~-48 dB, defeating the 80 dB Kaiser design.
     acc = jnp.einsum(
-        "crd,du->cru", x2[:, 0:m_out], banks[0], preferred_element_type=jnp.float32
+        "crd,du->cru", x2[:, 0:m_out], banks[0],
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
     )
     for r in range(1, r_shifts):
         acc = acc + jnp.einsum(
             "crd,du->cru", x2[:, r : r + m_out], banks[r],
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
     return acc  # (C, m_out, up)
 

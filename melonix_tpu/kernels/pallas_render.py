@@ -42,6 +42,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .lane_gather import lerp_rows, realign, shift_one
+
 GMAX_CAP = 4096  # largest supported grain length + seam tap
 SZMAX_CAP = 8192  # largest supported per-step output span
 
@@ -81,17 +83,8 @@ def _kernel(gs_ref, rate_ref, sz_ref, wav_hbm, o_ref, slab, sems, *, gmax, szmax
     _copy(s, s % 2).wait()
 
     # Realign the slab so flat element k is wav[grain_start + k].
-    rem = jax.lax.rem(gs_ref[s], 128)
-    cur = slab[s % 2]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (g_rows, 128), 1)
-    sh = jax.lax.rem(128 - rem, 128)
-    a_same = pltpu.roll(cur, sh, 1)
-    a_next = pltpu.roll(pltpu.roll(cur, g_rows - 1, 0), sh, 1)
-    g = jnp.where(lane + rem < 128, a_same, a_next)
-    # H[h, l] = G_flat[128h + l + 1] (the lerp's upper tap).
-    h_lane = pltpu.roll(g, 127, 1)
-    h_carry = pltpu.roll(h_lane, g_rows - 1, 0)
-    hsh = jnp.where(lane < 127, h_lane, h_carry)
+    g = realign(slab[s % 2], jax.lax.rem(gs_ref[s], 128), g_rows)
+    hsh = shift_one(g, g_rows)
 
     rate = rate_ref[s]
     sz = sz_ref[s]
@@ -103,19 +96,8 @@ def _kernel(gs_ref, rate_ref, sz_ref, wav_hbm, o_ref, slab, sems, *, gmax, szmax
     idx_f = jnp.floor(x)
     frac = x - idx_f
     idx = jnp.clip(idx_f.astype(jnp.int32), 0, gmax)
-    row = idx >> 7
-    lanei = idx & 127
-
-    lo = jnp.zeros((sz_rows, 128), jnp.float32)
-    hi = jnp.zeros((sz_rows, 128), jnp.float32)
-    for h in range(gmax // 128 + 1):  # rows 0..gmax/128 cover idx in [0, gmax]
-        sel = row == h
-        g_row = jnp.broadcast_to(g[h][None, :], (sz_rows, 128))
-        h_row = jnp.broadcast_to(hsh[h][None, :], (sz_rows, 128))
-        lo = jnp.where(sel, jnp.take_along_axis(g_row, lanei, axis=1), lo)
-        hi = jnp.where(sel, jnp.take_along_axis(h_row, lanei, axis=1), hi)
-
-    val = (1.0 - frac) * lo + frac * hi
+    # rows 0..gmax/128 cover idx in [0, gmax]
+    val = lerp_rows(g, hsh, idx, frac, sz_rows, gmax // 128 + 1)
     o_ref[0] = jnp.where(i2 < sz, val, 0.0)
 
 
@@ -168,6 +150,30 @@ def _compact(vals, offsets, out_len: int, szmax: int):
 
 
 MAX_STEPS = 24576  # 3 scalar-prefetch arrays must fit SMEM (1 MB)
+
+
+def args_for(plan, wav_np, out_len: int):
+    """Public dispatch helper: device operands + buckets for this kernel.
+
+    Shared by engine/render.render and bench.py so the argument marshalling
+    and bucketing live in one place.
+    """
+    import numpy as np
+
+    from ..engine.render import render_device_args
+
+    _, gs, _, _, _, fix_idx, fix_val = render_device_args(plan, wav_np, out_len)
+    gmax, szmax = _buckets(plan)
+    args = (
+        jnp.asarray(gs),
+        jnp.asarray(plan.rate.astype(np.float32)),
+        jnp.asarray(plan.sz, jnp.int32),
+        jnp.asarray(plan.out_offset[:-1], jnp.int32),
+        out_len,
+        jnp.asarray(fix_idx),
+        jnp.asarray(fix_val),
+    )
+    return args, gmax, szmax
 
 
 def plan_supported(plan) -> bool:

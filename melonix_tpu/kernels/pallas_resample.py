@@ -22,6 +22,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .lane_gather import lerp_rows, realign, shift_one
+
 BLK = 2048  # output samples per block
 BLK_ROWS = BLK // 128
 SLACK = 128  # guard below the host base for device f32 rounding
@@ -48,32 +50,14 @@ def _kernel(base_ref, y_hbm, pos_ref, o_ref, slab, sems, *, rows):
     _copy(b, b % 2).wait()
 
     base = base_ref[b]
-    rem = jax.lax.rem(base, 128)
-    cur = slab[b % 2]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
-    sh = jax.lax.rem(128 - rem, 128)
-    a_same = pltpu.roll(cur, sh, 1)
-    a_next = pltpu.roll(pltpu.roll(cur, rows - 1, 0), sh, 1)
-    g = jnp.where(lane + rem < 128, a_same, a_next)
-    h_lane = pltpu.roll(g, 127, 1)
-    h_carry = pltpu.roll(h_lane, rows - 1, 0)
-    hsh = jnp.where(lane < 127, h_lane, h_carry)
+    g = realign(slab[b % 2], jax.lax.rem(base, 128), rows)
+    hsh = shift_one(g, rows)
 
     pos = pos_ref[0]
     idx_f = jnp.floor(pos)
     frac = pos - idx_f
     rel = jnp.clip(idx_f.astype(jnp.int32) - base, 0, rows * 128 - 2)
-    row = rel >> 7
-    lanei = rel & 127
-    lo = jnp.zeros((BLK_ROWS, 128), jnp.float32)
-    hi = jnp.zeros((BLK_ROWS, 128), jnp.float32)
-    for h in range(rows - 1):
-        sel = row == h
-        g_row = jnp.broadcast_to(g[h][None, :], (BLK_ROWS, 128))
-        h_row = jnp.broadcast_to(hsh[h][None, :], (BLK_ROWS, 128))
-        lo = jnp.where(sel, jnp.take_along_axis(g_row, lanei, axis=1), lo)
-        hi = jnp.where(sel, jnp.take_along_axis(h_row, lanei, axis=1), hi)
-    o_ref[0] = (1.0 - frac) * lo + frac * hi
+    o_ref[0] = lerp_rows(g, hsh, rel, frac, BLK_ROWS, rows - 1)
 
 
 def block_bases(pos_block_starts: np.ndarray, n_src: int) -> np.ndarray:

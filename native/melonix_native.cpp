@@ -442,8 +442,9 @@ static int wav_parse(FILE* f, WavFmt* w) {
     const uint32_t size = (uint32_t)ch[4] | ((uint32_t)ch[5] << 8) |
                           ((uint32_t)ch[6] << 16) | ((uint32_t)ch[7] << 24);
     if (memcmp(ch, "fmt ", 4) == 0) {
-      unsigned char fmt[40];
+      unsigned char fmt[40] = {0};
       const uint32_t take = size < sizeof(fmt) ? size : (uint32_t)sizeof(fmt);
+      if (take < 16) return -4;  // fmt chunk must carry the full PCM header
       if (fread(fmt, 1, take, f) != take) return -3;
       if (size > take && fseek(f, (long)(size - take), SEEK_CUR) != 0) return -3;
       w->tag = (uint16_t)(fmt[0] | (fmt[1] << 8));
@@ -469,6 +470,12 @@ static int wav_parse(FILE* f, WavFmt* w) {
   const long end = ftell(f);
   if (end - w->data_pos < (long)w->data_size)
     w->data_size = (uint32_t)(end - w->data_pos);
+  // Only combinations mlx_wav_read can decode; everything else is an
+  // explicit error instead of silent garbage/silence.
+  const bool pcm_ok = w->tag == 1 && (w->bits == 8 || w->bits == 16 ||
+                                      w->bits == 24 || w->bits == 32);
+  const bool flt_ok = w->tag == 3 && (w->bits == 32 || w->bits == 64);
+  if (!pcm_ok && !flt_ok) return -5;
   return 0;
 }
 
