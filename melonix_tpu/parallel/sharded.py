@@ -52,13 +52,30 @@ def make_audio_mesh(n_devices: int | None = None, data: int | None = None) -> Me
 # ----------------------------------------------------------------------
 
 
+def _extract_hop_frames(local, size, hop, n_frames):
+    """Uniform-hop frames from a contiguous signal, gather-free.
+
+    With whole-hop overlap the frame matrix is k shifted views of the
+    (rows, hop) reshape; otherwise fall back to an index gather.
+    """
+    if size % hop == 0:
+        k = size // hop
+        n_rows = n_frames + k
+        need = n_rows * hop
+        n_local = local.shape[-1]
+        padded = local[:need] if n_local >= need else jnp.pad(local, (0, need - n_local))
+        rows = padded.reshape(n_rows, hop)
+        return jnp.concatenate([rows[d : d + n_frames] for d in range(k)], axis=1)
+    pos = jnp.arange(size, dtype=jnp.int32)[None, :]
+    idx = (jnp.arange(n_frames, dtype=jnp.int32) * hop)[:, None] + pos
+    return local[jnp.clip(idx, 0, local.shape[-1] - 1)]
+
+
 def _stft_local(chunk, halo_from_right, window, size, hop):
     """Frames whose start lies in this shard; right-halo provides overlap."""
     local = jnp.concatenate([chunk, halo_from_right], axis=-1)
     n_frames = chunk.shape[-1] // hop
-    pos = jnp.arange(size, dtype=jnp.int32)[None, :]
-    idx = (jnp.arange(n_frames, dtype=jnp.int32) * hop)[:, None] + pos
-    frames = local[idx] * window[None, :]
+    frames = _extract_hop_frames(local, size, hop, n_frames) * window[None, :]
     spec = jnp.fft.rfft(frames)
     return jnp.sqrt(spec.real * spec.real + spec.imag * spec.imag)
 
@@ -143,9 +160,7 @@ def sharded_pitch(
         recv = jnp.where(idx == n_shards - 1, jnp.zeros_like(recv), recv)
         local = jnp.concatenate([w_local[0], recv], axis=-1)
         n_frames = chunk // hop
-        pos = jnp.arange(frame, dtype=jnp.int32)[None, :]
-        fidx = (jnp.arange(n_frames, dtype=jnp.int32) * hop)[:, None] + pos
-        frames = local[fidx]
+        frames = _extract_hop_frames(local, frame, hop, n_frames)
         w = frames - jnp.mean(frames, axis=1, keepdims=True)
         lag, clarity, energy = pitch_core(w, frame, lag_min, lag_max)
         return lag[None], clarity[None], energy[None]
@@ -299,11 +314,9 @@ def session_step(
             recv = jnp.where(idx == n_shards - 1, jnp.zeros_like(recv), recv)
             local = jnp.concatenate([w_local, recv], axis=-1)
             n_frames = chunk // stft_hop
-            pos = jnp.arange(stft_size, dtype=jnp.int32)[None, :]
-            fidx = (jnp.arange(n_frames, dtype=jnp.int32) * stft_hop)[:, None] + pos
-            frames = local[:, fidx.reshape(-1)].reshape(
-                w_local.shape[0], n_frames, stft_size
-            ) * window[None, None, :]
+            frames = jax.vmap(
+                lambda l: _extract_hop_frames(l, stft_size, stft_hop, n_frames)
+            )(local) * window[None, None, :]
             spec = jnp.fft.rfft(frames)
             return jnp.sqrt(spec.real**2 + spec.imag**2)
 
