@@ -57,6 +57,7 @@ body { margin:0; background:#111; color:#ddd; font:13px sans-serif; }
  <button onclick="openDlg('save_as')">Save As</button>
  <button onclick="openDlg('export')">Export WAV</button>
  <button id="play" onclick="key('space')">Play</button>
+ <button onclick="ctl('autotune', {})" title="detect pitch, snap to scale, add markers">Autotune</button>
  <label>Brightness <input id="bright" type="range" min="0" max="100" value="50"
    oninput="ctl('brightness', this.value)"></label>
  <label>Tempo <input id="tempo" type="range" min="30" max="250" value="130"
@@ -334,6 +335,26 @@ class EditorServer:
             st.follow_mode = bool(int(value))
         elif action == "open":  # direct path open (tests / CLI arg)
             st.open_file(str(value))
+        elif action == "autotune" and st.loaded:
+            # Analysis-driven markers (engine/autotune.py): corrections land
+            # in the ordinary edit model, fully hand-editable afterwards.
+            from ..engine.autotune import suggest_markers
+            from ..markers import sort_markers
+
+            opts = value if isinstance(value, dict) else {}
+            st.markers = sort_markers(
+                st.markers
+                + suggest_markers(
+                    st.wav,
+                    st.sample_rate,
+                    scale=opts.get("scale", "chromatic"),
+                    key=opts.get("key", "a"),
+                    strength=float(opts.get("strength", 1.0)),
+                    config=st.config,
+                )
+            )
+            st.selected = None
+            st.invalidate()
         elif action in ("marker_dtime", "marker_bend") and st.selected is not None:
             # Marker window numeric edit (app.cpp:87-107); value None = the
             # zero button.

@@ -223,3 +223,25 @@ def test_marker_numeric_edit(server):
     # zero buttons send null
     _post(conn, "/control", {"action": "marker_dtime", "value": None})
     assert srv.state.markers[0].d_time == 0.0
+
+
+def test_autotune_action(tmp_path):
+    """The Autotune button: detected corrections become ordinary markers."""
+    sr = 16000
+    t = np.arange(int(sr * 1.2)) / sr
+    x = (0.5 * np.sin(2 * np.pi * 220.0 * 2 ** (0.4 / 12) * t)).astype(np.float32)
+    p = str(tmp_path / "flat.wav")
+    write_wav(p, x, sr, dtype="float32")
+    srv = EditorServer()
+    port = srv.start()
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    try:
+        _post(conn, "/control", {"action": "open", "value": p})
+        status, st = _post(conn, "/control", {"action": "autotune",
+                                              "value": {"strength": 1.0}})
+        assert status == 200 and st["markers"] >= 2
+        bends = [m.pitch_bend for m in srv.state.markers]
+        assert any(abs(b + 0.4) < 0.15 for b in bends)
+    finally:
+        conn.close()
+        srv.stop()
