@@ -192,9 +192,23 @@ def cmd_autotune(args) -> int:
 
 
 def cmd_ui(args) -> int:
-    from .ui.web import serve
+    from .config import Config
+    from .ui.state import EditorState
+    from .ui.web import EditorServer
 
-    serve(args.input, host=args.host, port=args.port)
+    import time as _time
+
+    cfg = Config(tile_source="pyramid") if args.pyramid else Config()
+    srv = EditorServer(state=EditorState(config=cfg), host=args.host, port=args.port)
+    if args.input:
+        srv.state.open_file(args.input)
+    p = srv.start()
+    print(f"melonix-tpu editor at http://{args.host}:{p}/")
+    try:
+        while True:
+            _time.sleep(3600)
+    except KeyboardInterrupt:
+        srv.stop()
     return 0
 
 
@@ -280,6 +294,8 @@ def build_parser() -> argparse.ArgumentParser:
     u.add_argument("input", nargs="?", help="audio file or .mlx project to open")
     u.add_argument("--host", default="127.0.0.1")
     u.add_argument("--port", type=int, default=8666)
+    u.add_argument("--pyramid", action="store_true",
+                   help="HBM-resident multi-res tile pyramid (fast pan/zoom)")
     u.set_defaults(fn=cmd_ui)
     return p
 

@@ -100,10 +100,18 @@ def _draw_spectrogram(state, img, spec_top: int, lane_h: int, synchronous: bool)
     samples = state.knots.time_to_sample(ts)
     bends = state.knots.time_to_pitch_bend(ts[:-1])
 
-    # One batched request for the whole viewport (one device dispatch/frame).
+    # One batched request for the whole viewport (one device dispatch/frame),
+    # plus a quarter-viewport margin each side so panning hits warm tiles.
     keys = [int(ts[x] * W / state.range_time) for x in range(W)]  # (spec-cache.cpp:12)
+    margin = W // 4
+    ts_m = state.start_time + np.arange(-margin, W + margin + 1) * state.range_time / W
+    samples_m = state.knots.time_to_sample(ts_m)
+    keys_m = (ts_m[:-1] * W / state.range_time).astype(np.int64)
     server.prefetch(
-        [(keys[x], int(samples[x]), int(samples[x + 1])) for x in range(W)]
+        [
+            (int(keys_m[i]), int(samples_m[i]), int(samples_m[i + 1]))
+            for i in range(len(keys_m))
+        ]
     )
     tiles = np.zeros((W, texels, 3), np.uint8)
     for x in range(W):
