@@ -31,6 +31,84 @@ from .render import build_render_plan
 
 F32 = np.float32
 FADE = 100  # declick ramp length (app.cpp:264)
+RING_CAPACITY = 1 << 20  # 4 MB of float32 backlog headroom
+
+
+class _NpBacklog:
+    """Pure-NumPy FIFO fallback when the native runtime is not built."""
+
+    def __init__(self):
+        self._buf = np.zeros(0, np.float32)
+
+    def avail(self) -> int:
+        return len(self._buf)
+
+    __len__ = avail
+
+    def write(self, chunk: np.ndarray) -> None:
+        self._buf = np.concatenate([self._buf, chunk])
+
+    def read(self, n: int) -> np.ndarray:
+        out = self._buf[:n]
+        self._buf = self._buf[n:]
+        return out
+
+    def clear(self) -> None:
+        self._buf = np.zeros(0, np.float32)
+
+
+class _RingBacklog:
+    """Lock-free SPSC ring from the native runtime (mlx_ring_*): the render
+    producer and the audio-callback consumer never contend — the same
+    isolation the reference gets from SDL_LockAudioDevice bracketing
+    (app.cpp:110-112), without a lock on the audio thread."""
+
+    def __init__(self, lib, capacity: int = RING_CAPACITY):
+        import ctypes
+
+        self._lib = lib
+        self._ctypes = ctypes
+        self._h = lib.mlx_ring_new(capacity)
+
+    def avail(self) -> int:
+        return int(self._lib.mlx_ring_avail(self._h))
+
+    __len__ = avail
+
+    def write(self, chunk: np.ndarray) -> None:
+        c = self._ctypes
+        chunk = np.ascontiguousarray(chunk, np.float32)
+        self._lib.mlx_ring_write(
+            self._h, chunk.ctypes.data_as(c.POINTER(c.c_float)), len(chunk)
+        )
+
+    def read(self, n: int) -> np.ndarray:
+        c = self._ctypes
+        out = np.zeros(n, np.float32)
+        got = int(
+            self._lib.mlx_ring_read(
+                self._h, out.ctypes.data_as(c.POINTER(c.c_float)), n
+            )
+        )
+        return out[:got]
+
+    def clear(self) -> None:
+        self._lib.mlx_ring_clear(self._h)
+
+    def __del__(self):  # pragma: no cover - interpreter teardown order
+        try:
+            self._lib.mlx_ring_free(self._h)
+        except Exception:
+            pass
+
+
+def _make_backlog():
+    from ..runtime import native
+
+    lib = native.try_load()
+    if lib is not None and hasattr(lib, "mlx_ring_new"):
+        return _RingBacklog(lib)
+    return _NpBacklog()
 
 
 def _render_step_np(wav, start: int, length: int, rate: F32, seam_src: int) -> np.ndarray:
@@ -74,7 +152,7 @@ class Player:
         self.sample_rate = knots.sample_rate
         self.cursor_sec = 0.0
         self.is_playing = False
-        self._backlog = np.zeros(0, np.float32)
+        self._backlog = _make_backlog()
         self._last_sample = F32(0)
         self._fading = False
 
@@ -83,7 +161,7 @@ class Player:
     def set_knots(self, knots: MapKnots) -> None:
         """Marker edit: re-plan from the current cursor (drop lookahead)."""
         self.knots = knots
-        self._backlog = np.zeros(0, np.float32)
+        self._backlog.clear()
 
     def toggle(self) -> None:
         if not self.is_playing:
@@ -92,7 +170,7 @@ class Player:
 
     def seek(self, t: float) -> None:
         self.cursor_sec = float(np.clip(t, 0.0, self.knots.duration()))
-        self._backlog = np.zeros(0, np.float32)
+        self._backlog.clear()
 
     # -- the audio callback ----------------------------------------------
 
@@ -109,22 +187,19 @@ class Player:
                 ramp = np.linspace(1.0, 0.0, k, endpoint=False, dtype=np.float32)
                 out[:k] = self._last_sample * ramp
                 self._fading = False
-            self._backlog = np.zeros(0, np.float32)
+            self._backlog.clear()
             self._last_sample = F32(0)
             return out
 
         pgs = self.config.preferred_grain_size
-        tmp_cursor = self.cursor_sec + len(self._backlog) / self.sample_rate
-        chunks = [self._backlog]
-        total = len(self._backlog)
-        while total < n + pgs:
+        tmp_cursor = self.cursor_sec + self._backlog.avail() / self.sample_rate
+        while self._backlog.avail() < n + pgs:
             step = build_render_plan(
                 self.grains, self.knots, start_cursor=tmp_cursor, min_out=1, config=self.config
             )
             if step.n_steps == 0:
                 # Past the grain table: zeros then stop (app.cpp:303-309)
-                chunks.append(np.zeros(pgs, np.float32))
-                total += pgs
+                self._backlog.write(np.zeros(pgs, np.float32))
                 self.is_playing = False
                 break
             buf = _render_step_np(
@@ -134,14 +209,12 @@ class Player:
                 step.rate[0],
                 int(step.seam_src[0]),
             )
-            chunks.append(buf)
-            total += len(buf)
+            self._backlog.write(buf)
             tmp_cursor += len(buf) / self.sample_rate
-        backlog = np.concatenate(chunks) if len(chunks) > 1 else self._backlog
 
-        sz = min(len(backlog), n)
-        out[:sz] = backlog[:sz]
-        self._backlog = backlog[sz:]
+        got = self._backlog.read(n)
+        sz = len(got)
+        out[:sz] = got
         self.cursor_sec += sz / self.sample_rate
         if sz:
             self._last_sample = out[sz - 1]
