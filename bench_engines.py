@@ -10,8 +10,6 @@ Usage: python bench_engines.py
 
 from __future__ import annotations
 
-import glob
-import gzip
 import json
 import tempfile
 
@@ -19,23 +17,28 @@ import numpy as np
 
 
 def _trace_ms(fn, anchor, iters: int = 3) -> float:
+    """Device ms/iter from a profiler trace; wall clock when no trace
+    (bare CPU CI) — same fallback contract as bench.py."""
+    import time
+
     import jax
+
+    from bench import _device_ms_per_iter
 
     fn()  # warm / compile
     anchor()
     d = tempfile.mkdtemp(prefix="mlx_engbench_")
-    with jax.profiler.trace(d):
-        for _ in range(iters):
-            fn()
-        anchor()
-    files = glob.glob(f"{d}/**/*.trace.json.gz", recursive=True)
-    ev = json.load(gzip.open(sorted(files)[-1]))["traceEvents"]
-    total = sum(
-        e["dur"]
-        for e in ev
-        if e.get("ph") == "X" and "dur" in e and e.get("name", "").startswith("jit_")
-    )
-    return total / iters / 1000.0
+    t0 = time.perf_counter()
+    try:
+        with jax.profiler.trace(d):
+            for _ in range(iters):
+                fn()
+            anchor()
+        dev = _device_ms_per_iter(d, iters)
+    except Exception:
+        dev = None
+    wall_ms = (time.perf_counter() - t0) / iters * 1000.0
+    return dev if dev else wall_ms
 
 
 def main() -> None:

@@ -193,22 +193,10 @@ def cmd_autotune(args) -> int:
 
 def cmd_ui(args) -> int:
     from .config import Config
-    from .ui.state import EditorState
-    from .ui.web import EditorServer
-
-    import time as _time
+    from .ui.web import serve
 
     cfg = Config(tile_source="pyramid") if args.pyramid else Config()
-    srv = EditorServer(state=EditorState(config=cfg), host=args.host, port=args.port)
-    if args.input:
-        srv.state.open_file(args.input)
-    p = srv.start()
-    print(f"melonix-tpu editor at http://{args.host}:{p}/")
-    try:
-        while True:
-            _time.sleep(3600)
-    except KeyboardInterrupt:
-        srv.stop()
+    serve(args.input, host=args.host, port=args.port, config=cfg)
     return 0
 
 

@@ -56,7 +56,6 @@ def pitch_core(w: jnp.ndarray, frame: int, lag_min: int, lag_max: int):
     ac = jnp.fft.irfft(power, n=2 * frame)[:, :frame]  # (F, frame) r(τ)
     csum = jnp.cumsum(w * w, axis=1)
     total = csum[:, -1:]
-    lags_i = jnp.arange(frame)
     # Σ_{j<W-τ} x²[j] = E[W-τ-1] = csum reversed; Σ_{j>=τ} x²[j] =
     # total - E[τ-1] = total - csum shifted.  Flip/shift, NOT gathers —
     # take_along_axis here costs ~7.5ns per element (~1s for a 3-min track).
@@ -65,7 +64,6 @@ def pitch_core(w: jnp.ndarray, frame: int, lag_min: int, lag_max: int):
         [jnp.zeros((n_frames, 1), csum.dtype), csum[:, :-1]], axis=1
     )
     m = head + (total - tail_prev)
-    del lags_i
     nac = 2.0 * ac / jnp.maximum(m, 1e-12)
 
     lags = jnp.arange(frame)
@@ -105,21 +103,9 @@ def _pitch_device(
     lag_min: int,
     lag_max: int,
 ):
-    n = wav.shape[0]
-    if frame % hop == 0:
-        # Strided extraction as shifted reshapes (no gather): rows of `hop`
-        # samples; frame f = rows[f : f + k] concatenated.
-        k = frame // hop
-        n_rows = n_frames + k
-        wavp = jnp.zeros(n_rows * hop, jnp.float32)
-        n_keep = min(n, n_rows * hop)
-        wavp = jax.lax.dynamic_update_slice(wavp, wav[:n_keep].astype(jnp.float32), (0,))
-        rows = wavp.reshape(n_rows, hop)
-        frames = jnp.concatenate([rows[d : d + n_frames] for d in range(k)], axis=1)
-    else:
-        pos = jnp.arange(frame, dtype=jnp.int32)[None, :]
-        idx = (jnp.arange(n_frames, dtype=jnp.int32) * hop)[:, None] + pos
-        frames = jnp.where(idx < n, wav[jnp.clip(idx, 0, n - 1)], 0.0)
+    from .spectral import extract_hop_frames
+
+    frames = extract_hop_frames(wav.astype(jnp.float32), frame, hop, n_frames)
     w = frames - jnp.mean(frames, axis=1, keepdims=True)
     return pitch_core(w, frame, lag_min, lag_max)
 

@@ -78,9 +78,15 @@ class _RingBacklog:
     def write(self, chunk: np.ndarray) -> None:
         c = self._ctypes
         chunk = np.ascontiguousarray(chunk, np.float32)
-        self._lib.mlx_ring_write(
-            self._h, chunk.ctypes.data_as(c.POINTER(c.c_float)), len(chunk)
+        wrote = int(
+            self._lib.mlx_ring_write(
+                self._h, chunk.ctypes.data_as(c.POINTER(c.c_float)), len(chunk)
+            )
         )
+        if wrote != len(chunk):  # ring full: losing audio must be loud
+            raise RuntimeError(
+                f"playback ring overflow: wrote {wrote}/{len(chunk)} samples"
+            )
 
     def read(self, n: int) -> np.ndarray:
         c = self._ctypes

@@ -118,6 +118,29 @@ def hann_window(size: int, periodic: bool = True) -> np.ndarray:
     return (0.5 - 0.5 * np.cos(2.0 * np.pi * n / denom)).astype(np.float32)
 
 
+def extract_hop_frames(local, size: int, hop: int, n_frames: int):
+    """Uniform-hop frame matrix from a contiguous signal, gather-free.
+
+    With whole-hop overlap the frames are ``k = size // hop`` shifted views
+    of the (rows, hop) reshape (pure bandwidth); otherwise an index-gather
+    fallback.  Shared by the pitch engine and the sharded analysis paths.
+    """
+    if size % hop == 0:
+        k = size // hop
+        n_rows = n_frames + k
+        need = n_rows * hop
+        n_local = local.shape[-1]
+        padded = (
+            local[:need] if n_local >= need else jnp.pad(local, (0, need - n_local))
+        )
+        rows = padded.reshape(n_rows, hop)
+        return jnp.concatenate([rows[d : d + n_frames] for d in range(k)], axis=1)
+    pos = jnp.arange(size, dtype=jnp.int32)[None, :]
+    idx = (jnp.arange(n_frames, dtype=jnp.int32) * hop)[:, None] + pos
+    n = local.shape[-1]
+    return jnp.where(idx < n, local[jnp.clip(idx, 0, n - 1)], 0.0)
+
+
 def num_frames(n_samples: int, size: int, hop: int) -> int:
     if n_samples < size:
         return 1

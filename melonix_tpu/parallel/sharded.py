@@ -52,23 +52,7 @@ def make_audio_mesh(n_devices: int | None = None, data: int | None = None) -> Me
 # ----------------------------------------------------------------------
 
 
-def _extract_hop_frames(local, size, hop, n_frames):
-    """Uniform-hop frames from a contiguous signal, gather-free.
-
-    With whole-hop overlap the frame matrix is k shifted views of the
-    (rows, hop) reshape; otherwise fall back to an index gather.
-    """
-    if size % hop == 0:
-        k = size // hop
-        n_rows = n_frames + k
-        need = n_rows * hop
-        n_local = local.shape[-1]
-        padded = local[:need] if n_local >= need else jnp.pad(local, (0, need - n_local))
-        rows = padded.reshape(n_rows, hop)
-        return jnp.concatenate([rows[d : d + n_frames] for d in range(k)], axis=1)
-    pos = jnp.arange(size, dtype=jnp.int32)[None, :]
-    idx = (jnp.arange(n_frames, dtype=jnp.int32) * hop)[:, None] + pos
-    return local[jnp.clip(idx, 0, local.shape[-1] - 1)]
+from ..engine.spectral import extract_hop_frames as _extract_hop_frames
 
 
 def _stft_local(chunk, halo_from_right, window, size, hop):

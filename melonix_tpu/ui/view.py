@@ -95,18 +95,18 @@ def _draw_spectrogram(state, img, spec_top: int, lane_h: int, synchronous: bool)
             synchronous=True,
         )
 
-    # Per-column warped-time, sample range, and pitch bend (vectorized maps)
-    ts = state.start_time + np.arange(W + 1) * state.range_time / W
-    samples = state.knots.time_to_sample(ts)
-    bends = state.knots.time_to_pitch_bend(ts[:-1])
-
-    # One batched request for the whole viewport (one device dispatch/frame),
-    # plus a quarter-viewport margin each side so panning hits warm tiles.
-    keys = [int(ts[x] * W / state.range_time) for x in range(W)]  # (spec-cache.cpp:12)
+    # Per-column warped-time, sample range, and pitch bend (vectorized maps),
+    # computed once over the viewport plus a quarter-viewport margin each
+    # side so panning hits warm tiles (key = absolute pixel-column index,
+    # spec-cache.cpp:12 — identical formula for margin and visible columns).
     margin = W // 4
     ts_m = state.start_time + np.arange(-margin, W + margin + 1) * state.range_time / W
     samples_m = state.knots.time_to_sample(ts_m)
     keys_m = (ts_m[:-1] * W / state.range_time).astype(np.int64)
+    ts = ts_m[margin : margin + W + 1]
+    samples = samples_m[margin : margin + W + 1]
+    keys = keys_m[margin : margin + W]
+    bends = state.knots.time_to_pitch_bend(ts[:-1])
     server.prefetch(
         [
             (int(keys_m[i]), int(samples_m[i]), int(samples_m[i + 1]))

@@ -481,9 +481,11 @@ class EditorServer:
             self.state._tile_server.close()
 
 
-def serve(path: str | None = None, host: str = "127.0.0.1", port: int = 8666) -> None:
+def serve(path: str | None = None, host: str = "127.0.0.1", port: int = 8666,
+          config=None) -> None:
     """Blocking entry point for the CLI ``ui`` command."""
-    srv = EditorServer(host=host, port=port)
+    state = EditorState(config=config) if config is not None else None
+    srv = EditorServer(state=state, host=host, port=port)
     if path:
         srv.state.open_file(path)
     p = srv.start()
