@@ -319,11 +319,56 @@ def render(
 
     if jax.default_backend() == "tpu" and pallas_render.plan_supported(plan):
         # Gather-free Pallas path: per-step DMA + lane-gather resample.
-        args, gmax, szmax = pallas_render.args_for(plan, wav_np, out_len)
-        out = pallas_render.granular_render_pallas(
-            jnp.asarray(wav_np), *args, gmax=gmax, szmax=szmax
-        )
-        return np.asarray(out[:total])
+        if plan.n_steps <= pallas_render.MAX_STEPS:
+            args, gmax, szmax = pallas_render.args_for(plan, wav_np, out_len)
+            out = pallas_render.granular_render_pallas(
+                jnp.asarray(wav_np), *args, gmax=gmax, szmax=szmax
+            )
+            return np.asarray(out[:total])
+        # Hour-scale plans: render SMEM-sized chunks of steps; spans are
+        # disjoint, so the host just assembles the slices.  Chunks pad to
+        # one static (steps, chunk_len) shape so all chunks share a compile
+        # (padding steps have sz=0 and park their zero blocks in the
+        # compact buffer's slack region past chunk_len).
+        gmax, szmax = pallas_render._buckets(plan)
+        fix_idx, fix_val = seam_fixes(plan, wav_np, out_len)
+        wav_dev = jnp.asarray(wav_np)
+        host_out = np.zeros(total, np.float32)
+        chunks = pallas_render.plan_chunks(plan)
+        max_span = max(o1 - o0 for _, _, o0, o1 in chunks)
+        chunk_len = szmax * -(-max_span // szmax) + szmax
+        s_max = pallas_render.MAX_STEPS
+        no_fix = jnp.asarray(np.full(1, chunk_len, np.int32))
+        no_fix_val = jnp.asarray(np.zeros(1, np.float32))
+        for lo, hi, o0, o1 in chunks:
+            pad = s_max - (hi - lo)
+            gs_c = np.pad(plan.grain_start[lo:hi].astype(np.int32), (0, pad))
+            rt_c = np.pad(
+                plan.rate[lo:hi].astype(np.float32), (0, pad), constant_values=1.0
+            )
+            sz_c = np.pad(plan.sz[lo:hi].astype(np.int32), (0, pad))
+            offs_c = np.pad(
+                (plan.out_offset[lo:hi] - o0).astype(np.int32),
+                (0, pad),
+                constant_values=chunk_len,
+            )
+            out_c = pallas_render.granular_render_pallas(
+                wav_dev,
+                jnp.asarray(gs_c),
+                jnp.asarray(rt_c),
+                jnp.asarray(sz_c),
+                jnp.asarray(offs_c),
+                chunk_len,
+                no_fix,
+                no_fix_val,
+                gmax=gmax,
+                szmax=szmax,
+            )
+            end = min(o1, total)
+            host_out[o0:end] = np.asarray(out_c[: end - o0])
+        sel = fix_idx < total
+        host_out[fix_idx[sel]] = fix_val[sel]
+        return host_out
     offs, gs, rb, n_valid, _, fix_idx, fix_val = render_device_args(plan, wav_np, out_len)
     out = render_device(
         jnp.asarray(wav_np),

@@ -177,12 +177,30 @@ def args_for(plan, wav_np, out_len: int):
 
 
 def plan_supported(plan) -> bool:
-    """Kernel limits (host-checked): grain + seam tap within the caps, and
-    few enough steps that the scalar-prefetch arrays fit SMEM (~25 min of
-    audio; longer tracks use the XLA segmented-broadcast kernel)."""
-    if plan.n_steps == 0 or plan.n_steps > MAX_STEPS:
+    """Kernel limits (host-checked): grain + seam tap within the caps.
+    Plans beyond MAX_STEPS render in chunks (see plan_chunks)."""
+    if plan.n_steps == 0:
         return False
     return int(plan.grain_len.max()) < GMAX_CAP and int(plan.sz.max()) <= SZMAX_CAP
+
+
+def plan_chunks(plan, max_steps: int = MAX_STEPS):
+    """Step-slices [(lo, hi, out_start, out_end)] each fitting SMEM.
+
+    The scalar-prefetch arrays cap one kernel launch at ~25 minutes of
+    audio; longer plans render as independent chunks — steps write disjoint
+    output spans, so each chunk compacts its own [out_start, out_end) and
+    the host assembles the slices.
+    """
+    spans = []
+    lo = 0
+    while lo < plan.n_steps:
+        hi = min(lo + max_steps, plan.n_steps)
+        spans.append(
+            (lo, hi, int(plan.out_offset[lo]), int(plan.out_offset[hi]))
+        )
+        lo = hi
+    return spans
 
 
 @partial(jax.jit, static_argnames=("out_len", "gmax", "szmax", "interpret"))
