@@ -162,7 +162,7 @@ def _pv_device(
     from ..kernels import pallas_frames
 
     starts = jnp.floor(jnp.clip(a_m, 0.0, n - 1.0)).astype(jnp.int32)
-    if pallas_frames.supported(size) and jax.default_backend() == "tpu":
+    if pallas_frames.supported(size, n_frames) and jax.default_backend() == "tpu":
         frames = pallas_frames.extract_frames_pallas(wav, starts, size)
     else:
         idx = starts[:, None] + jnp.arange(size, dtype=jnp.int32)[None, :]
@@ -241,6 +241,152 @@ def _pv_device(
     return (1.0 - frac) * lo + frac * hi
 
 
+PV_CHUNK_FRAMES = 49152  # frames per stretch chunk (~2.5 GB of intermediates)
+
+
+@partial(jax.jit, static_argnames=("size", "hop", "n_frames_c", "formant", "n_ceps"))
+def _stretch_chunk(
+    wav,
+    a_prev,  # f32 scalar: A_{m0-1} (A_0 - hop for the first chunk)
+    a_c,  # f32 (n_frames_c,) frame positions (padded by repetition)
+    rho_c,  # f32 (n_frames_c,)
+    window,
+    m0,  # i32 scalar: global index of the chunk's first frame
+    f_real,  # i32 scalar: real (unpadded) frames in this chunk
+    phi0,  # f32 (n_bins,) global anchor phase (ignored when m0 == 0)
+    resid_in,  # f32 (n_bins,) carried phase residual sum
+    phi_prev,  # f32 (n_bins,) previous chunk's last analysis phase
+    size, hop, n_frames_c,
+    formant=False, n_ceps=40,
+):
+    """Unnormalized OLA contribution of frames [m0, m0+f_real) plus carried
+    phase state.  Hour-scale tracks exceed HBM if stretched in one shot;
+    the phase prefix-sum carries exactly across chunks (resid_in) and OLA
+    overlaps add linearly, so chunking is bit-consistent with one shot —
+    no phase resets, no crossfades.
+    """
+    n = wav.shape[0]
+    n_bins = size // 2 + 1
+    from ..kernels import pallas_frames
+
+    starts = jnp.floor(jnp.clip(a_c, 0.0, n - 1.0)).astype(jnp.int32)
+    if pallas_frames.supported(size, n_frames_c) and jax.default_backend() == "tpu":
+        frames = pallas_frames.extract_frames_pallas(wav, starts, size)
+    else:
+        idx = starts[:, None] + jnp.arange(size, dtype=jnp.int32)[None, :]
+        frames = jnp.where(idx < n, wav[jnp.clip(idx, 0, n - 1)], 0.0)
+    spec = jnp.fft.rfft(frames * window[None, :])
+    mag = jnp.abs(spec)
+    phi = jnp.angle(spec)
+    if formant:
+        mag = mag * _formant_gain(mag, rho_c, size, n_bins, n_ceps)
+
+    omega = (2.0 * jnp.pi / size) * jnp.arange(n_bins, dtype=jnp.float32)
+    a_full_prev = jnp.concatenate([a_prev.reshape(1), a_c[:-1]])
+    da = jnp.maximum(a_c - a_full_prev, 1e-3)[:, None]
+    phi_full_prev = jnp.concatenate([phi_prev[None, :], phi[:-1]], axis=0)
+    dphi = _princarg(phi - phi_full_prev - omega[None, :] * da)
+    # Residual only — the exact int-mod ramp carries the hop*omega part.
+    incr = hop * dphi / da
+    # Global frame 0 has no predecessor: psi_0 = phi_0 exactly.
+    incr = incr.at[0].set(jnp.where(m0 == 0, jnp.zeros(n_bins), incr[0]))
+    resid = resid_in[None, :] + jnp.cumsum(incr, axis=0)
+
+    m_global = m0 + jnp.arange(n_frames_c, dtype=jnp.int32)
+    hm = jnp.mod(m_global * hop, size)
+    k_idx = jnp.arange(n_bins, dtype=jnp.int32)
+    ramp = (2.0 * jnp.pi / size) * jnp.mod(
+        hm[:, None] * k_idx[None, :], size
+    ).astype(jnp.float32)
+    phi0_eff = jnp.where(m0 == 0, phi[0], phi0)
+    psis = phi0_eff[None, :] + ramp + resid
+
+    # Padded frames must contribute silence (their OLA tails would reach
+    # back into the real span).
+    live = (jnp.arange(n_frames_c) < f_real)[:, None]
+    synth = jnp.where(live, mag, 0.0) * jnp.exp(1j * psis.astype(jnp.float32))
+    y_c = istft_device(
+        synth, window, size, hop, (n_frames_c - 1) * hop + size, normalize=False
+    )
+    last = jnp.clip(f_real - 1, 0, n_frames_c - 1)
+    return y_c, resid[last], phi[last], phi0_eff
+
+
+def _formant_gain(mag, rho_m, size, n_bins, n_ceps):
+    """Cepstral-envelope warp gain (see _pv_device for the derivation)."""
+    log_mag = jnp.log(mag + 1e-8)
+    kk = np.arange(n_bins, dtype=np.float64)
+    qq = np.arange(1, n_ceps, dtype=np.float64)
+    wk = np.full(n_bins, 2.0 / size)
+    wk[0] = 1.0 / size
+    wk[-1] = 1.0 / size
+    a_mat = jnp.asarray(
+        (wk[:, None] * np.cos(2.0 * np.pi * kk[:, None] * qq[None, :] / size))
+        .astype(np.float32)
+    )
+    cep = jnp.dot(log_mag, a_mat, preferred_element_type=jnp.float32)
+    theta = (2.0 * jnp.pi / size) * jnp.arange(n_bins, dtype=jnp.float32)
+    c1w = jnp.cos(theta[None, :] * rho_m[:, None])
+    c1p = jnp.broadcast_to(jnp.cos(theta)[None, :], c1w.shape)
+    tw_prev, tw_cur = jnp.ones_like(c1w), c1w
+    tp_prev, tp_cur = jnp.ones_like(c1p), c1p
+    gain_log = 2.0 * cep[:, 0:1] * (c1w - c1p)
+    for qi in range(2, n_ceps):
+        tw_prev, tw_cur = tw_cur, 2.0 * c1w * tw_cur - tw_prev
+        tp_prev, tp_cur = tp_cur, 2.0 * c1p * tp_cur - tp_prev
+        gain_log = gain_log + 2.0 * cep[:, qi - 1 : qi] * (tw_cur - tp_cur)
+    return jnp.exp(jnp.clip(gain_log, -6.9, 6.9))
+
+
+@partial(jax.jit, static_argnames=("size", "hop", "n_frames", "out_len"))
+def _ola_wsum(window, size: int, hop: int, n_frames: int, out_len: int):
+    """Global window-square OLA normalizer (stride-stacked, scatter-free)."""
+    k = size // hop
+    pad_f = (-n_frames) % k
+    total = (n_frames + pad_f) * hop + (k - 1) * hop + size
+    w2 = window * window
+    wsum = jnp.zeros(total, jnp.float32)
+    for g in range(k):
+        segw = jnp.tile(w2, (n_frames + pad_f) // k)
+        segw = jnp.where(
+            jnp.arange(segw.shape[0]) // size * k + g < n_frames, segw, 0.0
+        )
+        wsum = wsum.at[g * hop : g * hop + segw.shape[0]].add(segw)
+    out = wsum[:out_len] if total >= out_len else jnp.pad(wsum, (0, out_len - total))
+    return jnp.maximum(out, 1e-8)
+
+
+@jax.jit
+def _accum_at(y, y_c, off):
+    """y[off : off+len(y_c)] += y_c with a traced offset (one compile)."""
+    cur = jax.lax.dynamic_slice(y, (off,), (y_c.shape[0],))
+    return jax.lax.dynamic_update_slice(y, cur + y_c, (off,))
+
+
+@partial(jax.jit, static_argnames=("sr", "n_out"))
+def _positions_device(seg_j0, seg_t0_b, seg_b0_b, seg_s_b, seg_p0_b, sr, n_out):
+    """Per-sample stretched source position (see _pv_device stage 1/4)."""
+    j = jnp.arange(n_out, dtype=jnp.int32)
+
+    def seg_f32(bits):
+        d = jnp.zeros(n_out, jnp.int32).at[seg_j0[1:]].add(jnp.diff(bits), mode="drop")
+        return jax.lax.bitcast_convert_type(bits[0] + jnp.cumsum(d), jnp.float32)
+
+    t0 = seg_f32(seg_t0_b)
+    b0 = seg_f32(seg_b0_b)
+    s = seg_f32(seg_s_b)
+    p0 = seg_f32(seg_p0_b)
+    t = (j.astype(jnp.float32) + 1.0) / sr
+    dt = t - t0
+    r0 = jnp.exp2(b0 * (1.0 / 12.0))
+    r_t = jnp.exp2((b0 + s * dt) * (1.0 / 12.0))
+    flat = jnp.abs(s) < 1e-9
+    p = p0 + jnp.where(
+        flat, r0 * dt, (r_t - r0) / (jnp.where(flat, 1.0, s) * np.float32(LN2_12))
+    )
+    return jnp.maximum(p * sr - r_t, 0.0)
+
+
 def render_track_pv(
     wav,
     knots: MapKnots,
@@ -299,13 +445,60 @@ def render_track_pv(
         jnp.asarray(_bits(_padded(p0s))),
         jnp.asarray(hann_window(size)),
     )
-    if jax.default_backend() == "tpu":
-        # Lane-gather resample: the XLA tail's two 8M-element gathers are
-        # ~75% of the whole render's device time.
+    on_tpu = jax.default_backend() == "tpu"
+    stretch_len = (n_frames - 1) * hop + size
+    if not on_tpu and n_frames <= PV_CHUNK_FRAMES:
+        out = _pv_device(
+            *dev_args, size, hop, n_out_pad, n_frames, sr,
+            formant=preserve_formants,
+        )
+        return np.asarray(out[:n_out])
+
+    if n_frames <= PV_CHUNK_FRAMES:
         y, src = _pv_device(
             *dev_args, size, hop, n_out_pad, n_frames, sr,
             formant=preserve_formants, resample=False,
         )
+    else:
+        # Hour-scale: stretch in chunks with exact phase carry; OLA
+        # contributions add linearly; normalize once globally.
+        wav_dev, a_dev, rho_dev = dev_args[0], dev_args[1], dev_args[2]
+        win_dev = dev_args[8]
+        ch = PV_CHUNK_FRAMES
+        n_bins = size // 2 + 1
+        y = jnp.zeros(stretch_len + ch * hop + size, jnp.float32)
+        resid = jnp.zeros(n_bins, jnp.float32)
+        phi_prev = jnp.zeros(n_bins, jnp.float32)
+        phi0 = jnp.zeros(n_bins, jnp.float32)
+        for m0 in range(0, n_frames, ch):
+            f_real = min(ch, n_frames - m0)
+            sl = slice(m0, m0 + f_real)
+            pad_c = ch - f_real
+            a_c = jnp.concatenate(
+                [a_dev[sl]] + ([a_dev[sl][-1:].repeat(pad_c)] if pad_c else [])
+            ).astype(jnp.float32)
+            rho_c = jnp.concatenate(
+                [rho_dev[sl]] + ([rho_dev[sl][-1:].repeat(pad_c)] if pad_c else [])
+            ).astype(jnp.float32)
+            a_prev = (
+                a_dev[m0 - 1].astype(jnp.float32)
+                if m0
+                else a_dev[0].astype(jnp.float32) - hop
+            )
+            y_c, resid, phi_prev, phi0 = _stretch_chunk(
+                wav_dev, a_prev, a_c, rho_c, win_dev,
+                jnp.int32(m0), jnp.int32(f_real),
+                phi0, resid, phi_prev,
+                size, hop, ch, formant=preserve_formants,
+            )
+            y = _accum_at(y, y_c, jnp.int32(m0 * hop))
+        wsum = _ola_wsum(win_dev, size, hop, n_frames, stretch_len)
+        y = y[:stretch_len] / wsum
+        src = _positions_device(*dev_args[3:8], sr, n_out_pad)
+
+    if on_tpu:
+        # Lane-gather resample: the XLA tail's two 8M-element gathers are
+        # ~75% of the whole render's device time.
         blk = pallas_resample.BLK
         t_blocks = (np.arange(n_out_pad // blk, dtype=np.float64) * blk + 1.0) / sr
         seg = np.clip(np.searchsorted(t0s, t_blocks, side="right") - 1, 0, len(t0s) - 1)
@@ -318,7 +511,6 @@ def render_track_pv(
                 flat, r0 * dtb, (rho_b - r0) / (np.where(flat, 1.0, slopes[seg]) * LN2_12)
             )
         src_b = np.maximum(p_b * sr - rho_b, 0.0)
-        stretch_len = (n_frames - 1) * hop + size
         base = pallas_resample.block_bases(src_b, stretch_len)
         # Slab sizing from the KNOT-wise bend maximum (the curve's true
         # extremum — frame-sampled rho_m can miss a spike between frames).
@@ -326,8 +518,14 @@ def render_track_pv(
         rows = pallas_resample.rows_for(max(rho_max, float(rho_m.max()), 1.0))
         out = pallas_resample.resample_lerp_pallas(y, src, jnp.asarray(base), rows)
     else:
-        out = _pv_device(
-            *dev_args, size, hop, n_out_pad, n_frames, sr,
-            formant=preserve_formants,
-        )
+        out = _lerp_resample_xla(y, src, stretch_len)
     return np.asarray(out[:n_out])
+
+
+@partial(jax.jit, static_argnames=("stretch_len",))
+def _lerp_resample_xla(y, src, stretch_len: int):
+    i0 = jnp.floor(src).astype(jnp.int32)
+    frac = src - i0.astype(jnp.float32)
+    lo = y[jnp.clip(i0, 0, stretch_len - 1)]
+    hi = y[jnp.clip(i0 + 1, 0, stretch_len - 1)]
+    return (1.0 - frac) * lo + frac * hi

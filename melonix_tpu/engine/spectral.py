@@ -197,13 +197,14 @@ def stft(wav, config: Config = DEFAULT_CONFIG, *, size=None, hop=None):
     return np.asarray(out), hop
 
 
-@partial(jax.jit, static_argnames=("size", "hop", "out_len"))
+@partial(jax.jit, static_argnames=("size", "hop", "out_len", "normalize"))
 def istft_device(
     frames: jnp.ndarray,
     window: jnp.ndarray,
     size: int,
     hop: int,
     out_len: int,
+    normalize: bool = True,
 ) -> jnp.ndarray:
     """Overlap-add inverse STFT with window-square normalization.
 
@@ -228,26 +229,29 @@ def istft_device(
         for g in range(k):
             seg = tp[g::k].reshape(-1)  # frames g::k tile contiguously
             out = out.at[g * hop : g * hop + seg.shape[0]].add(seg)
-        # Window-square normalization: per-sample position within the hop
-        # cycle; sum of w^2 over the k overlapping taps (periodic interior,
-        # exact ramps at the edges).
-        w2 = window * window
-        wsum = jnp.zeros(total, jnp.float32)
-        for g in range(k):
-            segw = jnp.tile(w2, (n_frames + pad_f) // k)
-            # zero the padded frames' contribution (group g holds global
-            # frames g + k*j, j = position // size)
-            segw = jnp.where(
-                jnp.arange(segw.shape[0]) // size * k + g < n_frames, segw, 0.0
-            )
-            wsum = wsum.at[g * hop : g * hop + segw.shape[0]].add(segw)
-        out = out / jnp.maximum(wsum, 1e-8)
+        if normalize:
+            # Window-square normalization: per-sample position within the
+            # hop cycle; sum of w^2 over the k overlapping taps (periodic
+            # interior, exact ramps at the edges).
+            w2 = window * window
+            wsum = jnp.zeros(total, jnp.float32)
+            for g in range(k):
+                segw = jnp.tile(w2, (n_frames + pad_f) // k)
+                # zero the padded frames' contribution (group g holds global
+                # frames g + k*j, j = position // size)
+                segw = jnp.where(
+                    jnp.arange(segw.shape[0]) // size * k + g < n_frames, segw, 0.0
+                )
+                wsum = wsum.at[g * hop : g * hop + segw.shape[0]].add(segw)
+            out = out / jnp.maximum(wsum, 1e-8)
         return out[:out_len] if total >= out_len else jnp.pad(out, (0, out_len - total))
     offs = jnp.arange(n_frames, dtype=jnp.int32) * hop
     idx = offs[:, None] + jnp.arange(size, dtype=jnp.int32)[None, :]
     out = jnp.zeros(out_len, jnp.float32).at[idx.reshape(-1)].add(
         t.reshape(-1), mode="drop"
     )
+    if not normalize:
+        return out
     wsum = jnp.zeros(out_len, jnp.float32).at[idx.reshape(-1)].add(
         jnp.tile(window * window, (n_frames,)), mode="drop"
     )

@@ -21,8 +21,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def supported(size: int) -> bool:
-    return size % 128 == 0 and size // 128 >= 8
+MAX_FRAMES = 200_000  # the starts scalar-prefetch array must fit SMEM (1 MB)
+
+
+def supported(size: int, n_frames: int | None = None) -> bool:
+    ok = size % 128 == 0 and size // 128 >= 8
+    if n_frames is not None:
+        ok = ok and n_frames <= MAX_FRAMES
+    return ok
 
 
 def _kernel(starts_ref, wav_hbm, o_ref, slab, sems, *, n2):

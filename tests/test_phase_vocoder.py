@@ -84,3 +84,41 @@ def test_short_input_and_empty():
     knots = MapKnots.from_markers([], SR, 100)
     y = render_track_pv(np.zeros(100, np.float32), knots)
     assert (y == 0).all()
+
+
+def test_chunked_stretch_matches_single_shot(monkeypatch):
+    """Hour-scale chunking (exact phase carry + linear OLA) must agree with
+    the one-shot stretch."""
+    import melonix_tpu.engine.phase_vocoder as pv
+
+    x = _sine(330.0, 6.0)
+    n = len(x)
+    markers = [
+        Marker(sample=n // 3, note=52.0, d_time=0.1, pitch_bend=5.0),
+        Marker(sample=2 * n // 3, note=52.0, d_time=-0.05, pitch_bend=-3.0),
+    ]
+    knots = MapKnots.from_markers(markers, SR, n)
+    single = render_track_pv(x, knots)
+    monkeypatch.setattr(pv, "PV_CHUNK_FRAMES", 64)  # force many chunks
+    chunked = render_track_pv(x, knots)
+    assert len(single) == len(chunked)
+    err = np.sqrt(np.mean((single - chunked) ** 2)) / (
+        np.sqrt(np.mean(single**2)) + 1e-12
+    )
+    assert err < 2e-3, err
+
+
+def test_chunked_stretch_formant(monkeypatch):
+    import melonix_tpu.engine.phase_vocoder as pv
+
+    x = _sine(220.0, 4.0)
+    n = len(x)
+    markers = [Marker(sample=n // 2, note=48.0, d_time=0.0, pitch_bend=7.0)]
+    knots = MapKnots.from_markers(markers, SR, n)
+    single = render_track_pv(x, knots, preserve_formants=True)
+    monkeypatch.setattr(pv, "PV_CHUNK_FRAMES", 48)
+    chunked = render_track_pv(x, knots, preserve_formants=True)
+    err = np.sqrt(np.mean((single - chunked) ** 2)) / (
+        np.sqrt(np.mean(single**2)) + 1e-12
+    )
+    assert err < 2e-3, err
