@@ -11,11 +11,7 @@ Formulation for time-VARYING pitch rate ``rho(t) = 2^(bend(t)/12)``:
 
 1.  **Rate integral, closed form.**  ``p(t) = integral_0^t rho`` maps output
     time onto a "stretched" timeline.  The bend is piecewise linear, so p is
-    piecewise *exponential* with an analytic expression per knot segment —
-    the device evaluates it **elementwise** from four per-segment constants
-    delivered as segmented broadcasts (scatter bit-pattern diffs at segment
-    starts + int32 cumsum).  No per-sample gather, interp, searchsorted, or
-    8M-cumsum anywhere.
+    piecewise *exponential* with an analytic expression per knot segment.
 
 2.  **PV time-stretch.**  Synthesis frames sit at ``m * hop`` on the
     stretched timeline; frame m analyses the *source* at
@@ -26,16 +22,26 @@ Formulation for time-VARYING pitch rate ``rho(t) = 2^(bend(t)/12)``:
         psi_m  = psi_{m-1} + hop * (omega_k + dphi_m / dA_m)
 
     is a prefix sum over frames (one cumsum), followed by the scatter-free
-    stride-stacked overlap-add (engine/spectral.istft_device).
+    stride-stacked overlap-add (engine/spectral.istft_device).  Hour-scale
+    tracks are stretched in chunks with exact phase carry (the prefix sum
+    and OLA are both linear), bit-consistent with a one-shot stretch.
 
-3.  **Variable-rate resample.**  ``out[n] = lerp(y_stretch, p(t_n) * sr)``
-    — the only per-sample gathers in the pipeline (2, like the granular
-    fast path).
+3.  **Variable-rate resample** back to the output timeline — the only
+    per-sample gathers in the pipeline.  Positions are produced as
+    **int32 block bases + small float32 residuals**: absolute float32
+    sample positions lose sub-sample precision past 2^23 samples (~3 min
+    at 44.1 kHz; at hour scale the ulp is 16 samples and a resampler
+    degrades to sample-and-hold).  The host evaluates the position curve
+    in float64 at every 2048-sample output block start and at every rate
+    segment start; the device reconstructs per-sample positions *relative
+    to those anchors* from exactly-representable int32 sample offsets —
+    full precision at any track length.
 
 Formant preservation (BASELINE config #5): the final resample scales the
 spectral envelope along with the harmonics; pre-warping each frame's
-magnitudes by ``E(k * rho) / E(k)`` (cepstral envelope, lerp-gathered at
-the scaled bins) cancels that, keeping vocal timbre in place.
+magnitudes by ``E(k * rho) / E(k)`` (cepstral envelope, evaluated with a
+Chebyshev recurrence — no gathers) cancels that, keeping vocal timbre in
+place.
 """
 
 from __future__ import annotations
@@ -115,130 +121,97 @@ def _bits(x: np.ndarray) -> np.ndarray:
     return np.asarray(x, np.float32).view(np.int32).copy()
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "size", "hop", "n_out", "n_frames", "sr", "formant", "n_ceps", "resample"
-    ),
-)
-def _pv_device(
-    wav,
-    a_m,  # float32 (n_frames,) host-inverted source positions (samples)
-    rho_m,  # float32 (n_frames,) per-frame pitch rate
-    seg_j0,  # int32 (K,) first output sample of each rate segment
-    seg_t0_b, seg_b0_b, seg_s_b, seg_p0_b,  # int32 (K,) f32 bit patterns
-    window,
-    size, hop, n_out, n_frames, sr,
-    formant=False, n_ceps=40, resample=True,
-):
-    n = wav.shape[0]
-    n_bins = size // 2 + 1
+def _src_eval64(table, t_a: np.ndarray, sr: float) -> tuple[np.ndarray, ...]:
+    """Float64 (src, rho, slope) of the stretched position curve at times t_a.
 
-    # 1. Stretched position per output sample, closed form per segment.
+    src(t) = p(t)*sr - rho(t): the "exclusive" convention matching the
+    per-sample cumulative-rate positions (sample j sits at p(t_j)*sr with
+    t_j = (j+1)/sr, minus its own rate — so src(t_0) = 0 for unit rate).
+    """
+    t0s, b0s, slopes, p0s, _ = table
+    seg = np.clip(np.searchsorted(t0s, t_a, side="right") - 1, 0, len(t0s) - 1)
+    dt = t_a - t0s[seg]
+    s = slopes[seg]
+    r0 = 2.0 ** (b0s[seg] / 12.0)
+    rho = 2.0 ** ((b0s[seg] + s * dt) / 12.0)
+    flat = np.abs(s) < 1e-12
+    with np.errstate(invalid="ignore", divide="ignore"):
+        p = p0s[seg] + np.where(
+            flat, r0 * dt, (rho - r0) / (np.where(flat, 1.0, s) * LN2_12)
+        )
+    return np.maximum(p * sr - rho, 0.0), rho, s
+
+
+def _anchor_table(table, sr: float, n_out_pad: int, n_src: int):
+    """Host control plane for the block-relative resample positions.
+
+    Anchors = every resample block start UNION every rate-segment start, so
+    no anchor-to-anchor span crosses a segment boundary and every span is
+    <= BLK samples (exact int32 offsets, full f32 precision on device).
+
+    Returns (anc_j int32, src_rel f64, rho f64, slope f64, base int32) with
+    ``src_rel = src64(anchor) - base[block(anchor)]`` — small by
+    construction (block span + SLACK), so its f32 image keeps ~1e-3-sample
+    precision regardless of track length.
+    """
+    from ..kernels import pallas_resample
+
+    blk = pallas_resample.BLK
+    t0s = table[0]
+    nb = n_out_pad // blk
+    jb = np.arange(nb, dtype=np.int64) * blk
+    seg_j0 = np.clip(
+        np.ceil(t0s * sr - 1.0 - 1e-9), 0, n_out_pad - 1
+    ).astype(np.int64)
+    anc_j = np.union1d(jb, seg_j0)
+    t_a = (anc_j + 1.0) / sr
+    src_a, rho_a, s_a = _src_eval64(table, t_a, sr)
+    # Block slab bases from the float64 block-start positions.
+    base = pallas_resample.block_bases(src_a[np.searchsorted(anc_j, jb)], n_src)
+    src_rel = src_a - base[np.minimum(anc_j // blk, nb - 1)].astype(np.float64)
+    return anc_j.astype(np.int32), src_rel, rho_a, s_a, base
+
+
+@partial(jax.jit, static_argnames=("n_out", "sr"))
+def _positions_rel_device(anc_j0, anc_src_b, anc_r_b, anc_s_b, n_out, sr):
+    """Block-relative per-sample stretched positions, float32-exact.
+
+    Anchor constants arrive as segmented broadcasts (scatter diffs at
+    anchor starts + int32 cumsum — bit-exact through the sum, ~2 ms per 8M
+    samples; no gathers).  Within a span, dt = (j - j0)/sr with the int
+    subtraction done in int32 (exact), and
+
+        rho(t)  = r_a * exp(s * dt * ln2/12)
+        p - p_a = r_a * expm1(s * dt * ln2/12) / (s * ln2/12)
+        src_rel = src_rel_a + r_a * ((p - p_a)/r_a * sr - expm1(...))
+
+    expm1 keeps full relative precision for the small per-span exponent
+    (a plain exp2(x) - 1 would cancel catastrophically for tiny slopes).
+    """
     j = jnp.arange(n_out, dtype=jnp.int32)
 
-    def seg_f32(bits):
-        d = jnp.zeros(n_out, jnp.int32).at[seg_j0[1:]].add(
-            jnp.diff(bits), mode="drop"
+    def seg_i32(vals):
+        d = jnp.zeros(n_out, jnp.int32).at[anc_j0[1:]].add(
+            jnp.diff(vals), mode="drop"
         )
-        return jax.lax.bitcast_convert_type(bits[0] + jnp.cumsum(d), jnp.float32)
+        return vals[0] + jnp.cumsum(d)
 
-    t0 = seg_f32(seg_t0_b)
-    b0 = seg_f32(seg_b0_b)
-    s = seg_f32(seg_s_b)
-    p0 = seg_f32(seg_p0_b)
-    t = (j.astype(jnp.float32) + 1.0) / sr
-    dt = t - t0
-    r0 = jnp.exp2(b0 * (1.0 / 12.0))
-    r_t = jnp.exp2((b0 + s * dt) * (1.0 / 12.0))
+    def seg_f32(bits):
+        return jax.lax.bitcast_convert_type(seg_i32(bits), jnp.float32)
+
+    j0 = seg_i32(anc_j0)
+    src0 = seg_f32(anc_src_b)
+    r_a = seg_f32(anc_r_b)
+    s = seg_f32(anc_s_b)
+    dt = (j - j0).astype(jnp.float32) / np.float32(sr)
+    x = s * dt * np.float32(LN2_12)
+    em1 = jnp.expm1(x)
     flat = jnp.abs(s) < 1e-9
-    p = p0 + jnp.where(
-        flat, r0 * dt, (r_t - r0) / (jnp.where(flat, 1.0, s) * np.float32(LN2_12))
+    delta_p = jnp.where(
+        flat, dt, em1 / (jnp.where(flat, 1.0, s) * np.float32(LN2_12))
     )
-    pos = p * sr  # stretched samples, monotone
-
-    # 2. Analysis frames at host-inverted positions (DMA kernel on TPU —
-    # a 32M-element XLA gather otherwise).
-    from ..kernels import pallas_frames
-
-    starts = jnp.floor(jnp.clip(a_m, 0.0, n - 1.0)).astype(jnp.int32)
-    if pallas_frames.supported(size, n_frames) and jax.default_backend() == "tpu":
-        frames = pallas_frames.extract_frames_pallas(wav, starts, size)
-    else:
-        idx = starts[:, None] + jnp.arange(size, dtype=jnp.int32)[None, :]
-        frames = jnp.where(idx < n, wav[jnp.clip(idx, 0, n - 1)], 0.0)
-    spec = jnp.fft.rfft(frames * window[None, :])
-    mag = jnp.abs(spec)
-    phi = jnp.angle(spec)
-
-    if formant:
-        # Cepstral envelope; pre-warp magnitudes by E(k*rho)/E(k) so the
-        # final resample restores the original envelope (timbre).  The
-        # envelope is n_ceps cosine coefficients, so E at the rho-scaled
-        # bins is evaluated *directly* with a Chebyshev recurrence — pure
-        # elementwise math where a lerp-gather formulation costs two 16M-
-        # element gathers (~480 ms on v5e).
-        log_mag = jnp.log(mag + 1e-8)
-        kk = np.arange(n_bins, dtype=np.float64)
-        qq = np.arange(1, n_ceps, dtype=np.float64)
-        wk = np.full(n_bins, 2.0 / size)
-        wk[0] = 1.0 / size
-        wk[-1] = 1.0 / size
-        a_mat = jnp.asarray(
-            (wk[:, None] * np.cos(2.0 * np.pi * kk[:, None] * qq[None, :] / size))
-            .astype(np.float32)
-        )  # (n_bins, n_ceps-1): c_q = L @ a_mat; c_0 = mean via wk row-sum
-        cep = jnp.dot(log_mag, a_mat, preferred_element_type=jnp.float32)
-        # gain_log[k] = sum_q 2 c_q (cos(q*theta*rho) - cos(q*theta)); the
-        # q=0 term cancels.  Chebyshev: T_q(cos t) = cos(q t).
-        theta = (2.0 * jnp.pi / size) * jnp.arange(n_bins, dtype=jnp.float32)
-        c1w = jnp.cos(theta[None, :] * rho_m[:, None])
-        c1p = jnp.broadcast_to(jnp.cos(theta)[None, :], c1w.shape)
-        tw_prev, tw_cur = jnp.ones_like(c1w), c1w
-        tp_prev, tp_cur = jnp.ones_like(c1p), c1p
-        gain_log = 2.0 * cep[:, 0:1] * (c1w - c1p)
-        for qi in range(2, n_ceps):
-            tw_prev, tw_cur = tw_cur, 2.0 * c1w * tw_cur - tw_prev
-            tp_prev, tp_cur = tp_cur, 2.0 * c1p * tp_cur - tp_prev
-            gain_log = gain_log + 2.0 * cep[:, qi - 1 : qi] * (tw_cur - tp_cur)
-        mag = mag * jnp.exp(jnp.clip(gain_log, -6.9, 6.9))  # +-60 dB
-
-    # 3. Phase propagation as a prefix sum over frames.  psi_m splits into
-    # the exact linear ramp m*hop*omega_k (evaluated mod 2pi with int32
-    # arithmetic — a float32 running sum would hit 2.5e7 rad on a 3-minute
-    # track, where one ulp is ~2 rad) plus a cumsum of the small wrapped
-    # residuals (|res| <= pi*hop/da per frame, so float32 stays coherent).
-    omega = (2.0 * jnp.pi / size) * jnp.arange(n_bins, dtype=jnp.float32)
-    da = jnp.maximum(a_m[1:] - a_m[:-1], 1e-3)[:, None]
-    dphi = _princarg(phi[1:] - phi[:-1] - omega[None, :] * da)
-    resid = jnp.concatenate(
-        [jnp.zeros((1, n_bins), jnp.float32), jnp.cumsum(hop * dphi / da, axis=0)],
-        axis=0,
-    )
-    m_idx = jnp.arange(n_frames, dtype=jnp.int32)
-    hm = jnp.mod(m_idx * hop, size)  # < size, exact
-    k_idx = jnp.arange(n_bins, dtype=jnp.int32)
-    ramp_int = jnp.mod(hm[:, None] * k_idx[None, :], size)  # < size^2/2, exact
-    ramp = (2.0 * jnp.pi / size) * ramp_int.astype(jnp.float32)
-    psis = phi[:1] + ramp + resid
-
-    synth = mag * jnp.exp(1j * psis.astype(jnp.float32))
-    stretch_len = (n_frames - 1) * hop + size
-    y = istft_device(synth, window, size, hop, stretch_len)
-
-    # 4. Variable-rate resample back to the output timeline.
-    src = pos - jnp.exp2(
-        (b0 + s * dt) * (1.0 / 12.0)
-    )  # exclusive-ish: p(t_j) - rho(t_j), matches the prior cumsum convention
-    src = jnp.maximum(src, 0.0)
-    if not resample:
-        # Caller finishes with the Pallas lane-gather resampler (TPU path).
-        return y, src
-    i0 = jnp.floor(src).astype(jnp.int32)
-    frac = src - i0.astype(jnp.float32)
-    lo = y[jnp.clip(i0, 0, stretch_len - 1)]
-    hi = y[jnp.clip(i0 + 1, 0, stretch_len - 1)]
-    return (1.0 - frac) * lo + frac * hi
+    src_rel = src0 + r_a * (delta_p * np.float32(sr) - em1)
+    return jnp.maximum(src_rel, 0.0)
 
 
 PV_CHUNK_FRAMES = 49152  # frames per stretch chunk (~2.5 GB of intermediates)
@@ -247,8 +220,8 @@ PV_CHUNK_FRAMES = 49152  # frames per stretch chunk (~2.5 GB of intermediates)
 @partial(jax.jit, static_argnames=("size", "hop", "n_frames_c", "formant", "n_ceps"))
 def _stretch_chunk(
     wav,
-    a_prev,  # f32 scalar: A_{m0-1} (A_0 - hop for the first chunk)
-    a_c,  # f32 (n_frames_c,) frame positions (padded by repetition)
+    starts_c,  # i32 (n_frames_c,) exact frame starts (host float64 floor)
+    da_c,  # f32 (n_frames_c,) A_m - A_{m-1}, host float64 diffs
     rho_c,  # f32 (n_frames_c,)
     window,
     m0,  # i32 scalar: global index of the chunk's first frame
@@ -263,17 +236,17 @@ def _stretch_chunk(
     phase state.  Hour-scale tracks exceed HBM if stretched in one shot;
     the phase prefix-sum carries exactly across chunks (resid_in) and OLA
     overlaps add linearly, so chunking is bit-consistent with one shot —
-    no phase resets, no crossfades.
+    no phase resets, no crossfades.  Frame starts are int32 (exact at any
+    track length; float32 absolute positions quantize past 2^23 samples).
     """
     n = wav.shape[0]
     n_bins = size // 2 + 1
     from ..kernels import pallas_frames
 
-    starts = jnp.floor(jnp.clip(a_c, 0.0, n - 1.0)).astype(jnp.int32)
     if pallas_frames.supported(size, n_frames_c) and jax.default_backend() == "tpu":
-        frames = pallas_frames.extract_frames_pallas(wav, starts, size)
+        frames = pallas_frames.extract_frames_pallas(wav, starts_c, size)
     else:
-        idx = starts[:, None] + jnp.arange(size, dtype=jnp.int32)[None, :]
+        idx = starts_c[:, None] + jnp.arange(size, dtype=jnp.int32)[None, :]
         frames = jnp.where(idx < n, wav[jnp.clip(idx, 0, n - 1)], 0.0)
     spec = jnp.fft.rfft(frames * window[None, :])
     mag = jnp.abs(spec)
@@ -282,8 +255,7 @@ def _stretch_chunk(
         mag = mag * _formant_gain(mag, rho_c, size, n_bins, n_ceps)
 
     omega = (2.0 * jnp.pi / size) * jnp.arange(n_bins, dtype=jnp.float32)
-    a_full_prev = jnp.concatenate([a_prev.reshape(1), a_c[:-1]])
-    da = jnp.maximum(a_c - a_full_prev, 1e-3)[:, None]
+    da = jnp.maximum(da_c, 1e-3)[:, None]
     phi_full_prev = jnp.concatenate([phi_prev[None, :], phi[:-1]], axis=0)
     dphi = _princarg(phi - phi_full_prev - omega[None, :] * da)
     # Residual only — the exact int-mod ramp carries the hop*omega part.
@@ -292,6 +264,9 @@ def _stretch_chunk(
     incr = incr.at[0].set(jnp.where(m0 == 0, jnp.zeros(n_bins), incr[0]))
     resid = resid_in[None, :] + jnp.cumsum(incr, axis=0)
 
+    # psi_m = phi0 + m*hop*omega + resid.  The linear ramp is evaluated
+    # mod 2pi with int32 arithmetic — a float32 running sum would hit
+    # 2.5e7 rad on a 3-minute track, where one ulp is ~2 rad.
     m_global = m0 + jnp.arange(n_frames_c, dtype=jnp.int32)
     hm = jnp.mod(m_global * hop, size)
     k_idx = jnp.arange(n_bins, dtype=jnp.int32)
@@ -313,7 +288,13 @@ def _stretch_chunk(
 
 
 def _formant_gain(mag, rho_m, size, n_bins, n_ceps):
-    """Cepstral-envelope warp gain (see _pv_device for the derivation)."""
+    """Cepstral-envelope warp gain.
+
+    The envelope is n_ceps cosine coefficients, so E at the rho-scaled
+    bins is evaluated *directly* with a Chebyshev recurrence — pure
+    elementwise math where a lerp-gather formulation costs two 16M-
+    element gathers (~480 ms on v5e).
+    """
     log_mag = jnp.log(mag + 1e-8)
     kk = np.arange(n_bins, dtype=np.float64)
     qq = np.arange(1, n_ceps, dtype=np.float64)
@@ -323,8 +304,10 @@ def _formant_gain(mag, rho_m, size, n_bins, n_ceps):
     a_mat = jnp.asarray(
         (wk[:, None] * np.cos(2.0 * np.pi * kk[:, None] * qq[None, :] / size))
         .astype(np.float32)
-    )
+    )  # (n_bins, n_ceps-1): c_q = L @ a_mat; c_0 = mean via wk row-sum
     cep = jnp.dot(log_mag, a_mat, preferred_element_type=jnp.float32)
+    # gain_log[k] = sum_q 2 c_q (cos(q*theta*rho) - cos(q*theta)); the
+    # q=0 term cancels.  Chebyshev: T_q(cos t) = cos(q t).
     theta = (2.0 * jnp.pi / size) * jnp.arange(n_bins, dtype=jnp.float32)
     c1w = jnp.cos(theta[None, :] * rho_m[:, None])
     c1p = jnp.broadcast_to(jnp.cos(theta)[None, :], c1w.shape)
@@ -335,7 +318,7 @@ def _formant_gain(mag, rho_m, size, n_bins, n_ceps):
         tw_prev, tw_cur = tw_cur, 2.0 * c1w * tw_cur - tw_prev
         tp_prev, tp_cur = tp_cur, 2.0 * c1p * tp_cur - tp_prev
         gain_log = gain_log + 2.0 * cep[:, qi - 1 : qi] * (tw_cur - tp_cur)
-    return jnp.exp(jnp.clip(gain_log, -6.9, 6.9))
+    return jnp.exp(jnp.clip(gain_log, -6.9, 6.9))  # +-60 dB
 
 
 @partial(jax.jit, static_argnames=("size", "hop", "n_frames", "out_len"))
@@ -363,28 +346,17 @@ def _accum_at(y, y_c, off):
     return jax.lax.dynamic_update_slice(y, cur + y_c, (off,))
 
 
-@partial(jax.jit, static_argnames=("sr", "n_out"))
-def _positions_device(seg_j0, seg_t0_b, seg_b0_b, seg_s_b, seg_p0_b, sr, n_out):
-    """Per-sample stretched source position (see _pv_device stage 1/4)."""
-    j = jnp.arange(n_out, dtype=jnp.int32)
-
-    def seg_f32(bits):
-        d = jnp.zeros(n_out, jnp.int32).at[seg_j0[1:]].add(jnp.diff(bits), mode="drop")
-        return jax.lax.bitcast_convert_type(bits[0] + jnp.cumsum(d), jnp.float32)
-
-    t0 = seg_f32(seg_t0_b)
-    b0 = seg_f32(seg_b0_b)
-    s = seg_f32(seg_s_b)
-    p0 = seg_f32(seg_p0_b)
-    t = (j.astype(jnp.float32) + 1.0) / sr
-    dt = t - t0
-    r0 = jnp.exp2(b0 * (1.0 / 12.0))
-    r_t = jnp.exp2((b0 + s * dt) * (1.0 / 12.0))
-    flat = jnp.abs(s) < 1e-9
-    p = p0 + jnp.where(
-        flat, r0 * dt, (r_t - r0) / (jnp.where(flat, 1.0, s) * np.float32(LN2_12))
-    )
-    return jnp.maximum(p * sr - r_t, 0.0)
+@partial(jax.jit, static_argnames=("stretch_len", "blk"))
+def _lerp_resample_rel_xla(y, src_rel, base, stretch_len: int, blk: int):
+    """XLA fallback: lerp at base[block] + relative position (exact i32)."""
+    nb = src_rel.shape[0] // blk
+    b = jnp.broadcast_to(base[:nb, None], (nb, blk)).reshape(-1)
+    rel_f = jnp.floor(src_rel)
+    frac = src_rel - rel_f
+    i0 = b + rel_f.astype(jnp.int32)
+    lo = y[jnp.clip(i0, 0, stretch_len - 1)]
+    hi = y[jnp.clip(i0 + 1, 0, stretch_len - 1)]
+    return (1.0 - frac) * lo + frac * hi
 
 
 def render_track_pv(
@@ -403,6 +375,8 @@ def render_track_pv(
     ``preserve_formants`` the spectral envelope (vocal timbre) stays put
     while the pitch moves (cepstral envelope warp, BASELINE config #5).
     """
+    from ..kernels import pallas_resample
+
     size = size or config.stft_size
     hop = hop or config.stft_hop
     wav = np.asarray(wav, np.float32)
@@ -416,116 +390,78 @@ def render_track_pv(
     n_frames = int(np.ceil(p_total * sr / hop)) + 2
     n_frames = 64 * -(-n_frames // 64)
     n_out_pad = 8192 * -(-n_out // 8192)
+    stretch_len = (n_frames - 1) * hop + size
 
-    # Host control plane: frame positions by analytic inversion (float64).
+    # Host control plane (float64): frame positions by analytic inversion,
+    # exact int32 frame starts, float64-differenced frame advances.
     y_m = np.arange(n_frames, dtype=np.float64) * hop / sr
     t_m = _invert_p(table, np.minimum(y_m, p_total))
     a_m = knots.time_to_sample_float(t_m)
     rho_m = 2.0 ** (knots.time_to_pitch_bend(t_m).astype(np.float64) / 12.0)
+    starts_m = np.floor(np.clip(a_m, 0.0, len(wav) - 1.0)).astype(np.int32)
+    da_m = np.maximum(
+        np.diff(a_m, prepend=a_m[0] - hop), 1e-3
+    ).astype(np.float32)
 
-    # Segment boundaries in output samples (t_j = (j + 1) / sr).
-    t0s, b0s, slopes, p0s, _ = table
-    seg_j0 = np.clip(np.ceil(t0s * sr - 1.0 - 1e-9), 0, n_out_pad - 1).astype(np.int32)
-    K = 128 * -(-len(seg_j0) // 128)
-    pad = K - len(seg_j0)
-
-    def _padded(vals):
-        return np.pad(np.asarray(vals), (0, pad), mode="edge")
-
-    from ..kernels import pallas_resample
-
-    dev_args = (
-        jnp.asarray(wav),
-        jnp.asarray(a_m.astype(np.float32)),
-        jnp.asarray(rho_m.astype(np.float32)),
-        jnp.asarray(np.pad(seg_j0, (0, pad), constant_values=n_out_pad)),
-        jnp.asarray(_bits(_padded(t0s))),
-        jnp.asarray(_bits(_padded(b0s))),
-        jnp.asarray(_bits(_padded(slopes))),
-        jnp.asarray(_bits(_padded(p0s))),
-        jnp.asarray(hann_window(size)),
+    # Resample anchors: block-relative positions (see _anchor_table).
+    anc_j, src_rel64, rho_a, s_a, base = _anchor_table(
+        table, sr, n_out_pad, stretch_len
     )
+    n_anc = 512 * -(-len(anc_j) // 512)  # bucket compile shapes
+    pad_a = n_anc - len(anc_j)
+    anc_j_p = np.pad(anc_j, (0, pad_a), constant_values=n_out_pad)
+    anc_args = (
+        jnp.asarray(anc_j_p),
+        jnp.asarray(np.pad(_bits(src_rel64), (0, pad_a), mode="edge")),
+        jnp.asarray(np.pad(_bits(rho_a), (0, pad_a), mode="edge")),
+        jnp.asarray(np.pad(_bits(s_a), (0, pad_a), mode="edge")),
+    )
+
+    wav_dev = jnp.asarray(wav)
+    win_dev = jnp.asarray(hann_window(size))
     on_tpu = jax.default_backend() == "tpu"
-    stretch_len = (n_frames - 1) * hop + size
-    if not on_tpu and n_frames <= PV_CHUNK_FRAMES:
-        out = _pv_device(
-            *dev_args, size, hop, n_out_pad, n_frames, sr,
-            formant=preserve_formants,
-        )
-        return np.asarray(out[:n_out])
 
-    if n_frames <= PV_CHUNK_FRAMES:
-        y, src = _pv_device(
-            *dev_args, size, hop, n_out_pad, n_frames, sr,
-            formant=preserve_formants, resample=False,
+    # Stretch in chunks with exact phase carry; OLA contributions add
+    # linearly; normalize once globally.  Short tracks take one chunk.
+    ch = min(PV_CHUNK_FRAMES, n_frames)
+    n_bins = size // 2 + 1
+    y = jnp.zeros(stretch_len + ch * hop + size, jnp.float32)
+    resid = jnp.zeros(n_bins, jnp.float32)
+    phi_prev = jnp.zeros(n_bins, jnp.float32)
+    phi0 = jnp.zeros(n_bins, jnp.float32)
+    for m0 in range(0, n_frames, ch):
+        f_real = min(ch, n_frames - m0)
+        sl = slice(m0, m0 + f_real)
+        pad_c = ch - f_real
+        starts_c = np.pad(starts_m[sl], (0, pad_c), mode="edge")
+        da_c = np.pad(da_m[sl], (0, pad_c), constant_values=float(hop))
+        rho_c = np.pad(rho_m[sl].astype(np.float32), (0, pad_c), mode="edge")
+        y_c, resid, phi_prev, phi0 = _stretch_chunk(
+            wav_dev, jnp.asarray(starts_c), jnp.asarray(da_c),
+            jnp.asarray(rho_c), win_dev,
+            jnp.int32(m0), jnp.int32(f_real),
+            phi0, resid, phi_prev,
+            size, hop, ch, formant=preserve_formants,
         )
-    else:
-        # Hour-scale: stretch in chunks with exact phase carry; OLA
-        # contributions add linearly; normalize once globally.
-        wav_dev, a_dev, rho_dev = dev_args[0], dev_args[1], dev_args[2]
-        win_dev = dev_args[8]
-        ch = PV_CHUNK_FRAMES
-        n_bins = size // 2 + 1
-        y = jnp.zeros(stretch_len + ch * hop + size, jnp.float32)
-        resid = jnp.zeros(n_bins, jnp.float32)
-        phi_prev = jnp.zeros(n_bins, jnp.float32)
-        phi0 = jnp.zeros(n_bins, jnp.float32)
-        for m0 in range(0, n_frames, ch):
-            f_real = min(ch, n_frames - m0)
-            sl = slice(m0, m0 + f_real)
-            pad_c = ch - f_real
-            a_c = jnp.concatenate(
-                [a_dev[sl]] + ([a_dev[sl][-1:].repeat(pad_c)] if pad_c else [])
-            ).astype(jnp.float32)
-            rho_c = jnp.concatenate(
-                [rho_dev[sl]] + ([rho_dev[sl][-1:].repeat(pad_c)] if pad_c else [])
-            ).astype(jnp.float32)
-            a_prev = (
-                a_dev[m0 - 1].astype(jnp.float32)
-                if m0
-                else a_dev[0].astype(jnp.float32) - hop
-            )
-            y_c, resid, phi_prev, phi0 = _stretch_chunk(
-                wav_dev, a_prev, a_c, rho_c, win_dev,
-                jnp.int32(m0), jnp.int32(f_real),
-                phi0, resid, phi_prev,
-                size, hop, ch, formant=preserve_formants,
-            )
-            y = _accum_at(y, y_c, jnp.int32(m0 * hop))
-        wsum = _ola_wsum(win_dev, size, hop, n_frames, stretch_len)
-        y = y[:stretch_len] / wsum
-        src = _positions_device(*dev_args[3:8], sr, n_out_pad)
+        y = _accum_at(y, y_c, jnp.int32(m0 * hop))
+    wsum = _ola_wsum(win_dev, size, hop, n_frames, stretch_len)
+    y = y[:stretch_len] / wsum
 
+    src_rel = _positions_rel_device(*anc_args, n_out_pad, sr)
     if on_tpu:
         # Lane-gather resample: the XLA tail's two 8M-element gathers are
-        # ~75% of the whole render's device time.
-        blk = pallas_resample.BLK
-        t_blocks = (np.arange(n_out_pad // blk, dtype=np.float64) * blk + 1.0) / sr
-        seg = np.clip(np.searchsorted(t0s, t_blocks, side="right") - 1, 0, len(t0s) - 1)
-        dtb = t_blocks - t0s[seg]
-        rho_b = 2.0 ** ((b0s[seg] + slopes[seg] * dtb) / 12.0)
-        flat = np.abs(slopes[seg]) < 1e-12
-        r0 = 2.0 ** (b0s[seg] / 12.0)
-        with np.errstate(invalid="ignore"):
-            p_b = p0s[seg] + np.where(
-                flat, r0 * dtb, (rho_b - r0) / (np.where(flat, 1.0, slopes[seg]) * LN2_12)
-            )
-        src_b = np.maximum(p_b * sr - rho_b, 0.0)
-        base = pallas_resample.block_bases(src_b, stretch_len)
-        # Slab sizing from the KNOT-wise bend maximum (the curve's true
-        # extremum — frame-sampled rho_m can miss a spike between frames).
-        rho_max = float(2.0 ** (max(np.max(b0s), 0.0) / 12.0))
-        rows = pallas_resample.rows_for(max(rho_max, float(rho_m.max()), 1.0))
-        out = pallas_resample.resample_lerp_pallas(y, src, jnp.asarray(base), rows)
+        # ~75% of the whole render's device time.  Slab sizing from the
+        # KNOT-wise bend maximum (the curve's true extremum — frame-sampled
+        # rho_m can miss a spike between frames).
+        rho_max = float(2.0 ** (max(np.max(table[1]), 0.0) / 12.0))
+        rows = pallas_resample.rows_for(
+            max(rho_max, float(rho_m.max()), 1.0)
+        )
+        out = pallas_resample.resample_lerp_pallas(
+            y, src_rel, jnp.asarray(base), rows
+        )
     else:
-        out = _lerp_resample_xla(y, src, stretch_len)
+        out = _lerp_resample_rel_xla(
+            y, src_rel, jnp.asarray(base), stretch_len, pallas_resample.BLK
+        )
     return np.asarray(out[:n_out])
-
-
-@partial(jax.jit, static_argnames=("stretch_len",))
-def _lerp_resample_xla(y, src, stretch_len: int):
-    i0 = jnp.floor(src).astype(jnp.int32)
-    frac = src - i0.astype(jnp.float32)
-    lo = y[jnp.clip(i0, 0, stretch_len - 1)]
-    hi = y[jnp.clip(i0 + 1, 0, stretch_len - 1)]
-    return (1.0 - frac) * lo + frac * hi

@@ -1,15 +1,20 @@
 """Pallas variable-position lerp resampler.
 
-``out[j] = lerp(y, pos[j])`` with monotone positions is the tail of the
-phase vocoder (and any variable-rate playback path).  As XLA gathers the
-two taps cost ~7.5 ns/element (~135 ms for a 3-minute track); here each
-2048-sample output block DMAs the contiguous source span it covers and
-lane-gathers within it (the kernels/pallas_render.py machinery, but with
-aligned non-overlapping output blocks — no compaction pass needed).
+``out[j] = lerp(y, base[j // BLK] + pos_rel[j])`` with monotone positions
+is the tail of the phase vocoder (and any variable-rate playback path).
+As XLA gathers the two taps cost ~7.5 ns/element (~135 ms for a 3-minute
+track); here each 2048-sample output block DMAs the contiguous source span
+it covers and lane-gathers within it (the kernels/pallas_render.py
+machinery, but with aligned non-overlapping output blocks — no compaction
+pass needed).
 
-The per-block source spans come from the HOST (analytic float64 evaluation
-of the position curve at block starts, padded with slack so float32
-rounding on the device can never escape the slab).
+Positions are **block-relative**: an int32 slab base per block plus small
+float32 residuals.  Absolute float32 positions lose sub-sample precision
+past 2^23 source samples (~3 min at 44.1 kHz) — at hour scale the ulp is
+16 samples and lerp degrades to sample-and-hold.  The per-block bases come
+from the HOST (analytic float64 evaluation of the position curve at block
+starts, padded with slack so float32 rounding on the device can never
+escape the slab).
 """
 
 from __future__ import annotations
@@ -53,10 +58,10 @@ def _kernel(base_ref, y_hbm, pos_ref, o_ref, slab, sems, *, rows):
     g = realign(slab[b % 2], jax.lax.rem(base, 128), rows)
     hsh = shift_one(g, rows)
 
-    pos = pos_ref[0]
+    pos = pos_ref[0]  # block-relative: source index minus base
     idx_f = jnp.floor(pos)
     frac = pos - idx_f
-    rel = jnp.clip(idx_f.astype(jnp.int32) - base, 0, rows * 128 - 2)
+    rel = jnp.clip(idx_f.astype(jnp.int32), 0, rows * 128 - 2)
     o_ref[0] = lerp_rows(g, hsh, rel, frac, BLK_ROWS, rows - 1)
 
 
@@ -75,7 +80,7 @@ def rows_for(max_rate: float) -> int:
 @partial(jax.jit, static_argnames=("rows", "interpret"))
 def resample_lerp_pallas(
     y: jnp.ndarray,  # (n_src,) float32 source
-    pos: jnp.ndarray,  # (n_out,) float32 monotone positions, n_out % BLK == 0
+    pos: jnp.ndarray,  # (n_out,) f32 BLOCK-RELATIVE positions, n_out % BLK == 0
     base: jnp.ndarray,  # int32 (n_out // BLK,) host slab bases
     rows: int,
     interpret: bool = False,

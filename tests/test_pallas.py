@@ -275,14 +275,104 @@ def test_resample_lerp_pallas_matches_xla(rng):
     # Monotone positions with rate wandering in [0.6, 1.9]
     rates = (1.25 + 0.65 * np.sin(np.linspace(0, 9, n_out))).astype(np.float64)
     pos64 = np.cumsum(rates) - rates
-    pos = pos64.astype(np.float32)
     base = block_bases(pos64[::BLK], n_src)
+    # Block-relative contract: residual vs the block's slab base, float64
+    # subtraction BEFORE the f32 cast (this is what keeps hour-scale exact).
+    rel = (pos64 - np.repeat(base.astype(np.float64), BLK)).astype(np.float32)
     rows = rows_for(1.9)
     got = np.asarray(
-        resample_lerp_pallas(jnp.asarray(y), jnp.asarray(pos), jnp.asarray(base), rows, interpret=True)
+        resample_lerp_pallas(jnp.asarray(y), jnp.asarray(rel), jnp.asarray(base), rows, interpret=True)
     )
-    i0 = np.clip(np.floor(pos).astype(np.int64), 0, n_src - 1)
-    frac = (pos - np.floor(pos)).astype(np.float32)
+    pos_rec = np.repeat(base.astype(np.float64), BLK) + rel.astype(np.float64)
+    i0 = np.clip(np.floor(pos_rec).astype(np.int64), 0, n_src - 1)
+    frac = (pos_rec - np.floor(pos_rec)).astype(np.float32)
     yp = np.concatenate([y, np.zeros(8192, np.float32)])
     want = (1 - frac) * yp[i0] + frac * yp[i0 + 1]
     np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_resample_relative_positions_exact_at_hour_scale(rng):
+    """Block-relative positions keep sub-sample precision where absolute
+    f32 positions quantize to 16-sample steps (ADVICE r1 high finding):
+    source offsets ~1.5e8 (an hour at 44.1 kHz)."""
+    from melonix_tpu.kernels.pallas_resample import (
+        BLK,
+        resample_lerp_pallas,
+        rows_for,
+    )
+
+    n_src = 4096
+    big = 150_000_000  # pretend the slab sits this deep into the stretch
+    y = rng.standard_normal(n_src).astype(np.float32)
+    n_out = BLK
+    rates = (1.1 + 0.4 * np.sin(np.linspace(0, 7, n_out))).astype(np.float64)
+    pos64 = big + 200.0 + np.cumsum(rates) - rates
+    # Absolute f32 demonstrably broken at this magnitude:
+    assert np.unique(pos64.astype(np.float32)).size < n_out // 4
+    base_local = np.full(1, 200 - 128 + 0, np.int32)  # slab base within y
+    rel = (pos64 - big - base_local[0].astype(np.float64)).astype(np.float32)
+    rows = rows_for(1.5)
+    got = np.asarray(
+        resample_lerp_pallas(
+            jnp.asarray(y), jnp.asarray(rel), jnp.asarray(base_local), rows,
+            interpret=True,
+        )
+    )
+    local64 = pos64 - big  # float64 ground truth within the slab
+    # Position error is f32-ulp-of-the-RESIDUAL (~2e-4 samples), not the
+    # 16-sample ulp of absolute f32 at 1.5e8.
+    pos_err = np.abs(rel.astype(np.float64) + base_local[0] - local64)
+    assert pos_err.max() < 1e-3, pos_err.max()
+    i0 = np.floor(local64).astype(np.int64)
+    frac = (local64 - i0).astype(np.float32)
+    yp = np.concatenate([y, np.zeros(8192, np.float32)])
+    want = (1 - frac) * yp[i0] + frac * yp[i0 + 1]
+    # Amplitude tolerance = position ulp x O(1) signal slope.
+    np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_pv_positions_rel_device_matches_float64():
+    """Device block-relative position math vs float64 ground truth on a
+    synthetic multi-segment bend curve (expm1 formulation, int32 dt)."""
+    from melonix_tpu.engine.maps import MapKnots
+    from melonix_tpu.engine.phase_vocoder import (
+        _anchor_table,
+        _bits,
+        _positions_rel_device,
+        _segment_table,
+        _src_eval64,
+    )
+    from melonix_tpu.kernels.pallas_resample import BLK
+    from melonix_tpu.markers import Marker
+
+    sr = 8000
+    n = 6 * sr
+    markers = [
+        Marker(sample=n // 4, note=57.0, d_time=0.1, pitch_bend=5.0),
+        Marker(sample=n // 2, note=57.0, d_time=0.0, pitch_bend=-2.0),
+        Marker(sample=3 * n // 4, note=57.0, d_time=-0.03, pitch_bend=0.002),
+    ]
+    knots = MapKnots.from_markers(markers, sr, n)
+    n_out = int(knots.duration() * sr)
+    n_out_pad = 8192 * -(-n_out // 8192)
+    table = _segment_table(knots, n_out / sr)
+    stretch_len = n_out_pad * 2
+    anc_j, src_rel64, rho_a, s_a, base = _anchor_table(
+        table, sr, n_out_pad, stretch_len
+    )
+    got_rel = np.asarray(
+        _positions_rel_device(
+            jnp.asarray(anc_j), jnp.asarray(_bits(src_rel64)),
+            jnp.asarray(_bits(rho_a)), jnp.asarray(_bits(s_a)),
+            n_out_pad, sr,
+        )
+    )
+    got_abs = got_rel.astype(np.float64) + np.repeat(
+        base.astype(np.float64), BLK
+    )
+    j = np.arange(n_out_pad, dtype=np.float64)
+    want_abs, _, _ = _src_eval64(table, (j + 1.0) / sr, sr)
+    # base includes SLACK so got_abs == want only where want > 0 (the clamp
+    # at 0 applies to the relative value for block 0 only).
+    mask = want_abs > 1.0
+    np.testing.assert_allclose(got_abs[mask], want_abs[mask], atol=5e-3)
