@@ -22,13 +22,19 @@ import numpy as np
 
 
 def _load_any(path: str):
-    """(wav, rate, markers, brightness, tempo) from audio or .mlx project."""
+    """(wav, rate, markers, brightness, tempo) from audio, .mlx, or a
+    reference-format .melonix project (app.cpp:130-138 extension dispatch)."""
     from .io.project import load_project
     from .io.audio import load_audio
     from .config import DEFAULT_CONFIG as C
 
     if path.endswith(".mlx"):
         p = load_project(path)
+        return p.wav, p.sample_rate, p.markers, p.brightness, p.tempo
+    if path.endswith(".melonix"):
+        from .io.melonix import load_melonix
+
+        p = load_melonix(path)
         return p.wav, p.sample_rate, p.markers, p.brightness, p.tempo
     wav, rate = load_audio(path)
     return wav, rate, [], C.brightness, C.tempo
@@ -205,10 +211,13 @@ def cmd_project(args) -> int:
 
     wav, rate, markers, brightness, tempo = _load_any(args.input)
     markers = _markers_from_arg(args.markers, markers)
-    out = save_project(
-        args.output,
-        Project(wav=wav, sample_rate=rate, markers=markers, brightness=brightness, tempo=tempo),
-    )
+    proj = Project(wav=wav, sample_rate=rate, markers=markers, brightness=brightness, tempo=tempo)
+    if args.output.endswith(".melonix"):  # reference-format interop
+        from .io.melonix import save_melonix
+
+        out = save_melonix(args.output, proj)
+    else:
+        out = save_project(args.output, proj)
     print(f"saved project ({len(markers)} markers) -> {out}")
     return 0
 

@@ -73,6 +73,7 @@ class EditorState:
         self.pyramid: Pyramid | None = None
         self.spec_pyramid = None  # SpecPyramid when config.tile_source == "pyramid"
         self.knots: MapKnots | None = None
+        self.player = None  # engine.player.Player — the live playback engine
         self._tile_server = None
         self._dirty_listeners = []
 
@@ -89,8 +90,15 @@ class EditorState:
             self.knots = MapKnots.from_markers(self.markers, self.sample_rate, len(self.wav))
 
     def invalidate(self) -> None:
-        """Edit happened: rebuild maps, clear view caches (app.cpp:840-852)."""
+        """Edit happened: rebuild maps, clear view caches (app.cpp:840-852).
+
+        The live player gets the new knots and drops its planned-ahead
+        backlog, so the next audio buffer reflects the edit — the
+        reference's marker-edit-under-audio-lock contract
+        (app.cpp:935-941)."""
         self._rebuild_knots()
+        if self.player is not None and self.knots is not None:
+            self.player.set_knots(self.knots)
         if self._tile_server is not None:
             self._tile_server.clear()
         for fn in self._dirty_listeners:
@@ -110,6 +118,9 @@ class EditorState:
 
             self.spec_pyramid = SpecPyramid(self.wav, config=self.config)
         self._rebuild_knots()
+        from ..engine.player import Player
+
+        self.player = Player(self.wav, self.grains, self.knots, config=self.config)
         self.invalidate()
 
     def _cleanup(self) -> None:
@@ -150,20 +161,38 @@ class EditorState:
         """Extension dispatch (app.cpp:130-138)."""
         if path.endswith(".mlx"):
             self.load_project_file(path)
+        elif path.endswith(".melonix"):
+            self.load_melonix_file(path)
         else:
             self.import_file(path)
 
     def import_file(self, path: str) -> None:
-        self._cleanup()
+        # Fail-soft: decode into temporaries FIRST — a bad file must leave
+        # the loaded session untouched (the reference's decode error paths
+        # return before mutating state, app.cpp:628-694).
         wav, rate = load_audio(path)
+        self._cleanup()
         self.wav, self.sample_rate = wav, rate
         self.markers = []
         self.save_name = ""
         self._preproc()
 
     def load_project_file(self, path: str) -> None:
+        p = load_project(path)  # may raise — prior session stays usable
         self._cleanup()
-        p = load_project(path)
+        self.wav, self.sample_rate = p.wav, p.sample_rate
+        self.markers = p.markers
+        self.brightness = p.brightness
+        self.tempo = p.tempo
+        self.save_name = os.path.abspath(path)
+        self._preproc()
+
+    def load_melonix_file(self, path: str) -> None:
+        """Reference `.melonix` project interop (app.cpp:1124-1154)."""
+        from ..io.melonix import load_melonix
+
+        p = load_melonix(path)  # may raise — prior session stays usable
+        self._cleanup()
         self.wav, self.sample_rate = p.wav, p.sample_rate
         self.markers = p.markers
         self.brightness = p.brightness
@@ -175,16 +204,19 @@ class EditorState:
         path = path or self.save_name
         if not path:
             raise ValueError("no save name; use Save As")
-        out = save_project(
-            path,
-            Project(
-                wav=self.wav,
-                sample_rate=self.sample_rate,
-                markers=self.markers,
-                brightness=self.brightness,
-                tempo=self.tempo,
-            ),
+        proj = Project(
+            wav=self.wav,
+            sample_rate=self.sample_rate,
+            markers=self.markers,
+            brightness=self.brightness,
+            tempo=self.tempo,
         )
+        if path.endswith(".melonix"):  # reference-format interop
+            from ..io.melonix import save_melonix
+
+            out = save_melonix(path, proj)
+        else:
+            out = save_project(path, proj)
         self.save_name = os.path.abspath(out)
         return out
 
@@ -282,9 +314,7 @@ class EditorState:
         elif buttons & (1 << (BUTTON_LEFT - 1)):
             if y > height:
                 # Scrub in the waveform lane (app.cpp:819-828)
-                self.cursor_sec = float(
-                    np.clip(x * self.range_time / width + self.start_time, 0.0, self.duration())
-                )
+                self.seek(x * self.range_time / width + self.start_time)
             elif self.selected is not None:
                 # Drag marker: dTime += dx, pitchBend -= dy (app.cpp:829-836)
                 m = self.markers[self.selected]
@@ -323,9 +353,7 @@ class EditorState:
                 return
             if y > height:
                 self.follow_mode = False
-                self.cursor_sec = float(
-                    np.clip(x * self.range_time / width + self.start_time, 0.0, self.duration())
-                )
+                self.seek(x * self.range_time / width + self.start_time)
             else:
                 hit = self._hit_test(x, y)
                 if hit is None:
@@ -357,31 +385,33 @@ class EditorState:
         if not self.loaded:
             return
         self.is_playing = not self.is_playing
+        if self.player is not None:
+            if self.is_playing:
+                self.player.seek(self.cursor_sec)
+                self.player._fading = False
+                self.player.is_playing = True
+            else:
+                self.player.is_playing = False
+
+    def seek(self, t: float) -> None:
+        """Move the cursor; playback (if live) continues from here — the
+        reference brackets this with the audio lock (app.cpp:825-827)."""
+        self.cursor_sec = float(np.clip(t, 0.0, self.duration()))
+        if self.player is not None:
+            self.player.seek(self.cursor_sec)
 
     def cursor_left(self) -> None:
         """← moves the cursor by 4 px of time (app.cpp:991-1004)."""
         if len(self.wav) < 2:
             return
         self.follow_mode = False
-        self.cursor_sec = float(
-            np.clip(
-                self.cursor_sec - 4 * self.range_time / self.viewport.width,
-                0.0,
-                self.duration(),
-            )
-        )
+        self.seek(self.cursor_sec - 4 * self.range_time / self.viewport.width)
 
     def cursor_right(self) -> None:
         if len(self.wav) < 2:
             return
         self.follow_mode = False
-        self.cursor_sec = float(
-            np.clip(
-                self.cursor_sec + 4 * self.range_time / self.viewport.width,
-                0.0,
-                self.duration(),
-            )
-        )
+        self.seek(self.cursor_sec + 4 * self.range_time / self.viewport.width)
 
     def tick_follow(self) -> None:
         """Per-frame follow-mode auto-scroll (app.cpp:108-127): keep the

@@ -10,26 +10,34 @@ through an ``<audio>`` element fed by the export path (same ``process()``
 engine as live playback in the reference, app.cpp:254-292).
 
 Routes:
-  GET  /            HTML/JS app (menu bar, control center, scene view)
-  GET  /frame.png   current scene raster (advances playback + follow mode)
-  GET  /state       JSON readouts (control-center fields, app.cpp:63-84)
-  POST /event       {kind: motion|button, ...} -> EditorState
-  POST /key         {key: space|left|right}    (main.cpp:125-143)
-  POST /control     open/save/save_as/export/brightness/tempo/follow
-  GET  /dialog/...  FileOpen / FileSaveAs browsing (ui/dialogs.py)
-  GET  /audio.wav   rendered edit for client playback
+  GET  /              HTML/JS app (menu bar, control center, scene view)
+  GET  /frame.png     current scene raster (advances playback + follow mode)
+  GET  /state         JSON readouts (control-center fields, app.cpp:63-84)
+  POST /event         {kind: motion|button, ...} -> EditorState
+  POST /key           {key: space|left|right}    (main.cpp:125-143)
+  POST /control       open/save/save_as/export/brightness/tempo/follow
+  GET  /dialog/...    FileOpen / FileSaveAs browsing (ui/dialogs.py)
+  GET  /audio.wav     offline render of the current edit (epoch-cached)
+  GET  /audio/stream  LIVE playback: chunked WAV fed buffer-by-buffer from
+                      engine/player.py's backlog — marker edits drop the
+                      planned-ahead audio mid-stream, so what you hear
+                      changes within one buffer of the edit, exactly the
+                      reference's audio-callback contract (app.cpp:254-292,
+                      edits under the device lock app.cpp:935-941)
 
-A plain single-threaded HTTPServer serializes every request, so all state
-mutations are race-free by construction (the reference needed an audio
-device lock for the same invariant, app.cpp:110-112).
+Threading mirrors the reference's model: request handlers are the "UI
+thread", the /audio/stream response loop is the "audio callback thread",
+and ``EditorServer._lock`` is SDL_LockAudioDevice (app.cpp:110-112) — every
+state access holds it; the stream loop holds it only per-buffer.
 """
 
 from __future__ import annotations
 
 import json
+import struct
 import threading
 import time
-from http.server import BaseHTTPRequestHandler, HTTPServer
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 import numpy as np
@@ -150,7 +158,7 @@ const dlg = document.getElementById('dlg');
 function dlgGo(i) {
   post('/dialog/activate', {name: dlgEntries[i][0], mode:dlgMode})
     .then(r=>r.json()).then(d=>{
-      if (d.accepted) { dlg.style.display='none'; refresh(); loadAudio(); }
+      if (d.accepted) { dlg.style.display='none'; refresh(); }
       else showDlg(d);
     });
 }
@@ -159,12 +167,15 @@ function dlgAccept() {
     .then(r=>r.json()).then(d=>{ if (d.accepted) dlg.style.display='none'; refresh(); });
 }
 const audio = document.getElementById('audio');
-function loadAudio() { audio.src = '/audio.wav?t=' + Date.now(); }
 function syncAudio(s) {
   playing = s.playing;
   document.getElementById('play').textContent = playing ? 'Stop' : 'Play';
-  if (playing) { audio.currentTime = s.cursor; audio.play().catch(()=>{}); }
-  else audio.pause();
+  if (playing) {
+    // Live stream straight from the player backlog: marker edits flush the
+    // planned-ahead audio server-side, so no reload is needed mid-play.
+    audio.src = '/audio/stream?from=' + s.cursor + '&t=' + Date.now();
+    audio.play().catch(()=>{});
+  } else { audio.pause(); audio.removeAttribute('src'); audio.load(); }
 }
 function refresh() {
   img.src = '/frame.png?w=' + window.innerWidth + '&h=' +
@@ -193,8 +204,33 @@ refresh();
 """
 
 
+def _wav_header(sample_rate: int, data_bytes: int) -> bytes:
+    """Canonical 44-byte PCM16 mono RIFF header (save-wav.cpp semantics,
+    with the intended data-chunk size — the reference writes +8 instead of
+    -8, a noted spec deviation, SURVEY.md §2)."""
+    data_bytes = min(data_bytes, 0xFFFFFFFF - 44)
+    return (
+        b"RIFF" + struct.pack("<I", data_bytes + 36) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", data_bytes)
+    )
+
+
+def _pcm16(x: np.ndarray) -> bytes:
+    """float32 -> int16 by *32767 (app.cpp:1209-1212)."""
+    return (
+        np.clip(np.asarray(x, np.float32) * 32767.0, -32768, 32767)
+        .astype("<i2")
+        .tobytes()
+    )
+
+
 class EditorServer:
-    """HTTP shell around one EditorState; single-threaded = race-free."""
+    """HTTP shell around one EditorState.
+
+    Threaded (one handler thread per request + long-lived stream threads);
+    ``_lock`` brackets every state access — the reference's audio-device
+    lock discipline (app.cpp:110-112)."""
 
     def __init__(self, state: EditorState | None = None, host: str = "127.0.0.1", port: int = 0):
         self.state = state or EditorState()
@@ -202,18 +238,34 @@ class EditorServer:
         self._open_dlg = FileOpenDialog()
         self._save_dlg = FileSaveAsDialog()
         self._export_dlg = FileSaveAsDialog()
+        self._lock = threading.RLock()  # the SDL_LockAudioDevice equivalent
         self._play_anchor = None  # (monotonic t0, cursor0) while playing
+        self._stream_id = 0  # a new stream supersedes the previous one
+        self._active_streams = 0
+        self._audio_epoch = 0  # bumped on any edit/open (cache key)
+        self._audio_cache: tuple[int, bytes] | None = None
+        self._audio_renders = 0  # offline renders actually performed
+        self.state.on_invalidate(self._on_edit)
         self._frames = 0
         self._fps = 0.0
         self._fps_t0 = time.monotonic()
-        self._httpd: HTTPServer | None = None
+        self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
     # -- playback cursor ------------------------------------------------
 
+    def _on_edit(self) -> None:
+        """Edit/open invalidation: stale renders must never be served."""
+        self._audio_epoch += 1
+
     def _advance_playback(self) -> None:
+        """Cursor progression for headless use (no live stream attached).
+
+        When a /audio/stream consumer is live, the cursor comes from the
+        samples actually delivered to it (the reference's cursorSec +=
+        emitted/sampleRate, app.cpp:289-291) and this is a no-op."""
         st = self.state
-        if st.is_playing:
+        if st.is_playing and self._active_streams == 0:
             now = time.monotonic()
             if self._play_anchor is None:
                 self._play_anchor = (now, st.cursor_sec)
@@ -260,6 +312,9 @@ class EditorServer:
             "tempo": st.tempo,
             "save_name": st.save_name,
             "fps": self._fps,
+            "epoch": self._audio_epoch,
+            "audio_renders": self._audio_renders,
+            "live_streams": self._active_streams,
             "tiles": st.tile_server.stats() if st.loaded and st.tile_server else {},
             "metrics": _metrics_snapshot(),
         }
@@ -367,23 +422,79 @@ class EditorServer:
             st.invalidate()
 
     def _audio_wav(self) -> bytes:
-        """Rendered edit as an in-memory WAV (the playback signal)."""
+        """Offline render of the current edit, cached by edit epoch — an
+        unchanged edit state is served from memory, never re-rendered."""
         from ..engine.render import render_track
-        from ..io.wav import write_wav
-        import tempfile, os
 
         st = self.state
         if not st.loaded:
             return b""
-        out = render_track(st.wav, st.grains, st.knots, config=st.config)
-        with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
-            tmp = f.name
+        epoch = self._audio_epoch
+        if self._audio_cache is not None and self._audio_cache[0] == epoch:
+            return self._audio_cache[1]
+        out = np.asarray(render_track(st.wav, st.grains, st.knots, config=st.config))
+        self._audio_renders += 1
+        pcm = _pcm16(out)
+        body = _wav_header(st.sample_rate, len(pcm)) + pcm
+        self._audio_cache = (epoch, body)
+        return body
+
+    # -- live playback stream ---------------------------------------------
+
+    def _stream_audio(self, handler, from_sec: float, pace: bool) -> None:
+        """Chunked-WAV live playback fed from the player backlog.
+
+        One buffer (1024 samples, app.cpp:243) is planned/rendered per loop
+        iteration under the lock; writes happen outside it.  Pacing keeps
+        ~0.5 s of lead over real time so a marker edit is audible within a
+        buffer or two, like the reference's restWav backlog."""
+        st = self.state
+        with self._lock:
+            if not st.loaded or st.player is None:
+                handler.send_response(409)
+                handler.end_headers()
+                return
+            sr = st.sample_rate
+            if from_sec >= 0:
+                st.seek(from_sec)
+            self._stream_id += 1
+            sid = self._stream_id
+            st.is_playing = True
+            st.player.seek(st.cursor_sec)
+            st.player._fading = False
+            st.player.is_playing = True
+            self._active_streams += 1
+        buf = 1024
+        t0 = time.monotonic()
+        sent = 0
         try:
-            write_wav(tmp, out, st.sample_rate, dtype="int16")
-            with open(tmp, "rb") as f:
-                return f.read()
+            handler.send_response(200)
+            handler.send_header("Content-Type", "audio/wav")
+            handler.send_header("Cache-Control", "no-store")
+            handler.end_headers()
+            handler.wfile.write(_wav_header(sr, 0xFFFFFFFF - 44))
+            while True:
+                with self._lock:
+                    if self._stream_id != sid:
+                        break  # superseded: the player belongs to the new stream
+                    stopped = not st.is_playing or not st.player.is_playing
+                    chunk = st.player.callback(buf)  # fades when stopped
+                    st.cursor_sec = st.player.cursor_sec
+                    if not st.player.is_playing:  # track end auto-stop
+                        st.is_playing = False
+                handler.wfile.write(_pcm16(chunk))
+                if stopped:
+                    break
+                sent += buf
+                if pace:  # hold ~0.5 s of lead over real time
+                    lead = t0 + (sent - 0.5 * sr) / sr - time.monotonic()
+                    if lead > 0:
+                        time.sleep(lead)
+        except (BrokenPipeError, ConnectionResetError):
+            pass  # client went away; state stays as the UI set it
         finally:
-            os.unlink(tmp)
+            with self._lock:
+                self._active_streams -= 1
 
     # -- server ----------------------------------------------------------
 
@@ -408,62 +519,81 @@ class EditorServer:
                 u = urlparse(self.path)
                 q = parse_qs(u.query)
                 try:
-                    if u.path == "/":
-                        self._send(200, _PAGE.encode(), "text/html")
-                    elif u.path == "/frame.png":
-                        w = int(q.get("w", ["1280"])[0])
-                        h = int(q.get("h", ["720"])[0])
-                        self._send(200, server._frame(w, h), "image/png")
-                    elif u.path == "/state":
-                        self._json(server._state_json())
-                    elif u.path == "/dialog/list":
-                        self._json(server._dialog_json(q.get("mode", ["open"])[0]))
-                    elif u.path == "/audio.wav":
-                        self._send(200, server._audio_wav(), "audio/wav")
-                    else:
-                        self._json({"error": "not found"}, 404)
+                    if u.path == "/audio/stream":
+                        # Long-lived: manages the lock per-buffer itself.
+                        server._stream_audio(
+                            self,
+                            float(q.get("from", ["-1"])[0]),
+                            q.get("pace", ["1"])[0] != "0",
+                        )
+                        return
+                    with server._lock:
+                        if u.path == "/":
+                            self._send(200, _PAGE.encode(), "text/html")
+                        elif u.path == "/frame.png":
+                            w = int(q.get("w", ["1280"])[0])
+                            h = int(q.get("h", ["720"])[0])
+                            self._send(200, server._frame(w, h), "image/png")
+                        elif u.path == "/state":
+                            self._json(server._state_json())
+                        elif u.path == "/dialog/list":
+                            self._json(server._dialog_json(q.get("mode", ["open"])[0]))
+                        elif u.path == "/audio.wav":
+                            self._send(200, server._audio_wav(), "audio/wav")
+                        else:
+                            self._json({"error": "not found"}, 404)
+                except BrokenPipeError:
+                    pass
                 except Exception as e:  # fail-soft like the reference's LOG
                     self._json({"error": str(e)}, 500)
 
             def do_POST(self):
-                n = int(self.headers.get("Content-Length", 0))
-                body = json.loads(self.rfile.read(n) or b"{}")
                 st = server.state
                 try:
-                    if self.path == "/event":
-                        if body.get("kind") == "motion":
-                            st.mouse_motion(
-                                body["x"], body["y"], body.get("dx", 0), body.get("dy", 0),
-                                int(body.get("buttons", 0)), int(body.get("mods", 0)),
-                            )
+                    # Body parse inside the try: malformed JSON must return
+                    # the same {"error"} 500 as every other failure.
+                    n = int(self.headers.get("Content-Length", 0))
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                    with server._lock:
+                        if self.path == "/event":
+                            if body.get("kind") == "motion":
+                                st.mouse_motion(
+                                    body["x"], body["y"], body.get("dx", 0), body.get("dy", 0),
+                                    int(body.get("buttons", 0)), int(body.get("mods", 0)),
+                                )
+                            else:
+                                st.mouse_button(
+                                    body["x"], body["y"], bool(body.get("pressed", True)),
+                                    int(body.get("button", 1)),
+                                )
+                            self._json({"ok": True})
+                        elif self.path == "/key":
+                            k = body.get("key")
+                            if k == "space":
+                                server._toggle_play()
+                            elif k == "left":
+                                st.cursor_left()
+                            elif k == "right":
+                                st.cursor_right()
+                            self._json(server._state_json())
+                        elif self.path == "/control":
+                            server._control(body.get("action", ""), body.get("value"))
+                            self._json(server._state_json())
+                        elif self.path == "/dialog/activate":
+                            self._json(server._dialog_activate(body["mode"], body["name"]))
+                        elif self.path == "/dialog/accept":
+                            self._json(server._dialog_accept(body["mode"], body.get("filename", "")))
                         else:
-                            st.mouse_button(
-                                body["x"], body["y"], bool(body.get("pressed", True)),
-                                int(body.get("button", 1)),
-                            )
-                        self._json({"ok": True})
-                    elif self.path == "/key":
-                        k = body.get("key")
-                        if k == "space":
-                            server._toggle_play()
-                        elif k == "left":
-                            st.cursor_left()
-                        elif k == "right":
-                            st.cursor_right()
-                        self._json(server._state_json())
-                    elif self.path == "/control":
-                        server._control(body.get("action", ""), body.get("value"))
-                        self._json(server._state_json())
-                    elif self.path == "/dialog/activate":
-                        self._json(server._dialog_activate(body["mode"], body["name"]))
-                    elif self.path == "/dialog/accept":
-                        self._json(server._dialog_accept(body["mode"], body.get("filename", "")))
-                    else:
-                        self._json({"error": "not found"}, 404)
+                            self._json({"error": "not found"}, 404)
+                except BrokenPipeError:
+                    pass
                 except Exception as e:
                     self._json({"error": str(e)}, 500)
 
-        self._httpd = HTTPServer((self.host, self._port), Handler)
+        class Server(ThreadingHTTPServer):
+            daemon_threads = True  # live streams must not block shutdown
+
+        self._httpd = Server((self.host, self._port), Handler)
         self._port = self._httpd.server_port
         self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
         self._thread.start()
@@ -474,6 +604,11 @@ class EditorServer:
         return self._port
 
     def stop(self) -> None:
+        with self._lock:
+            self._stream_id += 1  # detach any live stream loops
+            self.state.is_playing = False
+            if self.state.player is not None:
+                self.state.player.is_playing = False
         if self._httpd is not None:
             self._httpd.shutdown()
             self._httpd.server_close()

@@ -359,9 +359,26 @@ int64_t mlx_lru_size(void* h) { return (int64_t)((MlxLru*)h)->map.size(); }
 
 struct MlxRing {
   std::vector<float> buf;
-  std::atomic<int64_t> head{0};  // write index
-  std::atomic<int64_t> tail{0};  // read index
+  std::atomic<int64_t> head{0};       // write index (producer-owned)
+  std::atomic<int64_t> tail{0};       // read index (consumer-owned)
+  std::atomic<int64_t> flush_req{0};  // bumped by mlx_ring_clear (any thread)
+  int64_t flush_ack{0};               // consumer-thread local
 };
+
+// A flush (backlog drop on live edit) may be requested from the control
+// thread while the consumer is mid-read; a direct tail store there would
+// race with the consumer's own tail store and could be silently overwritten
+// (stale pre-edit audio keeps playing).  Instead clear() only bumps an
+// epoch; the CONSUMER applies it at its next read/avail, keeping every
+// tail store on one thread — the SPSC contract stays intact.
+static void mlx_ring_apply_flush(MlxRing* r) {
+  const int64_t req = r->flush_req.load(std::memory_order_acquire);
+  if (req != r->flush_ack) {
+    r->tail.store(r->head.load(std::memory_order_acquire),
+                  std::memory_order_release);
+    r->flush_ack = req;
+  }
+}
 
 void* mlx_ring_new(int64_t capacity) {
   auto* r = new MlxRing();
@@ -372,7 +389,9 @@ void* mlx_ring_new(int64_t capacity) {
 void mlx_ring_free(void* h) { delete (MlxRing*)h; }
 
 int64_t mlx_ring_avail(void* h) {
+  // Consumer-side (same thread as mlx_ring_read): applies pending flushes.
   auto* r = (MlxRing*)h;
+  mlx_ring_apply_flush(r);
   const int64_t n = (int64_t)r->buf.size();
   return (r->head.load(std::memory_order_acquire) -
           r->tail.load(std::memory_order_acquire) + n) %
@@ -393,6 +412,7 @@ int64_t mlx_ring_write(void* h, const float* data, int64_t count) {
 
 int64_t mlx_ring_read(void* h, float* out, int64_t count) {
   auto* r = (MlxRing*)h;
+  mlx_ring_apply_flush(r);
   const int64_t n = (int64_t)r->buf.size();
   const int64_t tail = r->tail.load(std::memory_order_relaxed);
   const int64_t head = r->head.load(std::memory_order_acquire);
@@ -404,9 +424,11 @@ int64_t mlx_ring_read(void* h, float* out, int64_t count) {
 }
 
 void mlx_ring_clear(void* h) {
+  // Safe from any thread: request-only; the consumer applies it (see
+  // mlx_ring_apply_flush).  Equivalent to the reference's marker edits
+  // under SDL_LockAudioDevice (app.cpp:935-941).
   auto* r = (MlxRing*)h;
-  r->tail.store(r->head.load(std::memory_order_acquire),
-                std::memory_order_release);
+  r->flush_req.fetch_add(1, std::memory_order_release);
 }
 
 

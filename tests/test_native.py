@@ -154,6 +154,46 @@ def test_native_ring():
         lib.mlx_ring_free(h)
 
 
+def test_native_ring_concurrent_clear():
+    """clear() from a control thread must never corrupt the consumer, and a
+    flush must actually take effect at the consumer's next read/avail (the
+    ADVICE r1 race: a consumer tail store overwriting a control-thread
+    clear silently kept stale pre-edit audio playing)."""
+    lib = native.try_load()
+    if lib is None:
+        pytest.skip("native runtime not built")
+    import ctypes
+    import threading
+
+    f32p = ctypes.POINTER(ctypes.c_float)
+    h = lib.mlx_ring_new(4096)
+    stop = threading.Event()
+
+    def control():  # the edit thread: hammer clear
+        while not stop.is_set():
+            lib.mlx_ring_clear(h)
+
+    t = threading.Thread(target=control)
+    t.start()
+    try:
+        data = np.arange(512, dtype=np.float32)
+        out = np.zeros(512, np.float32)
+        for _ in range(3000):
+            lib.mlx_ring_write(h, data.ctypes.data_as(f32p), 512)
+            got = lib.mlx_ring_read(h, out.ctypes.data_as(f32p), 512)
+            assert 0 <= got <= 512
+            if got:  # whatever survives the flush must be prefix-intact
+                np.testing.assert_array_equal(out[:got], data[:got])
+    finally:
+        stop.set()
+        t.join()
+    # With the control thread quiet, a clear is applied by the next avail.
+    lib.mlx_ring_write(h, data.ctypes.data_as(f32p), 512)
+    lib.mlx_ring_clear(h)
+    assert lib.mlx_ring_avail(h) == 0
+    lib.mlx_ring_free(h)
+
+
 def test_native_wav_decoder(chirp, tmp_path):
     from melonix_tpu.io.wav import write_wav, read_wav
     from melonix_tpu.io.audio import downmix_mono

@@ -148,6 +148,81 @@ def test_save_load_project_roundtrip(editor, tmp_path):
         ed2._tile_server.close()
 
 
+def test_save_load_melonix_roundtrip(editor, tmp_path):
+    """Reference `.melonix` interop (app.cpp:1124-1190): our writer emits
+    the ser layout, open_file dispatches on the extension, load rebuilds
+    derived state via preproc."""
+    editor.markers = [Marker(2000, 60.0, 0.1, 2.0), Marker(5000, 62.0, -0.05, -1.5)]
+    editor.brightness = 70.0
+    editor.tempo = 95.0
+    editor.invalidate()
+    out = editor.save_project_file(str(tmp_path / "session.melonix"))
+    assert out.endswith(".melonix")
+    ed2 = EditorState(config=CFG, viewport=Viewport(200, 150))
+    ed2.open_file(out)
+    assert ed2.loaded and len(ed2.grains) > 0  # preproc ran
+    assert [m.sample for m in ed2.markers] == [2000, 5000]
+    assert ed2.markers[1].pitch_bend == -1.5
+    assert ed2.brightness == 70.0 and ed2.tempo == 95.0
+    np.testing.assert_array_equal(ed2.wav, editor.wav)
+    if ed2._tile_server:
+        ed2._tile_server.close()
+
+
+def test_melonix_layout_bytes(editor, tmp_path):
+    """Byte-level check of the documented ser layout (marker.hpp:11-15,
+    app.hpp:71-76): i32 version, i32-counted f32 vector, i32 rate, f32
+    brightness, i32-counted markers of (i32, f64, f64, f64), f32 tempo."""
+    import struct
+
+    from melonix_tpu.io.melonix import save_melonix
+    from melonix_tpu.io.project import Project, ProjectError
+
+    wav = np.array([0.5, -0.25, 0.125], np.float32)
+    p = Project(wav=wav, sample_rate=8000, markers=[Marker(7, 60.5, 0.25, -2.0)],
+                brightness=33.0, tempo=120.0)
+    path = save_melonix(str(tmp_path / "x"), p)
+    data = open(path, "rb").read()
+    want = (
+        struct.pack("<i", 1)
+        + struct.pack("<i", 3) + wav.tobytes()
+        + struct.pack("<i", 8000) + struct.pack("<f", 33.0)
+        + struct.pack("<i", 1) + struct.pack("<iddd", 7, 60.5, 0.25, -2.0)
+        + struct.pack("<f", 120.0)
+    )
+    assert data == want
+    # version mismatch = refuse load (app.cpp:1145-1149)
+    bad = struct.pack("<i", 2) + data[4:]
+    badp = str(tmp_path / "bad.melonix")
+    open(badp, "wb").write(bad)
+    from melonix_tpu.io.melonix import load_melonix
+
+    with pytest.raises(ProjectError):
+        load_melonix(badp)
+
+
+def test_import_error_leaves_session_fully_usable(editor, tmp_path):
+    """Fail-soft import (app.cpp:628-694): a bad file must not clobber the
+    loaded session — markers, cursor, view, and rendering all survive."""
+    editor.markers = [Marker(2000, 60.0, 0.1, 2.0)]
+    editor.invalidate()
+    editor.seek(0.5)
+    editor.start_time = 0.25
+    wav_before = editor.wav
+    bad = str(tmp_path / "corrupt.wav")
+    open(bad, "wb").write(b"not a riff at all" * 3)
+    with pytest.raises(Exception):
+        editor.open_file(bad)
+    with pytest.raises(Exception):
+        editor.open_file(str(tmp_path / "missing.melonix"))
+    assert editor.loaded and editor.wav is wav_before
+    assert len(editor.markers) == 1 and editor.cursor_sec == 0.5
+    assert editor.start_time == 0.25
+    out = str(tmp_path / "still_works.wav")
+    editor.export_wav(out)  # a further render still works
+    assert os.path.getsize(out) > 1000
+
+
 def test_export_wav(editor, tmp_path):
     out = str(tmp_path / "out.wav")
     editor.markers = [Marker(2000, 60.0, 0.0, 3.0)]

@@ -147,6 +147,97 @@ def test_audio_wav_roundtrip(server):
     assert status == 200 and body[:4] == b"RIFF" and "audio/wav" in ctype
 
 
+def test_audio_wav_cached_until_edit(server):
+    """Unchanged edit state must NOT re-render; any marker edit must change
+    the served audio (the r1 stale-audio weakness)."""
+    srv, conn, wav = server
+    _post(conn, "/control", {"action": "open", "value": wav})
+    _, body1, _ = _get(conn, "/audio.wav")
+    _, st = _get_state(conn)
+    assert st["audio_renders"] == 1
+    _, body2, _ = _get(conn, "/audio.wav")
+    _, st = _get_state(conn)
+    assert st["audio_renders"] == 1 and body2 == body1  # served from cache
+    # marker edit -> epoch bump -> fresh render, different audio
+    _post(conn, "/event", {"kind": "button", "x": 300, "y": 200, "pressed": True, "button": 1})
+    _post(conn, "/control", {"action": "marker_bend", "value": 7.0})
+    _, body3, _ = _get(conn, "/audio.wav")
+    _, st = _get_state(conn)
+    assert st["audio_renders"] == 2 and body3 != body1
+
+
+def _freq_of_pcm16(raw: bytes, sr: int) -> float:
+    x = np.frombuffer(raw, "<i2").astype(np.float64)
+    spec = np.abs(np.fft.rfft(x * np.hanning(len(x))))
+    return float(np.argmax(spec) * sr / len(x))
+
+
+def test_live_stream_reflects_marker_edit_mid_play(tmp_path):
+    """The defining interactive loop (app.cpp:254-292 + 935-941): edit a
+    marker while audio plays; the stream must carry the new pitch within a
+    buffer or two — no reload, no stale pre-edit audio."""
+    sr = 8000
+    t = np.arange(4 * sr) / sr
+    x = (0.5 * np.sin(2 * np.pi * 200.0 * t)).astype(np.float32)
+    p = str(tmp_path / "tone.wav")
+    write_wav(p, x, sr, dtype="float32")
+    srv = EditorServer()
+    port = srv.start()
+    ctl = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    stream = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    try:
+        _post(ctl, "/control", {"action": "open", "value": p})
+        from melonix_tpu.markers import Marker
+
+        stream.request("GET", "/audio/stream?from=0")
+        resp = stream.getresponse()
+        assert resp.status == 200
+        assert resp.read(44)[:4] == b"RIFF"
+        pre = resp.read(2 * int(0.8 * sr))  # first 0.8 s (blocks ~realtime)
+        assert _freq_of_pcm16(pre[2 * 1600 :], sr) == pytest.approx(200.0, abs=8)
+        # Octave-up edit, exactly as the UI would apply it (under the lock).
+        with srv._lock:
+            srv.state.markers = [
+                Marker(sample=sr // 2, note=55.0, d_time=0.0, pitch_bend=12.0),
+                Marker(sample=7 * sr // 2, note=55.0, d_time=0.0, pitch_bend=12.0),
+            ]
+            srv.state.invalidate()
+        # Skip the in-flight second (backlog + HTTP buffering), then listen.
+        resp.read(2 * sr)
+        post = resp.read(2 * sr)  # 1 s well inside the +12 plateau
+        assert _freq_of_pcm16(post, sr) == pytest.approx(400.0, abs=16)
+        _, st = _get_state(ctl)
+        assert st["playing"] and st["live_streams"] == 1
+        assert 0.0 < st["cursor"] <= 4.0  # cursor from delivered samples
+    finally:
+        ctl.close()
+        stream.close()
+        srv.stop()
+
+
+def test_live_stream_plays_to_end_and_autostops(tmp_path):
+    sr = 8000
+    x = (0.4 * np.sin(2 * np.pi * 330.0 * np.arange(sr // 2) / sr)).astype(np.float32)
+    p = str(tmp_path / "short.wav")
+    write_wav(p, x, sr, dtype="float32")
+    srv = EditorServer()
+    port = srv.start()
+    ctl = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    stream = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    try:
+        _post(ctl, "/control", {"action": "open", "value": p})
+        stream.request("GET", "/audio/stream?from=0&pace=0")
+        resp = stream.getresponse()
+        raw = resp.read()  # pace=0: whole track immediately, then EOF
+        assert len(raw) >= 44 + 2 * len(x) - 2 * 4096  # header + ~all samples
+        _, st = _get_state(ctl)
+        assert not st["playing"]  # auto-stop at the end (app.cpp:256-257)
+    finally:
+        ctl.close()
+        stream.close()
+        srv.stop()
+
+
 def test_dialog_http_flow(server, tmp_path):
     srv, conn, wav = server
     srv._open_dlg.cwd = os.path.dirname(wav)
