@@ -13,7 +13,10 @@ from .markers import Marker, markers_from_json, markers_to_json, sort_markers
 from .engine.maps import MapKnots
 from .engine.grains import GrainTable, build_grain_table
 from .engine.render import RenderPlan, build_render_plan, render, render_track
-from .engine.phase_vocoder import render_track_pv
+from .engine.phase_vocoder import render_channels_pv, render_track_pv
+from .engine.session import render_session
+from .engine.pitch import PitchCurve, pitch_curve
+from .engine.autotune import autotune, suggest_markers
 from .io import load_audio, read_wav, write_wav, Project, load_project, save_project
 
 __version__ = "0.1.0"
@@ -33,6 +36,12 @@ __all__ = [
     "render",
     "render_track",
     "render_track_pv",
+    "render_channels_pv",
+    "render_session",
+    "PitchCurve",
+    "pitch_curve",
+    "autotune",
+    "suggest_markers",
     "load_audio",
     "read_wav",
     "write_wav",

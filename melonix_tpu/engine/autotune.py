@@ -17,6 +17,8 @@ behavior a hard-snap tuner wants.
 
 from __future__ import annotations
 
+import heapq
+
 import numpy as np
 
 from ..config import DEFAULT_CONFIG, Config
@@ -47,6 +49,36 @@ def snap_note(note: float, scale: str = "chromatic", key: str = "a") -> float:
     return float(min(cands, key=lambda k: abs(k - note)))
 
 
+class _RunningMedian:
+    """Streaming median: max-heap of the lower half, min-heap of the upper.
+
+    O(log m) per push vs the O(m log m) full re-sort np.median costs on a
+    growing window — segment_notes over an hour-scale track is O(m log m)
+    total instead of O(m^2 log m) (which stalled the web shell's Autotune
+    button on long sustained notes)."""
+
+    __slots__ = ("lo", "hi")
+
+    def __init__(self):
+        self.lo: list[float] = []  # negated max-heap
+        self.hi: list[float] = []
+
+    def push(self, x: float) -> None:
+        if self.lo and x > -self.lo[0]:
+            heapq.heappush(self.hi, x)
+        else:
+            heapq.heappush(self.lo, -x)
+        if len(self.lo) > len(self.hi) + 1:
+            heapq.heappush(self.hi, -heapq.heappop(self.lo))
+        elif len(self.hi) > len(self.lo):
+            heapq.heappush(self.lo, -heapq.heappop(self.hi))
+
+    def median(self) -> float:
+        if len(self.lo) > len(self.hi):
+            return -self.lo[0]
+        return (-self.lo[0] + self.hi[0]) / 2.0
+
+
 def segment_notes(
     curve: PitchCurve,
     *,
@@ -56,21 +88,22 @@ def segment_notes(
     """Voiced frame runs with a stable (within ``split_jump`` semitones)
     median → [(start_frame, end_frame, median_note)] (end exclusive)."""
     segs = []
-    n = len(curve.note)
+    note = np.asarray(curve.note, dtype=np.float64)
+    voiced = np.asarray(curve.voiced)
+    n = len(note)
     i = 0
     while i < n:
-        if not curve.voiced[i]:
+        if not voiced[i]:
             i += 1
             continue
+        med = _RunningMedian()
+        med.push(float(note[i]))
         j = i + 1
-        while (
-            j < n
-            and curve.voiced[j]
-            and abs(float(curve.note[j]) - float(np.median(curve.note[i:j]))) < split_jump
-        ):
+        while j < n and voiced[j] and abs(float(note[j]) - med.median()) < split_jump:
+            med.push(float(note[j]))
             j += 1
         if j - i >= min_frames:
-            segs.append((i, j, float(np.median(curve.note[i:j]))))
+            segs.append((i, j, med.median()))
         i = j
     return segs
 

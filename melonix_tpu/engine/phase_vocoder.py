@@ -46,6 +46,7 @@ place.
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import jax
@@ -217,8 +218,7 @@ def _positions_rel_device(anc_j0, anc_src_b, anc_r_b, anc_s_b, n_out, sr):
 PV_CHUNK_FRAMES = 49152  # frames per stretch chunk (~2.5 GB of intermediates)
 
 
-@partial(jax.jit, static_argnames=("size", "hop", "n_frames_c", "formant", "n_ceps"))
-def _stretch_chunk(
+def _stretch_chunk_core(
     wav,
     starts_c,  # i32 (n_frames_c,) exact frame starts (host float64 floor)
     da_c,  # f32 (n_frames_c,) A_m - A_{m-1}, host float64 diffs
@@ -229,8 +229,9 @@ def _stretch_chunk(
     phi0,  # f32 (n_bins,) global anchor phase (ignored when m0 == 0)
     resid_in,  # f32 (n_bins,) carried phase residual sum
     phi_prev,  # f32 (n_bins,) previous chunk's last analysis phase
+    *,
     size, hop, n_frames_c,
-    formant=False, n_ceps=40,
+    formant=False, n_ceps=40, use_pallas=False,
 ):
     """Unnormalized OLA contribution of frames [m0, m0+f_real) plus carried
     phase state.  Hour-scale tracks exceed HBM if stretched in one shot;
@@ -238,12 +239,17 @@ def _stretch_chunk(
     overlaps add linearly, so chunking is bit-consistent with one shot —
     no phase resets, no crossfades.  Frame starts are int32 (exact at any
     track length; float32 absolute positions quantize past 2^23 samples).
+
+    Vmappable over (wav, phi0, resid_in, phi_prev): the frame plan is
+    channel-independent, so a multichannel session stretches all channels
+    in one batched call (``use_pallas`` must be False under vmap — the
+    lane-gather frame fetch is a single-track kernel).
     """
     n = wav.shape[0]
     n_bins = size // 2 + 1
     from ..kernels import pallas_frames
 
-    if pallas_frames.supported(size, n_frames_c) and jax.default_backend() == "tpu":
+    if use_pallas:
         frames = pallas_frames.extract_frames_pallas(wav, starts_c, size)
     else:
         idx = starts_c[:, None] + jnp.arange(size, dtype=jnp.int32)[None, :]
@@ -285,6 +291,43 @@ def _stretch_chunk(
     )
     last = jnp.clip(f_real - 1, 0, n_frames_c - 1)
     return y_c, resid[last], phi[last], phi0_eff
+
+
+@partial(jax.jit, static_argnames=("size", "hop", "n_frames_c", "formant", "n_ceps"))
+def _stretch_chunk(
+    wav, starts_c, da_c, rho_c, window, m0, f_real, phi0, resid_in, phi_prev,
+    size, hop, n_frames_c, formant=False, n_ceps=40,
+):
+    """Single-track chunk stretch (Pallas frame fetch when supported)."""
+    from ..kernels import pallas_frames
+
+    use_pallas = (
+        pallas_frames.supported(size, n_frames_c)
+        and jax.default_backend() == "tpu"
+    )
+    return _stretch_chunk_core(
+        wav, starts_c, da_c, rho_c, window, m0, f_real, phi0, resid_in,
+        phi_prev, size=size, hop=hop, n_frames_c=n_frames_c,
+        formant=formant, n_ceps=n_ceps, use_pallas=use_pallas,
+    )
+
+
+@partial(jax.jit, static_argnames=("size", "hop", "n_frames_c", "formant", "n_ceps"))
+def _stretch_chunk_batched(
+    wav_b, starts_c, da_c, rho_c, window, m0, f_real, phi0_b, resid_b, phi_prev_b,
+    size, hop, n_frames_c, formant=False, n_ceps=40,
+):
+    """Channel-batched chunk stretch: one frame plan, C spectra.
+
+    The batch axis is pure data parallelism (no cross-channel terms), so
+    under a multi-device sharding it partitions without collectives."""
+    return jax.vmap(
+        lambda w, p0, rs, pp: _stretch_chunk_core(
+            w, starts_c, da_c, rho_c, window, m0, f_real, p0, rs, pp,
+            size=size, hop=hop, n_frames_c=n_frames_c,
+            formant=formant, n_ceps=n_ceps, use_pallas=False,
+        )
+    )(wav_b, phi0_b, resid_b, phi_prev_b)
 
 
 def _formant_gain(mag, rho_m, size, n_bins, n_ceps):
@@ -359,37 +402,46 @@ def _lerp_resample_rel_xla(y, src_rel, base, stretch_len: int, blk: int):
     return (1.0 - frac) * lo + frac * hi
 
 
-def render_track_pv(
-    wav,
+@dataclasses.dataclass(frozen=True)
+class PVPlan:
+    """Host control plane of one PV render (channel-independent).
+
+    The plan depends only on the edit model (knots) and track length, never
+    on the samples — a multichannel session builds it once and stretches
+    every channel against it (data-parallel over channels/tracks).
+    """
+
+    size: int
+    hop: int
+    sr: int
+    n_wav: int
+    n_out: int
+    n_out_pad: int
+    n_frames: int
+    stretch_len: int
+    starts_m: np.ndarray  # int32 (n_frames,) exact frame starts
+    da_m: np.ndarray  # float32 (n_frames,) frame advances
+    rho_m: np.ndarray  # float64 (n_frames,) per-frame pitch rate
+    anc_args: tuple  # device arrays for _positions_rel_device
+    base: np.ndarray  # int32 resample block bases
+    rho_max: float  # knot-wise max rate (Pallas slab sizing)
+
+
+def build_pv_plan(
     knots: MapKnots,
+    n_wav: int,
     *,
     config: Config = DEFAULT_CONFIG,
     size: int | None = None,
     hop: int | None = None,
-    preserve_formants: bool = False,
-) -> np.ndarray:
-    """Full-track phase-vocoder render honoring the marker edit model.
-
-    Output spans the warped duration (``knots.duration()``); unlike the
-    granular engine there is no 1500-zero reference tail.  With
-    ``preserve_formants`` the spectral envelope (vocal timbre) stays put
-    while the pitch moves (cepstral envelope warp, BASELINE config #5).
-    """
-    from ..kernels import pallas_resample
-
+) -> PVPlan | None:
+    """Float64 host control plane; None when the render is empty."""
     size = size or config.stft_size
     hop = hop or config.stft_hop
-    if isinstance(wav, jax.Array):  # already resident: skip the re-upload
-        wav_dev = wav.astype(jnp.float32)
-        n_wav = int(wav.shape[0])
-    else:
-        wav_np = np.asarray(wav, np.float32)
-        wav_dev = jnp.asarray(wav_np)
-        n_wav = len(wav_np)
     sr = knots.sample_rate
     n_out = int(knots.duration() * sr)
     if n_out <= 0 or n_wav < size:
-        return np.zeros(max(n_out, 0), np.float32)
+        return None
 
     table = _segment_table(knots, n_out / sr)
     p_total = table[4]
@@ -398,8 +450,8 @@ def render_track_pv(
     n_out_pad = 8192 * -(-n_out // 8192)
     stretch_len = (n_frames - 1) * hop + size
 
-    # Host control plane (float64): frame positions by analytic inversion,
-    # exact int32 frame starts, float64-differenced frame advances.
+    # Frame positions by analytic inversion, exact int32 frame starts,
+    # float64-differenced frame advances.
     y_m = np.arange(n_frames, dtype=np.float64) * hop / sr
     t_m = _invert_p(table, np.minimum(y_m, p_total))
     a_m = knots.time_to_sample_float(t_m)
@@ -422,6 +474,59 @@ def render_track_pv(
         jnp.asarray(np.pad(_bits(rho_a), (0, pad_a), mode="edge")),
         jnp.asarray(np.pad(_bits(s_a), (0, pad_a), mode="edge")),
     )
+    rho_max = float(2.0 ** (max(np.max(table[1]), 0.0) / 12.0))
+    return PVPlan(
+        size=size, hop=hop, sr=sr, n_wav=n_wav, n_out=n_out,
+        n_out_pad=n_out_pad, n_frames=n_frames, stretch_len=stretch_len,
+        starts_m=starts_m, da_m=da_m, rho_m=rho_m,
+        anc_args=anc_args, base=base, rho_max=rho_max,
+    )
+
+
+def _chunk_arrays(plan: PVPlan, m0: int, ch: int):
+    """Padded (starts, da, rho_f32, f_real) arrays for frames [m0, m0+ch)."""
+    f_real = min(ch, plan.n_frames - m0)
+    sl = slice(m0, m0 + f_real)
+    pad_c = ch - f_real
+    starts_c = np.pad(plan.starts_m[sl], (0, pad_c), mode="edge")
+    da_c = np.pad(plan.da_m[sl], (0, pad_c), constant_values=float(plan.hop))
+    rho_c = np.pad(plan.rho_m[sl].astype(np.float32), (0, pad_c), mode="edge")
+    return starts_c, da_c, rho_c, f_real
+
+
+def render_track_pv(
+    wav,
+    knots: MapKnots,
+    *,
+    config: Config = DEFAULT_CONFIG,
+    size: int | None = None,
+    hop: int | None = None,
+    preserve_formants: bool = False,
+) -> np.ndarray:
+    """Full-track phase-vocoder render honoring the marker edit model.
+
+    Output spans the warped duration (``knots.duration()``); unlike the
+    granular engine there is no 1500-zero reference tail.  With
+    ``preserve_formants`` the spectral envelope (vocal timbre) stays put
+    while the pitch moves (cepstral envelope warp, BASELINE config #5).
+    """
+    from ..kernels import pallas_resample
+
+    if isinstance(wav, jax.Array):  # already resident: skip the re-upload
+        wav_dev = wav.astype(jnp.float32)
+        n_wav = int(wav.shape[0])
+    else:
+        wav_np = np.asarray(wav, np.float32)
+        wav_dev = jnp.asarray(wav_np)
+        n_wav = len(wav_np)
+    plan = build_pv_plan(knots, n_wav, config=config, size=size, hop=hop)
+    if plan is None:
+        return np.zeros(max(int(knots.duration() * knots.sample_rate), 0), np.float32)
+    size, hop, sr = plan.size, plan.hop, plan.sr
+    n_out, n_out_pad = plan.n_out, plan.n_out_pad
+    n_frames, stretch_len = plan.n_frames, plan.stretch_len
+    rho_m = plan.rho_m
+    anc_args, base = plan.anc_args, plan.base
 
     win_dev = jnp.asarray(hann_window(size))
     on_tpu = jax.default_backend() == "tpu"
@@ -435,12 +540,7 @@ def render_track_pv(
     phi_prev = jnp.zeros(n_bins, jnp.float32)
     phi0 = jnp.zeros(n_bins, jnp.float32)
     for m0 in range(0, n_frames, ch):
-        f_real = min(ch, n_frames - m0)
-        sl = slice(m0, m0 + f_real)
-        pad_c = ch - f_real
-        starts_c = np.pad(starts_m[sl], (0, pad_c), mode="edge")
-        da_c = np.pad(da_m[sl], (0, pad_c), constant_values=float(hop))
-        rho_c = np.pad(rho_m[sl].astype(np.float32), (0, pad_c), mode="edge")
+        starts_c, da_c, rho_c, f_real = _chunk_arrays(plan, m0, ch)
         y_c, resid, phi_prev, phi0 = _stretch_chunk(
             wav_dev, jnp.asarray(starts_c), jnp.asarray(da_c),
             jnp.asarray(rho_c), win_dev,
@@ -458,9 +558,8 @@ def render_track_pv(
         # ~75% of the whole render's device time.  Slab sizing from the
         # KNOT-wise bend maximum (the curve's true extremum — frame-sampled
         # rho_m can miss a spike between frames).
-        rho_max = float(2.0 ** (max(np.max(table[1]), 0.0) / 12.0))
         rows = pallas_resample.rows_for(
-            max(rho_max, float(rho_m.max()), 1.0)
+            max(plan.rho_max, float(rho_m.max()), 1.0)
         )
         out = pallas_resample.resample_lerp_pallas(
             y, src_rel, jnp.asarray(base), rows
@@ -470,3 +569,99 @@ def render_track_pv(
             y, src_rel, jnp.asarray(base), stretch_len, pallas_resample.BLK
         )
     return np.asarray(out[:n_out])
+
+
+@jax.jit
+def _accum_at_b(y_b, y_c_b, off):
+    return jax.vmap(lambda y, yc: _accum_at(y, yc, off))(y_b, y_c_b)
+
+
+@partial(jax.jit, static_argnames=("stretch_len", "blk"))
+def _lerp_resample_rel_xla_b(y_b, src_rel, base, stretch_len: int, blk: int):
+    return jax.vmap(
+        lambda y: _lerp_resample_rel_xla(y, src_rel, base, stretch_len, blk)
+    )(y_b)
+
+
+def render_channels_pv(
+    wav_ch,
+    knots: MapKnots,
+    *,
+    config: Config = DEFAULT_CONFIG,
+    size: int | None = None,
+    hop: int | None = None,
+    preserve_formants: bool = False,
+    mesh=None,
+) -> np.ndarray:
+    """(C, n) channels through ONE shared PV plan, batched on device.
+
+    The edit model is channel-independent, so the host control plane is
+    built once and the stretch/normalize/resample pipeline runs vmapped
+    over the channel axis — pure data parallelism.  With ``mesh`` the
+    channel axis is placed on the mesh's ``data`` axis (padding with zero
+    channels to the shard count), so a multichannel session render scales
+    across chips without collectives.  This is the batched-session path
+    of BASELINE config #5, reachable from ``render_session``.
+    """
+    from ..kernels import pallas_resample
+
+    wav_ch = np.asarray(wav_ch, np.float32)
+    C, n_wav = wav_ch.shape
+    plan = build_pv_plan(knots, n_wav, config=config, size=size, hop=hop)
+    if plan is None:
+        n_out = max(int(knots.duration() * knots.sample_rate), 0)
+        return np.zeros((C, n_out), np.float32)
+    size, hop, sr = plan.size, plan.hop, plan.sr
+
+    sharding = None
+    B = C
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        d = mesh.shape["data"]
+        B = d * -(-C // d)
+        sharding = NamedSharding(mesh, PartitionSpec("data", None))
+
+    def _put(arr):
+        return jnp.asarray(arr) if sharding is None else jax.device_put(arr, sharding)
+
+    wav_b = wav_ch if B == C else np.pad(wav_ch, ((0, B - C), (0, 0)))
+    wav_dev = _put(wav_b)
+    win_dev = jnp.asarray(hann_window(size))
+    on_tpu = jax.default_backend() == "tpu"
+
+    ch = min(PV_CHUNK_FRAMES, plan.n_frames)
+    n_bins = size // 2 + 1
+    y = _put(np.zeros((B, plan.stretch_len + ch * hop + size), np.float32))
+    resid = _put(np.zeros((B, n_bins), np.float32))
+    phi_prev = _put(np.zeros((B, n_bins), np.float32))
+    phi0 = _put(np.zeros((B, n_bins), np.float32))
+    for m0 in range(0, plan.n_frames, ch):
+        starts_c, da_c, rho_c, f_real = _chunk_arrays(plan, m0, ch)
+        y_c, resid, phi_prev, phi0 = _stretch_chunk_batched(
+            wav_dev, jnp.asarray(starts_c), jnp.asarray(da_c),
+            jnp.asarray(rho_c), win_dev,
+            jnp.int32(m0), jnp.int32(f_real),
+            phi0, resid, phi_prev,
+            size, hop, ch, formant=preserve_formants,
+        )
+        y = _accum_at_b(y, y_c, jnp.int32(m0 * hop))
+    wsum = _ola_wsum(win_dev, size, hop, plan.n_frames, plan.stretch_len)
+    y = y[:, : plan.stretch_len] / wsum[None, :]
+
+    src_rel = _positions_rel_device(*plan.anc_args, plan.n_out_pad, sr)
+    base_dev = jnp.asarray(plan.base)
+    if on_tpu and mesh is None:
+        # Single-chip: per-channel lane-gather kernels (one shared compile).
+        rows = pallas_resample.rows_for(
+            max(plan.rho_max, float(plan.rho_m.max()), 1.0)
+        )
+        out = jnp.stack([
+            pallas_resample.resample_lerp_pallas(y[c], src_rel, base_dev, rows)
+            for c in range(B)
+        ])
+    else:
+        out = _lerp_resample_rel_xla_b(
+            y, src_rel, base_dev, plan.stretch_len, pallas_resample.BLK
+        )
+    return np.asarray(out[:C, : plan.n_out])

@@ -4,7 +4,10 @@ from .sharded import (
     sharded_pitch,
     sharded_spectrogram_columns,
     data_parallel_render,
+    data_parallel_pv,
+    pv_batch_args,
     session_step,
+    session_step_full,
 )
 
 __all__ = [
@@ -13,5 +16,8 @@ __all__ = [
     "sharded_pitch",
     "sharded_spectrogram_columns",
     "data_parallel_render",
+    "data_parallel_pv",
+    "pv_batch_args",
     "session_step",
+    "session_step_full",
 ]

@@ -143,6 +143,107 @@ def test_session_step_end_to_end(chirp, mesh):
     assert np.isfinite(np.asarray(mags)).all()
 
 
+def _pv_setup(chirp):
+    from melonix_tpu.engine.phase_vocoder import build_pv_plan
+
+    x, sr = chirp
+    w1 = x
+    w2 = x[::-1].copy()
+    ms1 = [Marker(len(x) // 2, 57.0, 0.05, 2.0)]
+    ms2 = [Marker(len(x) // 3, 57.0, 0.0, -3.0), Marker(2 * len(x) // 3, 57.0, 0.02, 1.0)]
+    k1 = MapKnots.from_markers(ms1, sr, len(w1))
+    k2 = MapKnots.from_markers(ms2, sr, len(w2))
+    p1 = build_pv_plan(k1, len(w1))
+    p2 = build_pv_plan(k2, len(w2))
+    return (w1, k1, p1), (w2, k2, p2)
+
+
+def test_data_parallel_pv_matches_single(chirp, mesh):
+    """PV render of a track batch (per-track edits) sharded over ``data``.
+
+    The cross-track shard_map path re-fuses the whole pipeline into one
+    program; XLA's different fusion gives ~1-ulp FFT rounding diffs that the
+    OLA edge normalization amplifies, so the bar here is the framework's
+    spectral-parity bar (SURVEY §7 hard part #5: −60 dB), not bit equality —
+    the product channels path (render_channels_pv) IS bit-exact and is
+    asserted so in test_session.py."""
+    from melonix_tpu.engine.phase_vocoder import render_track_pv
+    from melonix_tpu.parallel import data_parallel_pv, pv_batch_args
+
+    (w1, k1, p1), (w2, k2, p2) = _pv_setup(chirp)
+    d = mesh.shape["data"]
+    tracks = [(w1, k1, p1), (w2, k2, p2)]
+    while len(tracks) % d:
+        tracks.append(tracks[0])
+    kw, ops = pv_batch_args([p for _, _, p in tracks])
+    pv = data_parallel_pv(mesh, **kw)
+    win = jnp.asarray(S.hann_window(kw["size"]))
+    wav_b = jnp.asarray(np.stack([w for w, _, _ in tracks]))
+    out = np.asarray(
+        pv(wav_b, *[jnp.asarray(o) for o in ops[:4]], win,
+           *[jnp.asarray(o) for o in ops[4:]])
+    )
+    for i, (w, k, p) in enumerate(tracks):
+        want = render_track_pv(w, k)
+        got = out[i, : p.n_out]
+        err = got - want
+        assert np.abs(err).max() < 2e-4, (i, np.abs(err).max())
+        snr_db = 10 * np.log10(
+            (np.mean(err**2) + 1e-30) / (np.mean(want**2) + 1e-30)
+        )
+        assert snr_db < -60.0, (i, snr_db)
+
+
+def test_session_step_full_both_engines(chirp, mesh):
+    """One jitted step covering analysis + granular + PV (VERDICT #6)."""
+    from melonix_tpu.engine.phase_vocoder import build_pv_plan, render_track_pv
+    from melonix_tpu.parallel import pv_batch_args, session_step_full
+
+    x, sr = chirp
+    size, hop = 256, 64
+    n_seq = mesh.shape["seq"]
+    d = mesh.shape["data"]
+    n = len(x) // (n_seq * hop) * (n_seq * hop)
+    x = x[:n]
+    marker_sets = [[Marker(n // 2, 60.0, 0.0, float(1 + b))] for b in range(d)]
+    plans, gs, gl, rt, oo, ss, nv, out_max = _padded_plans(x, sr, marker_sets)
+    out_len = 1024 * -(-out_max // 1024)
+    B = len(plans)
+    wav_b = jnp.asarray(np.tile(x, (B, 1)))
+    win = jnp.asarray(S.hann_window(size))
+
+    pv_plans = [
+        build_pv_plan(MapKnots.from_markers(ms, sr, n), n)
+        for ms in marker_sets
+    ]
+    pv_kw, pv_ops = pv_batch_args(pv_plans)
+    pv_win = jnp.asarray(S.hann_window(pv_kw["size"]))
+    step = session_step_full(
+        mesh, stft_size=size, stft_hop=hop,
+        pv_size=pv_kw["size"], pv_hop=pv_kw["hop"],
+        pv_frames=pv_kw["n_frames"], pv_stretch_len=pv_kw["stretch_len"],
+        pv_out_pad=pv_kw["n_out_pad"], sr=pv_kw["sr"],
+    )
+    mags, rendered, pv_out = step(
+        wav_b, win,
+        jnp.asarray(gs), jnp.asarray(gl), jnp.asarray(rt),
+        jnp.asarray(oo), jnp.asarray(ss), jnp.asarray(nv),
+        out_len,
+        pv_win, *[jnp.asarray(o) for o in pv_ops],
+    )
+    assert mags.shape == (B, n // hop, size // 2 + 1)
+    assert rendered.shape == (B, out_len)
+    assert pv_out.shape == (B, pv_kw["n_out_pad"])
+    pv_np = np.asarray(pv_out)
+    for b, (ms, p) in enumerate(zip(marker_sets, pv_plans)):
+        want = render_track_pv(x, MapKnots.from_markers(ms, sr, n))
+        err = pv_np[b, : p.n_out] - want
+        snr_db = 10 * np.log10(
+            (np.mean(err**2) + 1e-30) / (np.mean(want**2) + 1e-30)
+        )
+        assert snr_db < -60.0, (b, snr_db)
+
+
 def test_sharded_pitch_matches_single_device(chirp, mesh):
     from melonix_tpu.engine.pitch import _pitch_device
     from melonix_tpu.parallel import sharded_pitch

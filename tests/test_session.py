@@ -76,6 +76,41 @@ def test_stereo_granular_session():
     assert mono.ndim == 1 and abs(len(mono) - len(out)) <= 1
 
 
+def test_stereo_routes_through_mesh_and_matches_single_device():
+    """With >1 device (conftest provides 8), render_session batches the
+    channels over the mesh's data axis; output must match the per-channel
+    single-device path (granular: tolerance of the batched kernel; PV:
+    bit-exact, the channels path preserves compile boundaries)."""
+    import jax
+
+    assert len(jax.devices()) == 8
+    x = _stereo_song(seconds=2.0)
+    markers = [
+        Marker(sample=len(x) // 3, note=57.0, d_time=0.05, pitch_bend=2.0),
+        Marker(sample=2 * len(x) // 3, note=57.0, d_time=0.0, pitch_bend=-1.0),
+    ]
+    for engine, atol in (("granular", 2e-6), ("pv", 0.0)):
+        routed = render_session(x, markers, SR, engine=engine)  # mesh="auto"
+        single = render_session(x, markers, SR, engine=engine, mesh=None)
+        assert routed.shape == single.shape, engine
+        if atol == 0.0:
+            np.testing.assert_array_equal(routed, single, err_msg=engine)
+        else:
+            np.testing.assert_allclose(routed, single, atol=atol, err_msg=engine)
+
+
+def test_five_channel_session_pads_to_mesh():
+    """Channel counts that don't divide the data axis zero-pad cleanly."""
+    rng = np.random.default_rng(7)
+    x = (0.2 * rng.standard_normal((SR * 2, 5))).astype(np.float32)
+    markers = [Marker(sample=SR, note=57.0, d_time=0.02, pitch_bend=1.0)]
+    for engine in ("granular", "pv"):
+        routed = render_session(x, markers, SR, engine=engine)
+        single = render_session(x, markers, SR, engine=engine, mesh=None)
+        assert routed.shape == single.shape
+        np.testing.assert_allclose(routed, single, atol=2e-6, err_msg=engine)
+
+
 def test_stereo_pv_session_many_markers():
     """BASELINE config #5 shape: 100+ markers through the PV engine."""
     x = _stereo_song(seconds=3.0)
