@@ -17,7 +17,10 @@ from .engine.phase_vocoder import render_channels_pv, render_track_pv
 from .engine.session import render_session
 from .engine.pitch import PitchCurve, pitch_curve
 from .engine.autotune import autotune, suggest_markers
-from .io import load_audio, read_wav, write_wav, Project, load_project, save_project
+from .io import (
+    load_audio, read_wav, write_wav, write_flac,
+    Project, load_project, save_project,
+)
 
 __version__ = "0.1.0"
 
@@ -45,6 +48,7 @@ __all__ = [
     "load_audio",
     "read_wav",
     "write_wav",
+    "write_flac",
     "Project",
     "load_project",
     "save_project",

@@ -2,9 +2,10 @@
 
 The reference decodes via FFmpeg's libav* + libswresample to mono float at
 the file's own sample rate — no rate conversion (app.cpp:624-741,
-``out_sample_rate = codec->sample_rate``).  Here WAV files decode natively
-(io/wav.py); anything else shells out to the ``ffmpeg`` binary when present
-(same capability surface, process isolation instead of linking libav).
+``out_sample_rate = codec->sample_rate``).  Here WAV and FLAC decode
+natively (native/melonix_native.cpp, native/flac_decode.cpp); anything else
+shells out to the ``ffmpeg`` binary when present (same capability surface,
+process isolation instead of linking libav).
 Failure is soft: a DecodeError is raised and callers keep their prior state,
 matching the reference's log-and-return contract (app.cpp:628-694).
 """
@@ -65,9 +66,20 @@ def load_audio(path: str, *, mono: bool = True) -> tuple[np.ndarray, int]:
         x, rate = read_wav(path)
         return (downmix_mono(x) if mono else x), rate
 
+    if lower.endswith(".flac"):
+        from ..runtime import native
+
+        lib = native.try_load()
+        if lib is not None and hasattr(lib, "mlx_flac_info"):
+            try:
+                return native.decode_flac(lib, path, mono=mono)
+            except ValueError as e:
+                raise DecodeError(str(e)) from e
+        # No native runtime built: fall through to the ffmpeg path.
+
     if shutil.which("ffmpeg") is None:
         raise DecodeError(
-            f"cannot decode {path!r}: not a WAV and no ffmpeg binary available"
+            f"cannot decode {path!r}: not WAV/FLAC and no ffmpeg binary available"
         )
     try:
         rate = _ffprobe_rate(path)
