@@ -161,6 +161,7 @@ class Player:
         self._backlog = _make_backlog()
         self._last_sample = F32(0)
         self._fading = False
+        self._exhausted = False  # grain table done; deliver the tail, then stop
 
     # -- edit integration ------------------------------------------------
 
@@ -168,15 +169,18 @@ class Player:
         """Marker edit: re-plan from the current cursor (drop lookahead)."""
         self.knots = knots
         self._backlog.clear()
+        self._exhausted = False
 
     def toggle(self) -> None:
         if not self.is_playing:
             self._fading = False
+            self._exhausted = False
         self.is_playing = not self.is_playing
 
     def seek(self, t: float) -> None:
         self.cursor_sec = float(np.clip(t, 0.0, self.knots.duration()))
         self._backlog.clear()
+        self._exhausted = False
 
     # -- the audio callback ----------------------------------------------
 
@@ -199,14 +203,19 @@ class Player:
 
         pgs = self.config.preferred_grain_size
         tmp_cursor = self.cursor_sec + self._backlog.avail() / self.sample_rate
-        while self._backlog.avail() < n + pgs:
+        while not self._exhausted and self._backlog.avail() < n + pgs:
             step = build_render_plan(
                 self.grains, self.knots, start_cursor=tmp_cursor, min_out=1, config=self.config
             )
             if step.n_steps == 0:
-                # Past the grain table: zeros then stop (app.cpp:303-309)
+                # Past the grain table: append the reference's zero tail
+                # (app.cpp:303-309) but keep playing until the backlog —
+                # the remaining REAL audio plus those zeros — has been
+                # delivered; stopping at fill time (as the reference's
+                # togglePlay-inside-process does) silently truncates up to
+                # a backlog's worth of the track end.
                 self._backlog.write(np.zeros(pgs, np.float32))
-                self.is_playing = False
+                self._exhausted = True
                 break
             buf = _render_step_np(
                 self.wav,
@@ -225,4 +234,8 @@ class Player:
         if sz:
             self._last_sample = out[sz - 1]
             self._fading = True
+        if self._exhausted and self._backlog.avail() == 0:
+            self.is_playing = False  # tail delivered: auto-stop
+            self._exhausted = False
+            self._fading = False  # the tail already ends in silence
         return out
