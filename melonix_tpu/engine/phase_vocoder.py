@@ -204,9 +204,13 @@ def _positions_rel_device(anc_j0, anc_src_b, anc_r_b, anc_s_b, n_out, sr):
     src0 = seg_f32(anc_src_b)
     r_a = seg_f32(anc_r_b)
     s = seg_f32(anc_s_b)
+    from ..kernels.pallas_resample import expm1_precise
+
     dt = (j - j0).astype(jnp.float32) / np.float32(sr)
     x = s * dt * np.float32(LN2_12)
-    em1 = jnp.expm1(x)
+    # XLA's f32 expm1 has ~1.2e-4 relative error — amplified by the span
+    # length into ~0.1-sample position error (see expm1_precise).
+    em1 = expm1_precise(x)
     flat = jnp.abs(s) < 1e-9
     delta_p = jnp.where(
         flat, dt, em1 / (jnp.where(flat, 1.0, s) * np.float32(LN2_12))
@@ -423,6 +427,7 @@ class PVPlan:
     da_m: np.ndarray  # float32 (n_frames,) frame advances
     rho_m: np.ndarray  # float64 (n_frames,) per-frame pitch rate
     anc_args: tuple  # device arrays for _positions_rel_device
+    anc_np: tuple  # host (anc_j, src_f32, rho_f32, s_f32) padded, + n_real
     base: np.ndarray  # int32 resample block bases
     rho_max: float  # knot-wise max rate (Pallas slab sizing)
 
@@ -474,12 +479,19 @@ def build_pv_plan(
         jnp.asarray(np.pad(_bits(rho_a), (0, pad_a), mode="edge")),
         jnp.asarray(np.pad(_bits(s_a), (0, pad_a), mode="edge")),
     )
+    anc_np = (
+        anc_j_p,
+        np.pad(np.asarray(src_rel64, np.float32), (0, pad_a), mode="edge"),
+        np.pad(np.asarray(rho_a, np.float32), (0, pad_a), mode="edge"),
+        np.pad(np.asarray(s_a, np.float32), (0, pad_a), mode="edge"),
+        len(anc_j),
+    )
     rho_max = float(2.0 ** (max(np.max(table[1]), 0.0) / 12.0))
     return PVPlan(
         size=size, hop=hop, sr=sr, n_wav=n_wav, n_out=n_out,
         n_out_pad=n_out_pad, n_frames=n_frames, stretch_len=stretch_len,
         starts_m=starts_m, da_m=da_m, rho_m=rho_m,
-        anc_args=anc_args, base=base, rho_max=rho_max,
+        anc_args=anc_args, anc_np=anc_np, base=base, rho_max=rho_max,
     )
 
 
@@ -552,23 +564,39 @@ def render_track_pv(
     wsum = _ola_wsum(win_dev, size, hop, n_frames, stretch_len)
     y = y[:stretch_len] / wsum
 
-    src_rel = _positions_rel_device(*anc_args, n_out_pad, sr)
     if on_tpu:
-        # Lane-gather resample: the XLA tail's two 8M-element gathers are
-        # ~75% of the whole render's device time.  Slab sizing from the
-        # KNOT-wise bend maximum (the curve's true extremum — frame-sampled
-        # rho_m can miss a spike between frames).
+        # Fused positions+resample kernel: per-sample positions evaluate
+        # in-register from per-anchor scalars (the unfused pipeline spends
+        # ~9 ms materializing 8M positions through segmented-broadcast
+        # cumsums, then the resampler reads them back).  Slab sizing from
+        # the KNOT-wise bend maximum (the curve's true extremum —
+        # frame-sampled rho_m can miss a spike between frames).
         rows = pallas_resample.rows_for(
             max(plan.rho_max, float(rho_m.max()), 1.0)
         )
-        out = pallas_resample.resample_lerp_pallas(
-            y, src_rel, jnp.asarray(base), rows
-        )
+        out = _resample_pv_fused(plan, y, rows)
     else:
+        src_rel = _positions_rel_device(*anc_args, n_out_pad, sr)
         out = _lerp_resample_rel_xla(
             y, src_rel, jnp.asarray(base), stretch_len, pallas_resample.BLK
         )
     return np.asarray(out[:n_out])
+
+
+def _resample_pv_fused(plan: PVPlan, y, rows: int, interpret: bool = False):
+    """Fused positions+lerp kernel call from a PVPlan (TPU fast path)."""
+    from ..kernels import pallas_resample
+
+    anc_j_p, src_f, r_f, s_f, n_real = plan.anc_np
+    nb = plan.n_out_pad // pallas_resample.BLK
+    a0, cnt, kmax = pallas_resample.pv_anchor_blocks(anc_j_p[:n_real], nb)
+    kmax = max(1, 1 << (kmax - 1).bit_length())  # bucket compile shapes
+    return pallas_resample.resample_pv_pallas(
+        y, jnp.asarray(plan.base), jnp.asarray(a0), jnp.asarray(cnt),
+        jnp.asarray(anc_j_p), jnp.asarray(src_f), jnp.asarray(r_f),
+        jnp.asarray(s_f), rows, kmax, plan.sr, plan.n_out_pad,
+        interpret=interpret,
+    )
 
 
 @jax.jit
@@ -649,19 +677,17 @@ def render_channels_pv(
     wsum = _ola_wsum(win_dev, size, hop, plan.n_frames, plan.stretch_len)
     y = y[:, : plan.stretch_len] / wsum[None, :]
 
-    src_rel = _positions_rel_device(*plan.anc_args, plan.n_out_pad, sr)
-    base_dev = jnp.asarray(plan.base)
     if on_tpu and mesh is None:
-        # Single-chip: per-channel lane-gather kernels (one shared compile).
+        # Single-chip: per-channel fused positions+lerp kernels (one
+        # shared compile; positions never materialize in HBM).
         rows = pallas_resample.rows_for(
             max(plan.rho_max, float(plan.rho_m.max()), 1.0)
         )
-        out = jnp.stack([
-            pallas_resample.resample_lerp_pallas(y[c], src_rel, base_dev, rows)
-            for c in range(B)
-        ])
+        out = jnp.stack([_resample_pv_fused(plan, y[c], rows) for c in range(B)])
     else:
+        src_rel = _positions_rel_device(*plan.anc_args, plan.n_out_pad, sr)
         out = _lerp_resample_rel_xla_b(
-            y, src_rel, base_dev, plan.stretch_len, pallas_resample.BLK
+            y, src_rel, jnp.asarray(plan.base), plan.stretch_len,
+            pallas_resample.BLK,
         )
     return np.asarray(out[:C, : plan.n_out])

@@ -373,6 +373,52 @@ def test_pv_positions_rel_device_matches_float64():
     j = np.arange(n_out_pad, dtype=np.float64)
     want_abs, _, _ = _src_eval64(table, (j + 1.0) / sr, sr)
     # base includes SLACK so got_abs == want only where want > 0 (the clamp
-    # at 0 applies to the relative value for block 0 only).
+    # at 0 applies to the relative value for block 0 only).  Tolerance is
+    # sub-millisample: the expm1_precise series keeps f32 evaluation at
+    # ~1-ulp (XLA's own f32 expm1 carries 1.2e-4 relative error, which
+    # amplified to ~0.1-sample position errors before the fix).
     mask = want_abs > 1.0
-    np.testing.assert_allclose(got_abs[mask], want_abs[mask], atol=5e-3)
+    np.testing.assert_allclose(got_abs[mask], want_abs[mask], atol=2e-3)
+
+
+def test_resample_pv_fused_matches_unfused(rng):
+    """The fused positions+lerp kernel (scalar-prefetched per-anchor
+    constants, positions never materialized in HBM) vs the unfused XLA
+    twin (_positions_rel_device + _lerp_resample_rel_xla), interpret mode."""
+    from melonix_tpu.engine.maps import MapKnots
+    from melonix_tpu.engine.phase_vocoder import (
+        _lerp_resample_rel_xla,
+        _positions_rel_device,
+        _resample_pv_fused,
+        build_pv_plan,
+    )
+    from melonix_tpu.kernels.pallas_resample import BLK, rows_for
+    from melonix_tpu.markers import Marker
+
+    sr = 8000
+    n = 3 * sr
+    samples = np.sort(rng.choice(np.arange(500, n - 500), 9, replace=False))
+    markers = [
+        Marker(int(s), 57.0, float(rng.uniform(-0.02, 0.02)),
+               float(rng.uniform(-4, 4)))
+        for s in samples
+    ]
+    knots = MapKnots.from_markers(markers, sr, n)
+    plan = build_pv_plan(knots, n)
+    y = jnp.asarray(rng.standard_normal(plan.stretch_len).astype(np.float32))
+    rows = rows_for(max(plan.rho_max, float(plan.rho_m.max()), 1.0))
+    got = np.asarray(_resample_pv_fused(plan, y, rows, interpret=True))
+    src_rel = _positions_rel_device(*plan.anc_args, plan.n_out_pad, plan.sr)
+    want = np.asarray(
+        _lerp_resample_rel_xla(
+            y, src_rel, jnp.asarray(plan.base), plan.stretch_len, BLK
+        )
+    )
+    # Both evaluate the same anchors with expm1_precise; residual diffs are
+    # f32 fusion-order ulps through the lerp (unit-variance source).
+    np.testing.assert_allclose(got[: plan.n_out], want[: plan.n_out], atol=5e-3)
+    snr = 10 * np.log10(
+        np.mean((got[: plan.n_out] - want[: plan.n_out]) ** 2)
+        / np.mean(want[: plan.n_out] ** 2)
+    )
+    assert snr < -60.0, snr
