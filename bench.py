@@ -76,8 +76,14 @@ def _oracle_column_f64(x: np.ndarray, start: int, end: int, size: int) -> np.nda
     return np.abs(spec[: size // 2]) / size
 
 
-def _column_snr_db(x: np.ndarray, sr: int) -> float:
-    """Spectral SNR of on-device reference columns vs the float64 oracle."""
+def _column_snr_db(x: np.ndarray, sr: int) -> tuple[float, float | None]:
+    """Spectral SNR of on-device reference columns vs the float64 oracle.
+
+    Measures BOTH device paths: the XLA FFT twin and the fused Pallas
+    column kernel that actually serves the UI tiles — the latter runs
+    its DFT matmuls on the MXU, where an unpinned precision silently
+    degrades to bf16 (caught at −53.8 dB in r2; Precision.HIGHEST pins
+    it at −120 dB)."""
     from melonix_tpu.config import DEFAULT_CONFIG
     from melonix_tpu.engine.spectral import spectrogram_columns
 
@@ -90,7 +96,33 @@ def _column_snr_db(x: np.ndarray, sr: int) -> float:
         [_oracle_column_f64(x, int(s), int(e), size) for s, e in zip(starts, ends)]
     )
     err = got.astype(np.float64) - want
-    return float(10.0 * np.log10(np.sum(err**2) / np.sum(want**2)))
+    snr_xla = float(10.0 * np.log10(np.sum(err**2) / np.sum(want**2)))
+
+    snr_pallas = None
+    try:
+        import jax.numpy as jnp
+
+        from melonix_tpu.kernels.pallas_columns import (
+            spectrogram_columns_fused,
+            supported,
+        )
+
+        if supported(size):
+            import jax
+
+            mags = spectrogram_columns_fused(
+                jnp.asarray(x), jnp.asarray(starts.astype(np.int32)),
+                jnp.asarray(ends.astype(np.int32)), kgain=1.0,
+                colormap=False,
+                interpret=jax.default_backend() != "tpu",
+            )
+            errp = np.asarray(mags)[:, : size // 2].astype(np.float64) - want
+            snr_pallas = float(
+                10.0 * np.log10(np.sum(errp**2) / np.sum(want**2))
+            )
+    except Exception as exc:  # never mask the headline number
+        print(f"# pallas column snr failed: {exc!r}", file=sys.stderr)
+    return snr_xla, snr_pallas
 
 
 def _granular_parity_max_err() -> float:
@@ -175,9 +207,9 @@ def main() -> None:
 
     # --- Parity artifacts from the same chip (outside the timed trace) ---
     try:
-        snr_db = _column_snr_db(x, sr)
+        snr_db, snr_pallas_db = _column_snr_db(x, sr)
     except Exception as exc:  # parity must never mask the perf number
-        snr_db = None
+        snr_db = snr_pallas_db = None
         print(f"# snr check failed: {exc!r}", file=sys.stderr)
     try:
         gran_err = _granular_parity_max_err()
@@ -192,6 +224,7 @@ def main() -> None:
         "unit": "x realtime",
         "vs_baseline": round(value / 100.0, 3),
         "snr_db": None if snr_db is None else round(snr_db, 1),
+        "snr_pallas_db": None if snr_pallas_db is None else round(snr_pallas_db, 1),
     }
     print(json.dumps(result))
     # Diagnostic breakdown (ignored by the driver):

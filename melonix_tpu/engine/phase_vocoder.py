@@ -289,10 +289,13 @@ def _stretch_chunk_core(
     # Padded frames must contribute silence (their OLA tails would reach
     # back into the real span).
     live = (jnp.arange(n_frames_c) < f_real)[:, None]
-    synth = jnp.where(live, mag, 0.0) * jnp.exp(1j * psis.astype(jnp.float32))
-    y_c = istft_device(
-        synth, window, size, hop, (n_frames_c - 1) * hop + size, normalize=False
-    )
+    mag_live = jnp.where(live, mag, 0.0)
+    psis = psis.astype(jnp.float32)
+    out_len_c = (n_frames_c - 1) * hop + size
+    # Synthesis: istft_device picks the half-size packed c2r inverse on TPU
+    # (kernels/packfft.py, ~1.5x the native c2r there).
+    synth = mag_live * jnp.exp(1j * psis)
+    y_c = istft_device(synth, window, size, hop, out_len_c, normalize=False)
     last = jnp.clip(f_real - 1, 0, n_frames_c - 1)
     return y_c, resid[last], phi[last], phi0_eff
 
@@ -302,7 +305,8 @@ def _stretch_chunk(
     wav, starts_c, da_c, rho_c, window, m0, f_real, phi0, resid_in, phi_prev,
     size, hop, n_frames_c, formant=False, n_ceps=40,
 ):
-    """Single-track chunk stretch (Pallas frame fetch when supported)."""
+    """Single-track chunk stretch (Pallas frame fetch on TPU; XLA FFT
+    analysis; packed half-size c2r synthesis on TPU via istft_device)."""
     from ..kernels import pallas_frames
 
     use_pallas = (

@@ -197,7 +197,7 @@ def stft(wav, config: Config = DEFAULT_CONFIG, *, size=None, hop=None):
     return np.asarray(out), hop
 
 
-@partial(jax.jit, static_argnames=("size", "hop", "out_len", "normalize"))
+@partial(jax.jit, static_argnames=("size", "hop", "out_len", "normalize", "packed"))
 def istft_device(
     frames: jnp.ndarray,
     window: jnp.ndarray,
@@ -205,6 +205,7 @@ def istft_device(
     hop: int,
     out_len: int,
     normalize: bool = True,
+    packed: bool | None = None,
 ) -> jnp.ndarray:
     """Overlap-add inverse STFT with window-square normalization.
 
@@ -215,9 +216,34 @@ def istft_device(
     add elementwise.  A 32M-element ``.at[].add`` scatter costs ~7.5 ns per
     element on TPU (~240 ms for a 3-minute track); the stacked reshape is
     pure bandwidth.
+
+    ``packed`` selects the half-size packed c2r inverse (kernels/packfft.py;
+    XLA's TPU c2r lowers to a full-size complex FFT, the packed form is
+    ~1.5x faster there — the forward r2c is already half-size internally,
+    so only the inverse uses it).  Default: on for TPU, off elsewhere.
     """
-    n_frames = frames.shape[0]
-    t = jnp.fft.irfft(frames, n=size)  # (F, size)
+    if packed is None:
+        packed = jax.default_backend() == "tpu"
+    if packed and size % 2 == 0:
+        from ..kernels.packfft import irfft_packed
+
+        t = irfft_packed(frames, size)  # (F, size)
+    else:
+        t = jnp.fft.irfft(frames, n=size)
+    return ola_device(t, window, size, hop, out_len, normalize)
+
+
+def ola_device(
+    t: jnp.ndarray,  # (F, size) time-domain synthesis frames (pre-window)
+    window: jnp.ndarray,
+    size: int,
+    hop: int,
+    out_len: int,
+    normalize: bool = True,
+) -> jnp.ndarray:
+    """The overlap-add half of istft_device, for callers that produce the
+    time-domain frames themselves (e.g. the MXU matmul-iDFT PV path)."""
+    n_frames = t.shape[0]
     t = t * window[None, :]
     if size % hop == 0:
         k = size // hop

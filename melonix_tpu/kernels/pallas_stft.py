@@ -77,8 +77,10 @@ def _kernel(rows_hbm, win_ref, cos_ref, sin_ref, out_ref, slab, sem, *, k, hop, 
     for d in range(k):
         shifted = pltpu.roll(slab[:], (n_rows - d) % n_rows, 0) if d else slab[:]
         xd = shifted[:BF] * win_ref[:, pl.ds(d * hop, hop)]
-        re += jnp.dot(xd, cos_ref[pl.ds(d * hop, hop), :], preferred_element_type=jnp.float32)
-        im += jnp.dot(xd, sin_ref[pl.ds(d * hop, hop), :], preferred_element_type=jnp.float32)
+        re += jnp.dot(xd, cos_ref[pl.ds(d * hop, hop), :], preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+        im += jnp.dot(xd, sin_ref[pl.ds(d * hop, hop), :], preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
     out_ref[:] = jnp.sqrt(re * re + im * im) * scale
 
 

@@ -4,9 +4,12 @@ Every Pallas kernel must have a pure-jnp/NumPy reference twin so the suite
 runs identically on CPU CI and on-TPU (SURVEY.md §4).
 """
 
+from functools import partial
+
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from melonix_tpu.engine.spectral import hann_window, num_frames, stft_device
@@ -379,6 +382,56 @@ def test_pv_positions_rel_device_matches_float64():
     # amplified to ~0.1-sample position errors before the fix).
     mask = want_abs > 1.0
     np.testing.assert_allclose(got_abs[mask], want_abs[mask], atol=2e-3)
+
+
+def test_rfft_packed_matches_numpy(rng):
+    """Half-size packed forward rfft vs the float64 NumPy transform."""
+    from melonix_tpu.kernels.packfft import rfft_packed
+
+    for shape in [(4, 2048), (6, 256), (130,)]:
+        x = rng.standard_normal(shape).astype(np.float32)
+        want = np.fft.rfft(x.astype(np.float64))
+        got = np.asarray(jax.jit(rfft_packed)(jnp.asarray(x)))
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(got, want, atol=2e-6 * scale)
+
+
+def test_irfft_packed_matches_numpy(rng):
+    """Half-size packed c2r inverse vs the float64 NumPy transform."""
+    from melonix_tpu.kernels.packfft import irfft_packed
+
+    for n in [2048, 256]:
+        spec = (
+            rng.standard_normal((5, n // 2 + 1))
+            + 1j * rng.standard_normal((5, n // 2 + 1))
+        ).astype(np.complex64)
+        want = np.fft.irfft(spec.astype(np.complex128), n=n)
+        got = np.asarray(
+            jax.jit(partial(irfft_packed, n=n))(jnp.asarray(spec))
+        )
+        np.testing.assert_allclose(got, want, atol=3e-6 * np.abs(want).max())
+
+
+def test_istft_device_packed_matches_native(rng):
+    """istft_device's TPU packed-inverse path vs the native c2r path, on
+    CPU (the packed path is the one the real chip runs)."""
+    from melonix_tpu.engine.spectral import hann_window, istft_device
+
+    size, hop = 2048, 512
+    F = 37
+    nb = size // 2 + 1
+    spec = (
+        rng.standard_normal((F, nb)) + 1j * rng.standard_normal((F, nb))
+    ).astype(np.complex64)
+    win = jnp.asarray(hann_window(size))
+    out_len = (F - 1) * hop + size
+    base = np.asarray(
+        istft_device(jnp.asarray(spec), win, size, hop, out_len, packed=False)
+    )
+    packed = np.asarray(
+        istft_device(jnp.asarray(spec), win, size, hop, out_len, packed=True)
+    )
+    np.testing.assert_allclose(packed, base, atol=1e-5, rtol=1e-5)
 
 
 def test_resample_pv_fused_matches_unfused(rng):
