@@ -55,7 +55,7 @@ import numpy as np
 
 from ..config import DEFAULT_CONFIG, Config
 from .maps import MapKnots
-from .spectral import hann_window, istft_device
+from .spectral import hann_window, istft_device, ola_device
 
 LN2_12 = np.log(2.0) / 12.0
 
@@ -235,7 +235,7 @@ def _stretch_chunk_core(
     phi_prev,  # f32 (n_bins,) previous chunk's last analysis phase
     *,
     size, hop, n_frames_c,
-    formant=False, n_ceps=40, use_pallas=False,
+    formant=False, n_ceps=40, use_pallas=False, fused=False,
 ):
     """Unnormalized OLA contribution of frames [m0, m0+f_real) plus carried
     phase state.  Hour-scale tracks exceed HBM if stretched in one shot;
@@ -251,35 +251,50 @@ def _stretch_chunk_core(
     """
     n = wav.shape[0]
     n_bins = size // 2 + 1
-    from ..kernels import pallas_frames
+    from ..kernels import pallas_frames, pallas_pv
 
-    if use_pallas:
-        frames = pallas_frames.extract_frames_pallas(wav, starts_c, size)
+    if fused:
+        # Fused fetch+window+DFT kernel; bins arrive in the four-step's
+        # scrambled order (full 2048-bin spectrum) — every op below is
+        # elementwise over bins, so only omega/k_idx change order, and
+        # Hermitian pairs stay exact mirrors through the sign-symmetric
+        # phase math (kernels/pallas_pv.py).
+        re_s, im_s = pallas_pv.analysis(wav, starts_c, window, size)
+        mag = jnp.sqrt(re_s * re_s + im_s * im_s)
+        phi = jnp.arctan2(im_s, re_s)
+        omega = jnp.asarray(pallas_pv.scrambled_omega(size))
+        k_idx = jnp.asarray(pallas_pv.scrambled_bins(size))
     else:
-        idx = starts_c[:, None] + jnp.arange(size, dtype=jnp.int32)[None, :]
-        frames = jnp.where(idx < n, wav[jnp.clip(idx, 0, n - 1)], 0.0)
-    spec = jnp.fft.rfft(frames * window[None, :])
-    mag = jnp.abs(spec)
-    phi = jnp.angle(spec)
+        if use_pallas:
+            frames = pallas_frames.extract_frames_pallas(wav, starts_c, size)
+        else:
+            idx = starts_c[:, None] + jnp.arange(size, dtype=jnp.int32)[None, :]
+            frames = jnp.where(idx < n, wav[jnp.clip(idx, 0, n - 1)], 0.0)
+        spec = jnp.fft.rfft(frames * window[None, :])
+        mag = jnp.abs(spec)
+        phi = jnp.angle(spec)
+        omega = (2.0 * jnp.pi / size) * jnp.arange(n_bins, dtype=jnp.float32)
+        k_idx = jnp.arange(n_bins, dtype=jnp.int32)
     if formant:
+        assert not fused, "formant path needs natural bin order"
         mag = mag * _formant_gain(mag, rho_c, size, n_bins, n_ceps)
 
-    omega = (2.0 * jnp.pi / size) * jnp.arange(n_bins, dtype=jnp.float32)
     da = jnp.maximum(da_c, 1e-3)[:, None]
     phi_full_prev = jnp.concatenate([phi_prev[None, :], phi[:-1]], axis=0)
     dphi = _princarg(phi - phi_full_prev - omega[None, :] * da)
     # Residual only — the exact int-mod ramp carries the hop*omega part.
     incr = hop * dphi / da
     # Global frame 0 has no predecessor: psi_0 = phi_0 exactly.
-    incr = incr.at[0].set(jnp.where(m0 == 0, jnp.zeros(n_bins), incr[0]))
+    incr = incr.at[0].set(jnp.where(m0 == 0, jnp.zeros_like(incr[0]), incr[0]))
     resid = resid_in[None, :] + jnp.cumsum(incr, axis=0)
 
     # psi_m = phi0 + m*hop*omega + resid.  The linear ramp is evaluated
     # mod 2pi with int32 arithmetic — a float32 running sum would hit
-    # 2.5e7 rad on a 3-minute track, where one ulp is ~2 rad.
+    # 2.5e7 rad on a 3-minute track, where one ulp is ~2 rad.  (For the
+    # scrambled order's negative frequencies the ramp is identical mod
+    # 2pi: hm * (k - size) == hm * k mod size.)
     m_global = m0 + jnp.arange(n_frames_c, dtype=jnp.int32)
     hm = jnp.mod(m_global * hop, size)
-    k_idx = jnp.arange(n_bins, dtype=jnp.int32)
     ramp = (2.0 * jnp.pi / size) * jnp.mod(
         hm[:, None] * k_idx[None, :], size
     ).astype(jnp.float32)
@@ -292,31 +307,56 @@ def _stretch_chunk_core(
     mag_live = jnp.where(live, mag, 0.0)
     psis = psis.astype(jnp.float32)
     out_len_c = (n_frames_c - 1) * hop + size
-    # Synthesis: istft_device picks the half-size packed c2r inverse on TPU
-    # (kernels/packfft.py, ~1.5x the native c2r there).
-    synth = mag_live * jnp.exp(1j * psis)
-    y_c = istft_device(synth, window, size, hop, out_len_c, normalize=False)
+    if fused:
+        # Fused sincos + inverse DFT + window kernel; OLA stays in XLA.
+        t = pallas_pv.synth(mag_live, psis, window, size)
+        y_c = ola_device(t, window, size, hop, out_len_c, normalize=False,
+                         pre_windowed=True)
+    else:
+        # istft_device picks the half-size packed c2r inverse on TPU
+        # (kernels/packfft.py, ~1.5x the native c2r there).
+        synth = mag_live * jnp.exp(1j * psis)
+        y_c = istft_device(synth, window, size, hop, out_len_c, normalize=False)
     last = jnp.clip(f_real - 1, 0, n_frames_c - 1)
     return y_c, resid[last], phi[last], phi0_eff
 
 
-@partial(jax.jit, static_argnames=("size", "hop", "n_frames_c", "formant", "n_ceps"))
+@partial(jax.jit, static_argnames=("size", "hop", "n_frames_c", "formant",
+                                   "n_ceps", "fused"))
 def _stretch_chunk(
     wav, starts_c, da_c, rho_c, window, m0, f_real, phi0, resid_in, phi_prev,
-    size, hop, n_frames_c, formant=False, n_ceps=40,
+    size, hop, n_frames_c, formant=False, n_ceps=40, fused=False,
 ):
-    """Single-track chunk stretch (Pallas frame fetch on TPU; XLA FFT
-    analysis; packed half-size c2r synthesis on TPU via istft_device)."""
+    """Single-track chunk stretch.
+
+    ``fused`` (decided by the caller, which must size the phase carries to
+    the full ``size`` bins) routes analysis and synthesis through the
+    fused scrambled-order kernels (kernels/pallas_pv.py) — the TPU fast
+    path.  Otherwise: Pallas frame fetch + XLA FFT analysis + packed
+    half-size c2r synthesis (istft_device)."""
     from ..kernels import pallas_frames
 
     use_pallas = (
-        pallas_frames.supported(size, n_frames_c)
+        not fused
+        and pallas_frames.supported(size, n_frames_c)
         and jax.default_backend() == "tpu"
     )
     return _stretch_chunk_core(
         wav, starts_c, da_c, rho_c, window, m0, f_real, phi0, resid_in,
         phi_prev, size=size, hop=hop, n_frames_c=n_frames_c,
-        formant=formant, n_ceps=n_ceps, use_pallas=use_pallas,
+        formant=formant, n_ceps=n_ceps, use_pallas=use_pallas, fused=fused,
+    )
+
+
+def _pv_fused_ok(size: int, ch: int, formant: bool) -> bool:
+    """Use the fused scrambled-order kernels? (TPU, shapes, no formant —
+    the cepstral envelope needs natural bin order.)"""
+    from ..kernels import pallas_pv
+
+    return (
+        jax.default_backend() == "tpu"
+        and pallas_pv.supported(size, ch)
+        and not formant
     )
 
 
@@ -550,11 +590,14 @@ def render_track_pv(
     # Stretch in chunks with exact phase carry; OLA contributions add
     # linearly; normalize once globally.  Short tracks take one chunk.
     ch = min(PV_CHUNK_FRAMES, n_frames)
-    n_bins = size // 2 + 1
+    fused = _pv_fused_ok(size, ch, preserve_formants)
+    # Fused kernels carry the full scrambled 2048-bin spectrum; the
+    # natural path carries the 1025-bin half.  One convention per render.
+    n_state = size if fused else size // 2 + 1
     y = jnp.zeros(stretch_len + ch * hop + size, jnp.float32)
-    resid = jnp.zeros(n_bins, jnp.float32)
-    phi_prev = jnp.zeros(n_bins, jnp.float32)
-    phi0 = jnp.zeros(n_bins, jnp.float32)
+    resid = jnp.zeros(n_state, jnp.float32)
+    phi_prev = jnp.zeros(n_state, jnp.float32)
+    phi0 = jnp.zeros(n_state, jnp.float32)
     for m0 in range(0, n_frames, ch):
         starts_c, da_c, rho_c, f_real = _chunk_arrays(plan, m0, ch)
         y_c, resid, phi_prev, phi0 = _stretch_chunk(
@@ -562,7 +605,7 @@ def render_track_pv(
             jnp.asarray(rho_c), win_dev,
             jnp.int32(m0), jnp.int32(f_real),
             phi0, resid, phi_prev,
-            size, hop, ch, formant=preserve_formants,
+            size, hop, ch, formant=preserve_formants, fused=fused,
         )
         y = _accum_at(y, y_c, jnp.int32(m0 * hop))
     wsum = _ola_wsum(win_dev, size, hop, n_frames, stretch_len)

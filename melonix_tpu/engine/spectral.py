@@ -234,17 +234,20 @@ def istft_device(
 
 
 def ola_device(
-    t: jnp.ndarray,  # (F, size) time-domain synthesis frames (pre-window)
+    t: jnp.ndarray,  # (F, size) time-domain synthesis frames
     window: jnp.ndarray,
     size: int,
     hop: int,
     out_len: int,
     normalize: bool = True,
+    pre_windowed: bool = False,
 ) -> jnp.ndarray:
     """The overlap-add half of istft_device, for callers that produce the
-    time-domain frames themselves (e.g. the MXU matmul-iDFT PV path)."""
+    time-domain frames themselves (e.g. the fused PV synthesis kernel,
+    which also applies the synthesis window in-kernel: pre_windowed)."""
     n_frames = t.shape[0]
-    t = t * window[None, :]
+    if not pre_windowed:
+        t = t * window[None, :]
     if size % hop == 0:
         k = size // hop
         # Pad to a multiple of k frames; group g holds frames g, g+k, ...

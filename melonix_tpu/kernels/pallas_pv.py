@@ -1,0 +1,398 @@
+"""Fused phase-vocoder analysis/synthesis kernels (four-step MXU DFTs).
+
+The PV stretch loop spends most of its device time in two XLA FFT passes
+plus a per-frame gather fetch (measured on v5e for a 3-minute track at
+2048/512: fetch 3.5 ms + window+rfft 6.5 ms + packed irfft 6.3 ms of a
+17.9 ms chunk).  These kernels replace them:
+
+* ``analysis``: per-frame DMA fetch at arbitrary starts (the lane-gather
+  realign of kernels/pallas_frames.py, G frames per grid step) + window +
+  forward DFT, all in VMEM — the (F, 2048) frame matrix never touches HBM.
+* ``synth``: mag/psi -> sincos -> inverse DFT -> windowed time frames
+  (overlap-add stays in XLA: engine/spectral.ola_device).
+
+**Both work in scrambled bin order.**  The four-step (Bailey) DFT with
+N = N1 * N2, N1 = 128 on the LANE axis (Mosaic rejects lane-splitting
+reshapes; the natural (16, 128) view of a 2048-sample frame is free)
+produces bins as Z[k2, k1] = bin ``k2 + 16*k1`` — i.e. the flat output
+column ``j`` holds bin ``(j // 128) + 16 * (j % 128)``.  Unscrambling
+in-kernel would force 16-lane transposed tiles (measured slower than XLA
+in an earlier attempt); instead the *entire per-bin phase pipeline*
+(magnitude, atan2, princarg, the frame-axis cumsum, sincos) is
+elementwise over bins, so it simply runs in scrambled order with
+scrambled omega/bin-index vectors (:func:`scrambled_bins`), and the
+inverse kernel consumes the scrambled spectrum directly — its output
+IS natural time order (x[n1 + 128*n2] == the (16, 128) row-major view).
+No transpose exists anywhere in the pipeline.
+
+The full 2048-bin spectrum is carried (not the 1025-bin half): Hermitian
+pairs stay exact mirrors through the phase math (atan2/mod/cumsum are
+sign-symmetric), and the inverse takes the real part at the final stage,
+which also drops non-Hermitian DC/Nyquist imaginaries exactly like a c2r
+inverse.  Negative-frequency bins (k > N/2) use signed omega.
+
+Matmul precision: the four-step's contractions are short (16 and 128),
+so split-operand 3-pass bf16 dots (kernels/bf16x3.py) hold ~-96 dB vs
+float64 (measured; a DENSE 2048-contraction DFT at bf16x3 is only
+-59 dB — factorization is what keeps the error down) at 2x the MXU
+throughput of Precision.HIGHEST.
+
+Reference scope: replaces the spectral analysis/synthesis *mechanics* of
+the added-capability PV engine only; numeric semantics (phase
+propagation, OLA weights) are unchanged from engine/phase_vocoder.py.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import bf16x3
+
+N1 = 128  # lane-axis factor
+N2 = 16  # sublane-axis factor
+G = 64  # frames per grid step
+MAX_FRAMES = 200_000  # starts scalar-prefetch must fit SMEM
+
+
+def supported(size: int, n_frames: int | None = None) -> bool:
+    ok = size == N1 * N2
+    if n_frames is not None:
+        ok = ok and n_frames % G == 0 and n_frames <= MAX_FRAMES
+    return ok
+
+
+def scrambled_bins(size: int) -> np.ndarray:
+    """int32 (size,): natural bin index held by each scrambled column."""
+    j = np.arange(size, dtype=np.int64)
+    return ((j // N1) + N2 * (j % N1)).astype(np.int32)
+
+
+def scrambled_omega(size: int) -> np.ndarray:
+    """float32 (size,): signed angular frequency per scrambled column.
+
+    Bins above Nyquist are negative frequencies; their expected phase
+    advance per sample is negative (the natural-order path only ever sees
+    k <= N/2, where signed == unsigned)."""
+    k = scrambled_bins(size).astype(np.int64)
+    ks = np.where(k <= size // 2, k, k - size)
+    return (2.0 * np.pi / size * ks).astype(np.float32)
+
+
+def _e3(eq, xs, ys, exact=False):
+    """bf16x3 einsum: 3 significant cross products of pre-split operands.
+
+    ``exact`` upcasts operands to f32 (bit-equivalent to the MXU's
+    bf16-MAC/f32-accumulate) — required in interpret mode, where the
+    Pallas interpreter rounds each dot's output to bf16 (see bf16x3.dot).
+    """
+    xh, xl = xs
+    yh, yl = ys
+    if exact:
+        xh, xl = xh.astype(jnp.float32), xl.astype(jnp.float32)
+        yh, yl = yh.astype(jnp.float32), yl.astype(jnp.float32)
+    e = partial(jnp.einsum, preferred_element_type=jnp.float32)
+    return e(eq, xh, yh) + e(eq, xh, yl) + e(eq, xl, yh)
+
+
+@lru_cache(maxsize=4)
+def _fwd_consts(size: int):
+    """Forward four-step constants, pre-split to (hi, lo) bf16 pairs.
+
+    X[k2 + 16 k1] = sum_{n1} W_N^{-k2 n1} W_{N1}^{-k1 n1}
+                    sum_{n2} x[n1 + 128 n2] W_{N2}^{-k2 n2}
+    """
+    k2, m2 = np.meshgrid(np.arange(N2), np.arange(N2), indexing="ij")
+    a2 = -2.0 * np.pi * (k2 * m2 % N2) / N2  # F2[k2, n2]
+    tk2, tn1 = np.meshgrid(np.arange(N2), np.arange(N1), indexing="ij")
+    at = -2.0 * np.pi * (tk2 * tn1 % size) / size  # twiddle[k2, n1]
+    m1, k1 = np.meshgrid(np.arange(N1), np.arange(N1), indexing="ij")
+    a1 = -2.0 * np.pi * (m1 * k1 % N1) / N1  # F1[n1, k1]
+    sp = bf16x3.split_np
+    return (
+        sp(np.cos(a2).astype(np.float32)), sp(np.sin(a2).astype(np.float32)),
+        np.cos(at).astype(np.float32), np.sin(at).astype(np.float32),
+        sp(np.cos(a1).astype(np.float32)), sp(np.sin(a1).astype(np.float32)),
+    )
+
+
+@lru_cache(maxsize=4)
+def _inv_consts(size: int):
+    """Inverse four-step constants (conjugate transforms, 1/N in stage B).
+
+    x[n1 + 128 n2] = Re[ (1/N) sum_{k2} W_{N2}^{+k2 n2} W_N^{+k2 n1}
+                         sum_{k1} Z[k2, k1] W_{N1}^{+k1 n1} ]
+    """
+    k1, n1 = np.meshgrid(np.arange(N1), np.arange(N1), indexing="ij")
+    a1 = 2.0 * np.pi * (k1 * n1 % N1) / N1  # F1inv[k1, n1]
+    tk2, tn1 = np.meshgrid(np.arange(N2), np.arange(N1), indexing="ij")
+    at = 2.0 * np.pi * (tk2 * tn1 % size) / size  # twiddle[k2, n1]
+    n2, k2 = np.meshgrid(np.arange(N2), np.arange(N2), indexing="ij")
+    a2 = 2.0 * np.pi * (n2 * k2 % N2) / N2  # F2inv[n2, k2], holds 1/N
+    sp = bf16x3.split_np
+    return (
+        sp(np.cos(a1).astype(np.float32)), sp(np.sin(a1).astype(np.float32)),
+        np.cos(at).astype(np.float32), np.sin(at).astype(np.float32),
+        sp((np.cos(a2) / size).astype(np.float32)),
+        sp((np.sin(a2) / size).astype(np.float32)),
+    )
+
+
+# ----------------------------------------------------------------------
+# Analysis: DMA fetch + window + forward DFT
+# ----------------------------------------------------------------------
+
+
+def _d3(xs, ys, exact=False):
+    """bf16x3 2-D dot (see _e3 for the exact flag)."""
+    xh, xl = xs
+    yh, yl = ys
+    if exact:
+        xh, xl = xh.astype(jnp.float32), xl.astype(jnp.float32)
+        yh, yl = yh.astype(jnp.float32), yl.astype(jnp.float32)
+    d = partial(jnp.dot, preferred_element_type=jnp.float32)
+    return d(xh, yh) + d(xh, yl) + d(xl, yh)
+
+
+def _fwd_dft(x, c2, s2, ct, st, c1, s1, exact):
+    """Four-step forward DFT of a (G, 16, 128) frame block -> scrambled
+    (G, 16, 128) re/im.
+
+    Matmuls carry the frame axis in their ROW dimension — batched
+    (16,16)@(16,128) einsums leave the 128x128 MXU at 1/8 utilization
+    (measured 4.3 ms vs 1.05 ms for this merged form on v5e):
+    stage 1 is one (16, 16) @ (16, G*128) dot, stage 2 one
+    (16G, 128) @ (128, 128) dot per re/im term.
+    """
+    d3 = partial(_d3, exact=exact)
+    xt = x.swapaxes(0, 1).reshape(N2, G * N1)  # [n2, g*n1]
+    xs = bf16x3.split(xt)
+    yr = d3(c2, xs).reshape(N2, G, N1)  # [k2, g, n1]
+    yi = d3(s2, xs).reshape(N2, G, N1)
+    ct3, st3 = ct[:, None], st[:, None]  # twiddle broadcasts over g
+    tr = yr * ct3 - yi * st3
+    ti = yr * st3 + yi * ct3
+    trs = bf16x3.split(tr.reshape(N2 * G, N1))
+    tis = bf16x3.split(ti.reshape(N2 * G, N1))
+    re = (d3(trs, c1) - d3(tis, s1)).reshape(N2, G, N1)
+    im = (d3(trs, s1) + d3(tis, c1)).reshape(N2, G, N1)
+    return re.swapaxes(0, 1), im.swapaxes(0, 1)  # [g, k2, k1]
+
+
+def _ana_kernel(
+    starts_ref, wav_hbm, win_ref,
+    c2h, c2l, s2h, s2l, cth, sth, c1h, c1l, s1h, s1l,
+    re_ref, im_ref, slabs, frames, sems, *, n_rows, exact,
+):
+    b = pl.program_id(0)
+    nb = pl.num_programs(0)
+
+    def _copy(blk, slot, g):
+        row0 = jax.lax.div(starts_ref[blk * G + g], 128)
+        return pltpu.make_async_copy(
+            wav_hbm.at[pl.ds(row0, n_rows)], slabs.at[slot, g], sems.at[slot, g]
+        )
+
+    # Block-level double buffering: step b waits on the copies issued at
+    # step b-1 (slot b%2) and prefetches block b+1 into the other slot, so
+    # the HBM reads overlap the previous block's DFT matmuls.
+    @pl.when(b == 0)
+    def _():
+        for g in range(G):
+            _copy(0, 0, g).start()
+
+    @pl.when(b + 1 < nb)
+    def _():
+        for g in range(G):
+            _copy(b + 1, (b + 1) % 2, g).start()
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n_rows, 128), 1)
+    slot = b % 2
+    for g in range(G):
+        _copy(b, slot, g).wait()
+        rem = jax.lax.rem(starts_ref[b * G + g], 128)
+        cur = slabs[slot, g]
+        sh = jax.lax.rem(128 - rem, 128)
+        a_same = pltpu.roll(cur, sh, 1)
+        a_next = pltpu.roll(pltpu.roll(cur, n_rows - 1, 0), sh, 1)
+        frames[g] = jnp.where(lane + rem < 128, a_same, a_next)[:N2]
+
+    x = frames[...] * win_ref[...][None]  # (G, n2=16, n1=128) windowed
+    re, im = _fwd_dft(
+        x, (c2h[...], c2l[...]), (s2h[...], s2l[...]), cth[...], sth[...],
+        (c1h[...], c1l[...]), (s1h[...], s1l[...]), exact,
+    )
+    re_ref[...] = re
+    im_ref[...] = im
+
+
+@partial(jax.jit, static_argnames=("size", "interpret"))
+def analysis(
+    wav: jnp.ndarray,
+    starts: jnp.ndarray,
+    window: jnp.ndarray,
+    size: int,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(re, im) float32 (F, size) — scrambled-order DFT of windowed frames.
+
+    Frame m covers ``wav[starts[m] : starts[m]+size)`` (zeros past the
+    end; starts are clipped into range like pallas_frames).  Column j of
+    the output holds natural bin ``scrambled_bins(size)[j]``.
+    """
+    assert supported(size, starts.shape[0]), (size, starts.shape)
+    f = starts.shape[0]
+    n = wav.shape[0]
+    n_rows = N2 + 8
+    total = 128 * -(-(n + size + n_rows * 128) // 128)
+    wavp = jnp.zeros((total,), jnp.float32)
+    wavp = jax.lax.dynamic_update_slice(wavp, wav.astype(jnp.float32), (0,))
+    wav2d = wavp.reshape(total // 128, 128)
+    starts_c = jnp.clip(starts.astype(jnp.int32), 0, max(n - 1, 0))
+    (c2, s2, ct, st, c1, s1) = _fwd_consts(size)
+    mats = (*c2, *s2, ct, st, *c1, *s1)
+    win2d = jnp.asarray(window, jnp.float32).reshape(N2, N1)
+
+    const_spec = lambda shape: pl.BlockSpec(
+        shape, lambda *_: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    mat_specs = [
+        const_spec((N2, N2)), const_spec((N2, N2)),
+        const_spec((N2, N2)), const_spec((N2, N2)),
+        const_spec((N2, N1)), const_spec((N2, N1)),
+        const_spec((N1, N1)), const_spec((N1, N1)),
+        const_spec((N1, N1)), const_spec((N1, N1)),
+    ]
+    out = pl.pallas_call(
+        partial(_ana_kernel, n_rows=n_rows, exact=interpret),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(f // G,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                const_spec((N2, N1)),
+                *mat_specs,
+            ],
+            out_specs=[
+                pl.BlockSpec((G, N2, N1), lambda b, s: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, N2, N1), lambda b, s: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, G, n_rows, 128), jnp.float32),
+                pltpu.VMEM((G, N2, N1), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, G)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((f, N2, N1), jnp.float32),
+            jax.ShapeDtypeStruct((f, N2, N1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=f * (2 * N2 * N2 * N1 + 4 * N2 * N1 * N1) * 2 * 3,
+            bytes_accessed=f * 4 * (n_rows * 128 + 2 * size),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(starts_c, wav2d, win2d, *[jnp.asarray(m) for m in mats])
+    return out[0].reshape(f, size), out[1].reshape(f, size)
+
+
+# ----------------------------------------------------------------------
+# Synthesis: sincos + inverse DFT + window
+# ----------------------------------------------------------------------
+
+
+def _syn_kernel(
+    mag_ref, psi_ref, win_ref,
+    c1h, c1l, s1h, s1l, cth, sth, c2h, c2l, s2h, s2l,
+    out_ref, *, exact,
+):
+    d3 = partial(_d3, exact=exact)
+    mag = mag_ref[...]
+    psi = psi_ref[...]
+    re = mag * jnp.cos(psi)
+    im = mag * jnp.sin(psi)
+    # Stage A: contract k1 (lanes) — frame axis merged into matmul rows
+    # (see _fwd_dft for why: batched 16-row matmuls waste 7/8 of the MXU).
+    res = bf16x3.split(re.reshape(G * N2, N1))
+    ims = bf16x3.split(im.reshape(G * N2, N1))
+    c1s, s1s = (c1h[...], c1l[...]), (s1h[...], s1l[...])
+    wr = (d3(res, c1s) - d3(ims, s1s)).reshape(G, N2, N1).swapaxes(0, 1)
+    wi = (d3(res, s1s) + d3(ims, c1s)).reshape(G, N2, N1).swapaxes(0, 1)
+    # Twiddle in [k2, g, n1] layout.
+    ct3, st3 = cth[...][:, None], sth[...][:, None]
+    tr = wr * ct3 - wi * st3
+    ti = wr * st3 + wi * ct3
+    # Stage B: contract k2; REAL part only (this is what drops
+    # non-Hermitian DC/Nyquist imaginaries, matching a c2r inverse).
+    trs = bf16x3.split(tr.reshape(N2, G * N1))
+    tis = bf16x3.split(ti.reshape(N2, G * N1))
+    c2s, s2s = (c2h[...], c2l[...]), (s2h[...], s2l[...])
+    x = (d3(c2s, trs) - d3(s2s, tis)).reshape(N2, G, N1).swapaxes(0, 1)
+    out_ref[...] = x * win_ref[...][None]
+
+
+@partial(jax.jit, static_argnames=("size", "interpret"))
+def synth(
+    mag: jnp.ndarray,
+    psi: jnp.ndarray,
+    window: jnp.ndarray,
+    size: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Windowed time frames (F, size) from a scrambled mag/psi spectrum.
+
+    Equals ``irfft(natural_spec)[..] * window`` to bf16x3 accuracy, where
+    natural_spec is the (F, size//2+1) half built from the same mag/psi —
+    the scrambled full spectrum's Hermitian-pair columns must carry
+    mirrored values (they do when produced by :func:`analysis` and the
+    sign-symmetric phase pipeline).  Feed to spectral.ola_device with
+    ``pre_windowed=True``.
+    """
+    f = mag.shape[0]
+    assert supported(size, f), (size, f)
+    (c1, s1, ct, st, c2, s2) = _inv_consts(size)
+    mats = (*c1, *s1, ct, st, *c2, *s2)
+    win2d = jnp.asarray(window, jnp.float32).reshape(N2, N1)
+    const_spec = lambda shape: pl.BlockSpec(
+        shape, lambda *_: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    mat_specs = [
+        const_spec((N1, N1)), const_spec((N1, N1)),
+        const_spec((N1, N1)), const_spec((N1, N1)),
+        const_spec((N2, N1)), const_spec((N2, N1)),
+        const_spec((N2, N2)), const_spec((N2, N2)),
+        const_spec((N2, N2)), const_spec((N2, N2)),
+    ]
+    out = pl.pallas_call(
+        partial(_syn_kernel, exact=interpret),
+        grid=(f // G,),
+        in_specs=[
+            pl.BlockSpec((G, N2, N1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, N2, N1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const_spec((N2, N1)),
+            *mat_specs,
+        ],
+        out_specs=pl.BlockSpec((G, N2, N1), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((f, N2, N1), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=f * (4 * N2 * N1 * N1 + 2 * N2 * N2 * N1) * 2 * 3,
+            bytes_accessed=f * 4 * 3 * size,
+            transcendentals=f * 2 * size,
+        ),
+        interpret=interpret,
+    )(
+        mag.reshape(f, N2, N1), psi.reshape(f, N2, N1), win2d,
+        *[jnp.asarray(m) for m in mats],
+    )
+    return out.reshape(f, size)

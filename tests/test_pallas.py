@@ -475,3 +475,58 @@ def test_resample_pv_fused_matches_unfused(rng):
         / np.mean(want[: plan.n_out] ** 2)
     )
     assert snr < -60.0, snr
+
+
+def test_pv_fused_kernels_match_natural_core(rng):
+    """Fused scrambled-order analysis/synthesis (interpret) vs the natural
+    XLA stretch core — the TPU fast path's CPU twin.  bf16x3 matmul DFTs
+    bound the divergence (~-96 dB; tolerance leaves margin)."""
+    from unittest import mock
+
+    from melonix_tpu.engine.maps import MapKnots
+    from melonix_tpu.engine.phase_vocoder import (
+        _chunk_arrays,
+        _stretch_chunk_core,
+        build_pv_plan,
+    )
+    from melonix_tpu.engine.spectral import hann_window
+    from melonix_tpu.kernels import pallas_pv
+    from melonix_tpu.markers import Marker
+
+    sr = 8000
+    n = 3 * sr
+    t = np.arange(n) / sr
+    w = (0.5 * np.sin(2 * np.pi * 220 * t)
+         + 0.2 * np.sin(2 * np.pi * 445 * t)).astype(np.float32)
+    knots = MapKnots.from_markers([Marker(n // 2, 57.0, 0.03, 3.0)], sr, n)
+    plan = build_pv_plan(knots, n)
+    assert pallas_pv.supported(plan.size, plan.n_frames)
+    win = jnp.asarray(hann_window(plan.size))
+    starts, da, rho, fr = _chunk_arrays(plan, 0, plan.n_frames)
+    zs = jnp.zeros(plan.size // 2 + 1, jnp.float32)
+    zf = jnp.zeros(plan.size, jnp.float32)
+    kw = dict(size=plan.size, hop=plan.hop, n_frames_c=plan.n_frames)
+    args = (jnp.asarray(w), jnp.asarray(starts), jnp.asarray(da),
+            jnp.asarray(rho), win, jnp.int32(0), jnp.int32(fr))
+    base = np.asarray(_stretch_chunk_core(*args, zs, zs, zs, **kw)[0])
+    with mock.patch.object(
+        pallas_pv, "analysis", partial(pallas_pv.analysis, interpret=True)
+    ), mock.patch.object(
+        pallas_pv, "synth", partial(pallas_pv.synth, interpret=True)
+    ):
+        fused = np.asarray(
+            _stretch_chunk_core(*args, zf, zf, zf, **kw, fused=True)[0]
+        )
+    # PV phase propagation is chaotic (a cumsum of atan2 noise): the f32
+    # natural path itself moves by ~2e-2 max / 9e-4 rms under a ONE-ULP
+    # input perturbation (measured), so waveforms can only be compared in
+    # rms, and the real invariant is the spectral magnitude envelope.
+    scale = float(np.abs(base).max())
+    rms = float(np.sqrt(np.mean((fused - base) ** 2)))
+    assert rms < 5e-3 * scale, rms
+    size = plan.size
+    nseg = base.shape[0] // size
+    f_b = np.abs(np.fft.rfft(base[: nseg * size].reshape(nseg, size), axis=1))
+    f_f = np.abs(np.fft.rfft(fused[: nseg * size].reshape(nseg, size), axis=1))
+    env_err = np.abs(f_f - f_b).max() / f_b.max()
+    assert env_err < 2e-2, env_err
