@@ -174,13 +174,18 @@ def stft_mags_device(
 ) -> jnp.ndarray:
     """Fused ``|STFT|`` of the first size//2 bins — (n_frames, size//2) f32.
 
-    On TPU with kernel-friendly shapes this is the Pallas fused
-    frame+window+DFT+magnitude kernel (kernels/pallas_stft.py, ~4x the XLA
-    FFT path and near HBM speed-of-light); otherwise XLA rfft + |.|.
+    On TPU with kernel-friendly shapes this is a fused Pallas
+    frame+window+DFT+magnitude kernel — preferring the four-step bf16x3
+    factorization (kernels/pallas_pv.stft_mag_fourstep, ~3x the dense
+    HIGHEST kernel at -96 dB), falling back to the dense-matmul kernel
+    (kernels/pallas_stft.py) for other sizes; otherwise XLA rfft + |.|.
     """
-    from ..kernels import pallas_stft
+    from ..kernels import pallas_pv, pallas_stft
 
-    if pallas_stft.supported(size, hop) and jax.default_backend() == "tpu":
+    on_tpu = jax.default_backend() == "tpu"
+    if pallas_pv.stft_supported(size, hop) and on_tpu:
+        return pallas_pv.stft_mag_fourstep(wav, window, size, hop, n_frames, scale=scale)
+    if pallas_stft.supported(size, hop) and on_tpu:
         return pallas_stft.stft_mag_pallas(wav, window, size, hop, n_frames, scale=scale)
     spec = stft_device(wav, window, size, hop, n_frames)
     return (jnp.abs(spec[:, : size // 2]) * scale).astype(jnp.float32)

@@ -122,3 +122,24 @@ def test_chunked_stretch_formant(monkeypatch):
         np.sqrt(np.mean(single**2)) + 1e-12
     )
     assert err < 2e-3, err
+
+
+def test_ola_wsum_tiled_matches_scatter():
+    """The tiled+edge-corrected wsum vs a brute-force scatter build."""
+    import jax.numpy as jnp
+
+    from melonix_tpu.engine.phase_vocoder import _ola_wsum
+    from melonix_tpu.engine.spectral import hann_window
+
+    for size, hop, n_frames in [(2048, 512, 37), (2048, 512, 4), (1024, 256, 9),
+                                (2048, 1024, 5), (2048, 512, 2)]:
+        out_len = (n_frames - 1) * hop + size
+        win = hann_window(size)
+        w2 = (win * win).astype(np.float64)
+        want = np.full(out_len, 1e-8)
+        acc = np.zeros(out_len)
+        for g in range(n_frames):
+            acc[g * hop : g * hop + size] += w2
+        want = np.maximum(acc, 1e-8)
+        got = np.asarray(_ola_wsum(jnp.asarray(win), size, hop, n_frames, out_len))
+        np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-7)
