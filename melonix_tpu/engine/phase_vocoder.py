@@ -118,6 +118,33 @@ def _princarg(x):
     return jnp.mod(x + jnp.pi, 2.0 * jnp.pi) - jnp.pi
 
 
+def _cumsum_frames_mxu(incr):
+    """Frame-axis prefix sum as blocked lower-triangular MXU matmuls.
+
+    ``jnp.cumsum`` over axis 0 of a (15.5k, 2048) array lowers to a
+    log-depth reduce-window (~2.9 ms of pure HBM traffic on v5e); one
+    (B, B) ones-triangle matmul per B-frame block + a tiny cross-block
+    scan is ~0.5 ms on the MXU.  Precision.HIGH (bf16x3) keeps the
+    phase-residual error ~1e-5 relative — far below the PV path's
+    intrinsic f32 chaos (see test_pv_fused_kernels_match_natural_core).
+    """
+    f = incr.shape[0]
+    for b in (128, 64):
+        if f % b == 0:
+            break
+    else:
+        return jnp.cumsum(incr, axis=0)
+    xb = incr.reshape(f // b, b, incr.shape[1])
+    tri = jnp.asarray(np.tril(np.ones((b, b), np.float32)))
+    within = jnp.einsum(
+        "ij,bjk->bik", tri, xb, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGH,
+    )
+    tots = within[:, -1]
+    offs = jnp.cumsum(tots, axis=0) - tots  # exclusive block offsets
+    return (within + offs[:, None, :]).reshape(incr.shape)
+
+
 def _bits(x: np.ndarray) -> np.ndarray:
     return np.asarray(x, np.float32).view(np.int32).copy()
 
@@ -286,7 +313,8 @@ def _stretch_chunk_core(
     incr = hop * dphi / da
     # Global frame 0 has no predecessor: psi_0 = phi_0 exactly.
     incr = incr.at[0].set(jnp.where(m0 == 0, jnp.zeros_like(incr[0]), incr[0]))
-    resid = resid_in[None, :] + jnp.cumsum(incr, axis=0)
+    cum = _cumsum_frames_mxu(incr) if fused else jnp.cumsum(incr, axis=0)
+    resid = resid_in[None, :] + cum
 
     # psi_m = phi0 + m*hop*omega + resid.  The linear ramp is evaluated
     # mod 2pi with int32 arithmetic — a float32 running sum would hit
@@ -308,10 +336,10 @@ def _stretch_chunk_core(
     psis = psis.astype(jnp.float32)
     out_len_c = (n_frames_c - 1) * hop + size
     if fused:
-        # Fused sincos + inverse DFT + window kernel; OLA stays in XLA.
-        t = pallas_pv.synth(mag_live, psis, window, size)
-        y_c = ola_device(t, window, size, hop, out_len_c, normalize=False,
-                         pre_windowed=True)
+        # Fused sincos + inverse DFT + window + streaming OLA kernel —
+        # the (F, size) synthesis frame matrix never exists in HBM.
+        y_flat = pallas_pv.synth_ola(mag_live, psis, window, size, hop)
+        y_c = y_flat[:out_len_c]
     else:
         # istft_device picks the half-size packed c2r inverse on TPU
         # (kernels/packfft.py, ~1.5x the native c2r there).
@@ -348,14 +376,17 @@ def _stretch_chunk(
     )
 
 
-def _pv_fused_ok(size: int, ch: int, formant: bool) -> bool:
-    """Use the fused scrambled-order kernels? (TPU, shapes, no formant —
-    the cepstral envelope needs natural bin order.)"""
+def _pv_fused_ok(size: int, hop: int, ch: int, formant: bool) -> bool:
+    """Use the fused scrambled-order kernels? (TPU, shapes incl. the
+    streaming-OLA hop alignment, no formant — the cepstral envelope needs
+    natural bin order.)"""
     from ..kernels import pallas_pv
 
     return (
         jax.default_backend() == "tpu"
         and pallas_pv.supported(size, ch)
+        and hop % 128 == 0
+        and size % hop == 0
         and not formant
     )
 
@@ -613,7 +644,7 @@ def render_track_pv(
     # Stretch in chunks with exact phase carry; OLA contributions add
     # linearly; normalize once globally.  Short tracks take one chunk.
     ch = min(PV_CHUNK_FRAMES, n_frames)
-    fused = _pv_fused_ok(size, ch, preserve_formants)
+    fused = _pv_fused_ok(size, hop, ch, preserve_formants)
     # Fused kernels carry the full scrambled 2048-bin spectrum; the
     # natural path carries the 1025-bin half.  One convention per render.
     n_state = size if fused else size // 2 + 1

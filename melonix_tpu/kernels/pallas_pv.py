@@ -8,8 +8,10 @@ plus a per-frame gather fetch (measured on v5e for a 3-minute track at
 * ``analysis``: per-frame DMA fetch at arbitrary starts (the lane-gather
   realign of kernels/pallas_frames.py, G frames per grid step) + window +
   forward DFT, all in VMEM — the (F, 2048) frame matrix never touches HBM.
-* ``synth``: mag/psi -> sincos -> inverse DFT -> windowed time frames
-  (overlap-add stays in XLA: engine/spectral.ola_device).
+* ``synth_ola``: mag/psi -> sincos -> inverse DFT -> window -> streaming
+  hop-aligned overlap-add (a 128-lane accumulator with a (size - hop)-row
+  carry across the sequential grid) — the whole iSTFT tail in one kernel;
+  neither the synthesis frame matrix nor the pre-OLA signal touch HBM.
 
 **Both work in scrambled bin order.**  The four-step (Bailey) DFT with
 N = N1 * N2, N1 = 128 on the LANE axis (Mosaic rejects lane-splitting
@@ -309,93 +311,30 @@ def analysis(
 # ----------------------------------------------------------------------
 
 
-def _syn_kernel(
-    mag_ref, psi_ref, win_ref,
-    c1h, c1l, s1h, s1l, cth, sth, c2h, c2l, s2h, s2l,
-    out_ref, *, exact,
-):
+def _syn_body(mag, psi, win, mats, exact):
+    """sincos + inverse four-step DFT + window: (G,16,128) time frames."""
+    c1h, c1l, s1h, s1l, cth, sth, c2h, c2l, s2h, s2l = mats
     d3 = partial(_d3, exact=exact)
-    mag = mag_ref[...]
-    psi = psi_ref[...]
     re = mag * jnp.cos(psi)
     im = mag * jnp.sin(psi)
     # Stage A: contract k1 (lanes) — frame axis merged into matmul rows
     # (see _fwd_dft for why: batched 16-row matmuls waste 7/8 of the MXU).
     res = bf16x3.split(re.reshape(G * N2, N1))
     ims = bf16x3.split(im.reshape(G * N2, N1))
-    c1s, s1s = (c1h[...], c1l[...]), (s1h[...], s1l[...])
+    c1s, s1s = (c1h, c1l), (s1h, s1l)
     wr = (d3(res, c1s) - d3(ims, s1s)).reshape(G, N2, N1).swapaxes(0, 1)
     wi = (d3(res, s1s) + d3(ims, c1s)).reshape(G, N2, N1).swapaxes(0, 1)
     # Twiddle in [k2, g, n1] layout.
-    ct3, st3 = cth[...][:, None], sth[...][:, None]
+    ct3, st3 = cth[:, None], sth[:, None]
     tr = wr * ct3 - wi * st3
     ti = wr * st3 + wi * ct3
     # Stage B: contract k2; REAL part only (this is what drops
     # non-Hermitian DC/Nyquist imaginaries, matching a c2r inverse).
     trs = bf16x3.split(tr.reshape(N2, G * N1))
     tis = bf16x3.split(ti.reshape(N2, G * N1))
-    c2s, s2s = (c2h[...], c2l[...]), (s2h[...], s2l[...])
+    c2s, s2s = (c2h, c2l), (s2h, s2l)
     x = (d3(c2s, trs) - d3(s2s, tis)).reshape(N2, G, N1).swapaxes(0, 1)
-    out_ref[...] = x * win_ref[...][None]
-
-
-@partial(jax.jit, static_argnames=("size", "interpret"))
-def synth(
-    mag: jnp.ndarray,
-    psi: jnp.ndarray,
-    window: jnp.ndarray,
-    size: int,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Windowed time frames (F, size) from a scrambled mag/psi spectrum.
-
-    Equals ``irfft(natural_spec)[..] * window`` to bf16x3 accuracy, where
-    natural_spec is the (F, size//2+1) half built from the same mag/psi —
-    the scrambled full spectrum's Hermitian-pair columns must carry
-    mirrored values (they do when produced by :func:`analysis` and the
-    sign-symmetric phase pipeline).  Feed to spectral.ola_device with
-    ``pre_windowed=True``.
-    """
-    f = mag.shape[0]
-    assert supported(size, f), (size, f)
-    (c1, s1, ct, st, c2, s2) = _inv_consts(size)
-    mats = (*c1, *s1, ct, st, *c2, *s2)
-    win2d = jnp.asarray(window, jnp.float32).reshape(N2, N1)
-    const_spec = lambda shape: pl.BlockSpec(
-        shape, lambda *_: (0,) * len(shape), memory_space=pltpu.VMEM
-    )
-    mat_specs = [
-        const_spec((N1, N1)), const_spec((N1, N1)),
-        const_spec((N1, N1)), const_spec((N1, N1)),
-        const_spec((N2, N1)), const_spec((N2, N1)),
-        const_spec((N2, N2)), const_spec((N2, N2)),
-        const_spec((N2, N2)), const_spec((N2, N2)),
-    ]
-    out = pl.pallas_call(
-        partial(_syn_kernel, exact=interpret),
-        grid=(f // G,),
-        in_specs=[
-            pl.BlockSpec((G, N2, N1), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, N2, N1), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            const_spec((N2, N1)),
-            *mat_specs,
-        ],
-        out_specs=pl.BlockSpec((G, N2, N1), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((f, N2, N1), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=f * (4 * N2 * N1 * N1 + 2 * N2 * N2 * N1) * 2 * 3,
-            bytes_accessed=f * 4 * 3 * size,
-            transcendentals=f * 2 * size,
-        ),
-        interpret=interpret,
-    )(
-        mag.reshape(f, N2, N1), psi.reshape(f, N2, N1), win2d,
-        *[jnp.asarray(m) for m in mats],
-    )
-    return out.reshape(f, size)
+    return x * win[None]
 
 
 # ----------------------------------------------------------------------
@@ -500,3 +439,114 @@ def stft_mag_fourstep(
     )(rows, win2d, *[jnp.asarray(m) for m in mats])
     # (F, k2=16, k1=64) -> natural (F, 1024): bin b = k2 + 16*k1.
     return jnp.swapaxes(out, 1, 2).reshape(nf_pad, size // 2)[:n_frames]
+
+
+# ----------------------------------------------------------------------
+# Synthesis + in-kernel overlap-add (the full iSTFT tail in one kernel)
+# ----------------------------------------------------------------------
+
+
+def _syn_ola_kernel(
+    mag_ref, psi_ref, win_ref,
+    c1h, c1l, s1h, s1l, cth, sth, c2h, c2l, s2h, s2l,
+    out_ref, acc, *, hop_rows, carry_rows, exact,
+):
+    i = pl.program_id(0)
+    nb = pl.num_programs(0)
+    out_rows = G * hop_rows
+
+    @pl.when(i == 0)
+    def _():
+        acc[...] = jnp.zeros((out_rows + carry_rows, 128), jnp.float32)
+
+    @pl.when(i != 0)
+    def _():
+        # Frames spilling past the previous step's span become this
+        # step's head (the standard streaming-OLA carry).
+        acc[0:carry_rows] = acc[pl.ds(out_rows, carry_rows)]
+        acc[pl.ds(carry_rows, out_rows)] = jnp.zeros(
+            (out_rows, 128), jnp.float32
+        )
+
+    @pl.when(i + 1 < nb)  # the last step only flushes the carry
+    def _():
+        mats = tuple(
+            r[...] for r in (c1h, c1l, s1h, s1l, cth, sth, c2h, c2l, s2h, s2l)
+        )
+        x = _syn_body(mag_ref[...], psi_ref[...], win_ref[...], mats, exact)
+        # Frame g covers rows [g*hop_rows, +16): static in-place adds —
+        # the (F, 2048) frame matrix never exists in HBM.
+        for g in range(G):
+            r0 = g * hop_rows
+            acc[r0 : r0 + N2] = acc[r0 : r0 + N2] + x[g]
+
+    out_ref[...] = acc[0:out_rows][None]
+
+
+@partial(jax.jit, static_argnames=("size", "hop", "interpret"))
+def synth_ola(
+    mag: jnp.ndarray,
+    psi: jnp.ndarray,
+    window: jnp.ndarray,
+    size: int,
+    hop: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Windowed-OLA synthesis from a scrambled mag/psi spectrum.
+
+    Returns the unnormalized overlap-add signal, length
+    ``(F // G + 1) * G * hop`` — sample j is exact for
+    j < (F - 1) * hop + size (then zeros).  Fuses :func:`synth` with the
+    hop-aligned streaming OLA (a 128-lane accumulator with a
+    (size - hop)-row carry across the sequential grid), replacing the
+    XLA ola_device pass and the (F, size) frame-matrix round-trip.
+    """
+    f = mag.shape[0]
+    assert supported(size, f), (size, f)
+    assert hop % 128 == 0 and size % hop == 0, (size, hop)
+    hop_rows = hop // 128
+    carry_rows = (size - hop) // 128
+    (c1, s1, ct, st, c2, s2) = _inv_consts(size)
+    mats = (*c1, *s1, ct, st, *c2, *s2)
+    win2d = jnp.asarray(window, jnp.float32).reshape(N2, N1)
+    const_spec = lambda shape: pl.BlockSpec(
+        shape, lambda *_: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    mat_specs = [
+        const_spec((N1, N1)), const_spec((N1, N1)),
+        const_spec((N1, N1)), const_spec((N1, N1)),
+        const_spec((N2, N1)), const_spec((N2, N1)),
+        const_spec((N2, N2)), const_spec((N2, N2)),
+        const_spec((N2, N2)), const_spec((N2, N2)),
+    ]
+    nb = f // G + 1  # one flush-only step drains the final carry
+    clamp = lambda b: jnp.minimum(b, nb - 2)  # flush step re-reads block
+    out = pl.pallas_call(
+        partial(_syn_ola_kernel, hop_rows=hop_rows, carry_rows=carry_rows,
+                exact=interpret),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((G, N2, N1), lambda b: (clamp(b), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, N2, N1), lambda b: (clamp(b), 0, 0),
+                         memory_space=pltpu.VMEM),
+            const_spec((N2, N1)),
+            *mat_specs,
+        ],
+        out_specs=pl.BlockSpec((1, G * hop_rows, 128), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, G * hop_rows, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((G * hop_rows + carry_rows, 128), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=f * (4 * N2 * N1 * N1 + 2 * N2 * N2 * N1) * 2 * 3,
+            bytes_accessed=f * 4 * (2 * size + hop),
+            transcendentals=f * 2 * size,
+        ),
+        interpret=interpret,
+    )(
+        mag.reshape(f, N2, N1), psi.reshape(f, N2, N1), win2d,
+        *[jnp.asarray(m) for m in mats],
+    )
+    return out.reshape(nb * G * hop)

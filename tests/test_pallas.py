@@ -512,7 +512,7 @@ def test_pv_fused_kernels_match_natural_core(rng):
     with mock.patch.object(
         pallas_pv, "analysis", partial(pallas_pv.analysis, interpret=True)
     ), mock.patch.object(
-        pallas_pv, "synth", partial(pallas_pv.synth, interpret=True)
+        pallas_pv, "synth_ola", partial(pallas_pv.synth_ola, interpret=True)
     ):
         fused = np.asarray(
             _stretch_chunk_core(*args, zf, zf, zf, **kw, fused=True)[0]
@@ -530,3 +530,37 @@ def test_pv_fused_kernels_match_natural_core(rng):
     f_f = np.abs(np.fft.rfft(fused[: nseg * size].reshape(nseg, size), axis=1))
     env_err = np.abs(f_f - f_b).max() / f_b.max()
     assert env_err < 2e-2, env_err
+
+
+def test_pv_synth_ola_matches_istft(rng):
+    """Fused synthesis+OLA kernel (interpret) vs irfft + ola_device on the
+    same scrambled spectrum."""
+    from melonix_tpu.engine.spectral import hann_window, ola_device
+    from melonix_tpu.kernels import pallas_pv
+
+    size, hop = 2048, 512
+    F = 128
+    rng2 = np.random.default_rng(7)
+    mag_n = rng2.random((F, size // 2 + 1)).astype(np.float32)
+    psi_n = (rng2.random((F, size // 2 + 1)) * 6.28 - 3.14).astype(np.float32)
+    # natural reference
+    spec = mag_n * np.exp(1j * psi_n)
+    t = np.fft.irfft(spec, n=size).astype(np.float32)
+    win = hann_window(size)
+    out_len = (F - 1) * hop + size
+    want = np.asarray(ola_device(
+        jnp.asarray(t * win), jnp.asarray(win), size, hop, out_len,
+        normalize=False, pre_windowed=True,
+    ))
+    # scrambled full-spectrum input (Hermitian mirror)
+    bins = pallas_pv.scrambled_bins(size)
+    full_mag = np.concatenate([mag_n, mag_n[:, -2:0:-1]], axis=1)
+    full_psi = np.concatenate([psi_n, -psi_n[:, -2:0:-1]], axis=1)
+    got = np.asarray(pallas_pv.synth_ola(
+        jnp.asarray(full_mag[:, bins]), jnp.asarray(full_psi[:, bins]),
+        jnp.asarray(win), size, hop, interpret=True,
+    ))
+    assert got.shape[0] >= out_len
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got[:out_len], want, atol=3e-4 * scale)
+    assert np.all(got[out_len:] == 0.0)
