@@ -632,6 +632,16 @@ def render_track_pv(
     plan = build_pv_plan(knots, n_wav, config=config, size=size, hop=hop)
     if plan is None:
         return np.zeros(max(int(knots.duration() * knots.sample_rate), 0), np.float32)
+    return _render_with_plan(wav_dev, plan, preserve_formants)
+
+
+def _render_with_plan(
+    wav_dev, plan: PVPlan, preserve_formants: bool
+) -> np.ndarray:
+    """One channel through a (possibly shared) PVPlan — the single-chip
+    fast path: fused stretch chunks + fused positions+resample kernel."""
+    from ..kernels import pallas_resample
+
     size, hop, sr = plan.size, plan.hop, plan.sr
     n_out, n_out_pad = plan.n_out, plan.n_out_pad
     n_frames, stretch_len = plan.n_frames, plan.stretch_len
@@ -760,10 +770,21 @@ def render_channels_pv(
     def _put(arr):
         return jnp.asarray(arr) if sharding is None else jax.device_put(arr, sharding)
 
+    on_tpu = jax.default_backend() == "tpu"
+    if mesh is None and on_tpu:
+        # Single chip: the per-channel fused kernels (analysis/synth_ola/
+        # resample) against the ONE shared plan beat the batched natural-
+        # order XLA pipeline by ~3x; channels are few, so a Python loop
+        # costs nothing and every channel reuses the same compiled chunk.
+        outs = [
+            _render_with_plan(jnp.asarray(wav_ch[c]), plan, preserve_formants)
+            for c in range(C)
+        ]
+        return np.stack(outs)
+
     wav_b = wav_ch if B == C else np.pad(wav_ch, ((0, B - C), (0, 0)))
     wav_dev = _put(wav_b)
     win_dev = jnp.asarray(hann_window(size))
-    on_tpu = jax.default_backend() == "tpu"
 
     ch = min(PV_CHUNK_FRAMES, plan.n_frames)
     n_bins = size // 2 + 1

@@ -48,6 +48,7 @@ def dot(xs, ys, exact: bool = False) -> jnp.ndarray:
     exactly representable in f32).  REQUIRED in interpret mode: the
     Pallas interpreter drops ``preferred_element_type`` and rounds each
     dot's output to bf16 (measured -53 dB instead of -96).
+    Used by kernels/pallas_pv.py's ``_d3``/``_e3`` wrappers.
     """
     xh, xl = xs
     yh, yl = ys

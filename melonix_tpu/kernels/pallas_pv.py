@@ -86,22 +86,6 @@ def scrambled_omega(size: int) -> np.ndarray:
     return (2.0 * np.pi / size * ks).astype(np.float32)
 
 
-def _e3(eq, xs, ys, exact=False):
-    """bf16x3 einsum: 3 significant cross products of pre-split operands.
-
-    ``exact`` upcasts operands to f32 (bit-equivalent to the MXU's
-    bf16-MAC/f32-accumulate) — required in interpret mode, where the
-    Pallas interpreter rounds each dot's output to bf16 (see bf16x3.dot).
-    """
-    xh, xl = xs
-    yh, yl = ys
-    if exact:
-        xh, xl = xh.astype(jnp.float32), xl.astype(jnp.float32)
-        yh, yl = yh.astype(jnp.float32), yl.astype(jnp.float32)
-    e = partial(jnp.einsum, preferred_element_type=jnp.float32)
-    return e(eq, xh, yh) + e(eq, xh, yl) + e(eq, xl, yh)
-
-
 @lru_cache(maxsize=4)
 def _fwd_consts(size: int):
     """Forward four-step constants, pre-split to (hi, lo) bf16 pairs.
@@ -150,15 +134,7 @@ def _inv_consts(size: int):
 # ----------------------------------------------------------------------
 
 
-def _d3(xs, ys, exact=False):
-    """bf16x3 2-D dot (see _e3 for the exact flag)."""
-    xh, xl = xs
-    yh, yl = ys
-    if exact:
-        xh, xl = xh.astype(jnp.float32), xl.astype(jnp.float32)
-        yh, yl = yh.astype(jnp.float32), yl.astype(jnp.float32)
-    d = partial(jnp.dot, preferred_element_type=jnp.float32)
-    return d(xh, yh) + d(xh, yl) + d(xl, yh)
+_d3 = bf16x3.dot
 
 
 def _fwd_dft(x, c2, s2, ct, st, c1, s1, exact):

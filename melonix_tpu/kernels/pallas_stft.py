@@ -38,8 +38,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import bf16x3
-
 BF = 128  # frames per block (MXU sublane-friendly)
 BT = 256  # DFT bins per tile (lane-friendly; keeps cos+sin tiles at 4 MB)
 
@@ -53,23 +51,11 @@ def _dft_mats(size: int, n_bins: int) -> tuple[np.ndarray, np.ndarray]:
     return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
 
 
-@lru_cache(maxsize=8)
-def _dft_mats_split(size: int, n_bins: int):
-    """(hi, lo) bf16 splits of the DFT matrices for bf16x3 dots."""
-    from .bf16x3 import split_np
-
-    cos, sin = _dft_mats(size, n_bins)
-    return split_np(cos), split_np(sin)
-
-
 SLAB_PAD = 8  # extra slab rows so the k-1 row lookahead stays tile-aligned
 
 
-def _kernel(rows_hbm, win_ref, *rest, k, hop, scale, precision):
-    if precision == "bf16x3":
-        ch_ref, cl_ref, sh_ref, sl_ref, out_ref, slab, sem = rest
-    else:
-        cos_ref, sin_ref, out_ref, slab, sem = rest
+def _kernel(rows_hbm, win_ref, cos_ref, sin_ref, out_ref, slab, sem, *, k,
+            hop, scale):
     i = pl.program_id(0)
     j = pl.program_id(1)
     copy = pltpu.make_async_copy(
@@ -93,15 +79,13 @@ def _kernel(rows_hbm, win_ref, *rest, k, hop, scale, precision):
         shifted = pltpu.roll(slab[:], (n_rows - d) % n_rows, 0) if d else slab[:]
         xd = shifted[:BF] * win_ref[:, pl.ds(d * hop, hop)]
         sl = pl.ds(d * hop, hop)
-        if precision == "bf16x3":
-            xs = bf16x3.split(xd)
-            re += bf16x3.dot(xs, (ch_ref[sl, :], cl_ref[sl, :]))
-            im += bf16x3.dot(xs, (sh_ref[sl, :], sl_ref[sl, :]))
-        else:
-            re += jnp.dot(xd, cos_ref[sl, :],
-                          preferred_element_type=jnp.float32, precision=precision)
-            im += jnp.dot(xd, sin_ref[sl, :],
-                          preferred_element_type=jnp.float32, precision=precision)
+        # Dense 2048-long contractions need the full 6-pass f32 precision
+        # (bf16x3 holds only ~-59 dB at this contraction length; the
+        # four-step kernel in pallas_pv.py is the cheap-precision path).
+        re += jnp.dot(xd, cos_ref[sl, :], preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        im += jnp.dot(xd, sin_ref[sl, :], preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     out_ref[:] = jnp.sqrt(re * re + im * im) * scale
 
 
@@ -117,7 +101,7 @@ def supported(size: int, hop: int) -> bool:
 
 @partial(
     jax.jit,
-    static_argnames=("size", "hop", "n_frames", "scale", "interpret", "precision"),
+    static_argnames=("size", "hop", "n_frames", "scale", "interpret"),
 )
 def stft_mag_pallas(
     wav: jnp.ndarray,
@@ -127,18 +111,12 @@ def stft_mag_pallas(
     n_frames: int,
     scale: float = 1.0,
     interpret: bool = False,
-    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
 ) -> jnp.ndarray:
     """Magnitudes ``|DFT(frame * window)| * scale`` of the first size//2 bins.
 
     Frame f covers ``wav[f*hop : f*hop + size)`` (out-of-range samples are
     zero), matching engine/spectral.stft_device's convention.  Returns
     float32 ``(n_frames, size // 2)``.
-
-    ``precision`` pins the MXU matmul passes (Mosaic's default is bf16 —
-    CLAUDE.md): HIGHEST (6-pass, default) measures -117 dB vs float64;
-    "bf16x3" (split-operand 3-pass, kernels/bf16x3.py) halves the MXU
-    time at -9x dB (Mosaic itself rejects Precision.HIGH).
     """
     assert supported(size, hop), (size, hop)
     k = size // hop
@@ -151,23 +129,15 @@ def stft_mag_pallas(
         rows.reshape(-1), wav[:n_keep].astype(jnp.float32), (0,)
     ).reshape(n_rows, hop)
     cos, sin = _dft_mats(size, n_bins)
-    mat_spec = lambda: pl.BlockSpec((size, BT), lambda i, j: (0, j),
-                                    memory_space=pltpu.VMEM)
-    if precision == "bf16x3":
-        (ch, cl), (sh, sl) = _dft_mats_split(size, n_bins)
-        mats = (ch, cl, sh, sl)
-        mat_specs = [mat_spec() for _ in range(4)]
-    else:
-        mats = (cos, sin)
-        mat_specs = [mat_spec() for _ in range(2)]
 
     out = pl.pallas_call(
-        partial(_kernel, k=k, hop=hop, scale=float(scale), precision=precision),
+        partial(_kernel, k=k, hop=hop, scale=float(scale)),
         grid=(nf_pad // BF, n_bins // BT),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # waveform slab, DMA'd manually
             pl.BlockSpec((1, size), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            *mat_specs,
+            pl.BlockSpec((size, BT), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((size, BT), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((BF, BT), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nf_pad, n_bins), jnp.float32),
@@ -181,5 +151,5 @@ def stft_mag_pallas(
             transcendentals=nf_pad * n_bins,
         ),
         interpret=interpret,
-    )(rows, jnp.asarray(window, jnp.float32).reshape(1, size), *mats)
+    )(rows, jnp.asarray(window, jnp.float32).reshape(1, size), cos, sin)
     return out[:n_frames]
