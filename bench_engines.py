@@ -104,6 +104,12 @@ def main() -> None:
         lambda: float(np.sum(o[0][:16])),
     ), 2)
 
+    stereo = np.stack([x, 0.8 * x], axis=1)
+    results["stereo_pv_session_ms"] = round(_trace_ms(
+        lambda: o.__setitem__(0, mlx.render_session(stereo, markers, sr, engine="pv")),
+        lambda: float(np.sum(o[0][:16, 0])),
+    ), 2)
+
     rng = np.random.default_rng(1)
     ends = jnp.asarray(rng.integers(cfg.spectr_size, len(x), 256).astype(np.int32))
     starts = ends - 4410

@@ -303,8 +303,8 @@ def _stretch_chunk_core(
         omega = (2.0 * jnp.pi / size) * jnp.arange(n_bins, dtype=jnp.float32)
         k_idx = jnp.arange(n_bins, dtype=jnp.int32)
     if formant:
-        assert not fused, "formant path needs natural bin order"
-        mag = mag * _formant_gain(mag, rho_c, size, n_bins, n_ceps)
+        mag = mag * _formant_gain(mag, rho_c, size, n_bins, n_ceps,
+                                  scrambled=fused)
 
     da = jnp.maximum(da_c, 1e-3)[:, None]
     phi_full_prev = jnp.concatenate([phi_prev[None, :], phi[:-1]], axis=0)
@@ -376,10 +376,10 @@ def _stretch_chunk(
     )
 
 
-def _pv_fused_ok(size: int, hop: int, ch: int, formant: bool) -> bool:
-    """Use the fused scrambled-order kernels? (TPU, shapes incl. the
-    streaming-OLA hop alignment, no formant — the cepstral envelope needs
-    natural bin order.)"""
+def _pv_fused_ok(size: int, hop: int, ch: int) -> bool:
+    """Use the fused scrambled-order kernels? (TPU + shapes, incl. the
+    streaming-OLA hop alignment; the formant warp works in either order —
+    see _formant_gain.)"""
     from ..kernels import pallas_pv
 
     return (
@@ -387,7 +387,6 @@ def _pv_fused_ok(size: int, hop: int, ch: int, formant: bool) -> bool:
         and pallas_pv.supported(size, ch)
         and hop % 128 == 0
         and size % hop == 0
-        and not formant
     )
 
 
@@ -409,28 +408,48 @@ def _stretch_chunk_batched(
     )(wav_b, phi0_b, resid_b, phi_prev_b)
 
 
-def _formant_gain(mag, rho_m, size, n_bins, n_ceps):
+def _formant_gain(mag, rho_m, size, n_bins, n_ceps, scrambled=False):
     """Cepstral-envelope warp gain.
 
     The envelope is n_ceps cosine coefficients, so E at the rho-scaled
     bins is evaluated *directly* with a Chebyshev recurrence — pure
     elementwise math where a lerp-gather formulation costs two 16M-
     element gathers (~480 ms on v5e).
+
+    ``scrambled``: the fused path's full 2048-bin scrambled spectrum.
+    The cepstral projection is a weighted sum over bins — summing ALL
+    2048 bins with weight 1/N reproduces the natural half-spectrum's
+    {1, 2, ..., 2, 1}/N weights exactly (conjugate pairs appear twice,
+    DC/Nyquist once), so only the constant vectors change order.
     """
     log_mag = jnp.log(mag + 1e-8)
-    kk = np.arange(n_bins, dtype=np.float64)
     qq = np.arange(1, n_ceps, dtype=np.float64)
-    wk = np.full(n_bins, 2.0 / size)
-    wk[0] = 1.0 / size
-    wk[-1] = 1.0 / size
+    if scrambled:
+        from ..kernels import pallas_pv
+
+        kk = pallas_pv.scrambled_bins(size).astype(np.float64)
+        wk = np.full(size, 1.0 / size)
+    else:
+        kk = np.arange(n_bins, dtype=np.float64)
+        wk = np.full(n_bins, 2.0 / size)
+        wk[0] = 1.0 / size
+        wk[-1] = 1.0 / size
     a_mat = jnp.asarray(
         (wk[:, None] * np.cos(2.0 * np.pi * kk[:, None] * qq[None, :] / size))
         .astype(np.float32)
-    )  # (n_bins, n_ceps-1): c_q = L @ a_mat; c_0 = mean via wk row-sum
+    )  # (bins, n_ceps-1): c_q = L @ a_mat; c_0 = mean via wk row-sum
     cep = jnp.dot(log_mag, a_mat, preferred_element_type=jnp.float32)
     # gain_log[k] = sum_q 2 c_q (cos(q*theta*rho) - cos(q*theta)); the
-    # q=0 term cancels.  Chebyshev: T_q(cos t) = cos(q t).
-    theta = (2.0 * jnp.pi / size) * jnp.arange(n_bins, dtype=jnp.float32)
+    # q=0 term cancels.  Chebyshev: T_q(cos t) = cos(q t).  Mirrored bins
+    # must use |signed frequency|: cos(q*theta*rho) is NOT symmetric
+    # under theta -> 2pi - theta once rho is non-integer (the projection
+    # matrix above is, since cos(2pi k q / N) is periodic in k).
+    if scrambled:
+        from ..kernels import pallas_pv as _pv
+
+        theta = jnp.asarray(np.abs(_pv.scrambled_omega(size)))
+    else:
+        theta = (2.0 * jnp.pi / size) * jnp.asarray(kk, jnp.float32)
     c1w = jnp.cos(theta[None, :] * rho_m[:, None])
     c1p = jnp.broadcast_to(jnp.cos(theta)[None, :], c1w.shape)
     tw_prev, tw_cur = jnp.ones_like(c1w), c1w
@@ -654,7 +673,7 @@ def _render_with_plan(
     # Stretch in chunks with exact phase carry; OLA contributions add
     # linearly; normalize once globally.  Short tracks take one chunk.
     ch = min(PV_CHUNK_FRAMES, n_frames)
-    fused = _pv_fused_ok(size, hop, ch, preserve_formants)
+    fused = _pv_fused_ok(size, hop, ch)
     # Fused kernels carry the full scrambled 2048-bin spectrum; the
     # natural path carries the 1025-bin half.  One convention per render.
     n_state = size if fused else size // 2 + 1
@@ -700,20 +719,48 @@ def _render_with_plan(
     return np.asarray(out[:n_out])
 
 
+RESAMPLE_SEG_BLOCKS = 8192  # blocks (16.8M samples) per fused-resample call
+
+
 def _resample_pv_fused(plan: PVPlan, y, rows: int, interpret: bool = False):
-    """Fused positions+lerp kernel call from a PVPlan (TPU fast path)."""
+    """Fused positions+lerp kernel from a PVPlan (TPU fast path).
+
+    The kernel scalar-prefetches the per-anchor constants into SMEM
+    (1 MB): anchors grow with track length (one per output block), so an
+    hour-scale track (78k anchors x 7 arrays = 2.1 MB) must be rendered
+    in output segments.  Anchor j values are shifted segment-relative
+    (the position math only ever uses j - j0 differences, so shifting is
+    exact); slab bases stay absolute into y.  A 3-minute track is one
+    segment — nothing changes on the common path.
+    """
     from ..kernels import pallas_resample
 
+    blk = pallas_resample.BLK
     anc_j_p, src_f, r_f, s_f, n_real = plan.anc_np
-    nb = plan.n_out_pad // pallas_resample.BLK
-    a0, cnt, kmax = pallas_resample.pv_anchor_blocks(anc_j_p[:n_real], nb)
-    kmax = max(1, 1 << (kmax - 1).bit_length())  # bucket compile shapes
-    return pallas_resample.resample_pv_pallas(
-        y, jnp.asarray(plan.base), jnp.asarray(a0), jnp.asarray(cnt),
-        jnp.asarray(anc_j_p), jnp.asarray(src_f), jnp.asarray(r_f),
-        jnp.asarray(s_f), rows, kmax, plan.sr, plan.n_out_pad,
-        interpret=interpret,
-    )
+    anc_j = anc_j_p[:n_real].astype(np.int64)
+    nb = plan.n_out_pad // blk
+    base_np = np.asarray(plan.base)
+    outs = []
+    for b0 in range(0, nb, RESAMPLE_SEG_BLOCKS):
+        b1 = min(b0 + RESAMPLE_SEG_BLOCKS, nb)
+        n_out_seg = (b1 - b0) * blk
+        lo = max(int(np.searchsorted(anc_j, b0 * blk, side="right")) - 1, 0)
+        hi = int(np.searchsorted(anc_j, b1 * blk, side="left"))
+        aj = (anc_j[lo:hi] - b0 * blk).astype(np.int32)
+        a0, cnt, kmax = pallas_resample.pv_anchor_blocks(aj, b1 - b0)
+        kmax = max(1, 1 << (kmax - 1).bit_length())  # bucket compile shapes
+        n_anc_p = 512 * -(-len(aj) // 512)
+        pad_a = n_anc_p - len(aj)
+        out_seg = pallas_resample.resample_pv_pallas(
+            y, jnp.asarray(base_np[b0:b1]), jnp.asarray(a0), jnp.asarray(cnt),
+            jnp.asarray(np.pad(aj, (0, pad_a), constant_values=n_out_seg)),
+            jnp.asarray(np.pad(src_f[lo:hi], (0, pad_a), mode="edge")),
+            jnp.asarray(np.pad(r_f[lo:hi], (0, pad_a), mode="edge")),
+            jnp.asarray(np.pad(s_f[lo:hi], (0, pad_a), mode="edge")),
+            rows, kmax, plan.sr, n_out_seg, interpret=interpret,
+        )
+        outs.append(out_seg)
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 
 
 @jax.jit

@@ -564,3 +564,76 @@ def test_pv_synth_ola_matches_istft(rng):
     scale = np.abs(want).max()
     np.testing.assert_allclose(got[:out_len], want, atol=3e-4 * scale)
     assert np.all(got[out_len:] == 0.0)
+
+
+def test_resample_pv_fused_segmented_matches_one_shot(rng, monkeypatch):
+    """Hour-scale tracks exceed the kernel's 1 MB SMEM anchor budget and
+    render in output segments (anchor j shifted segment-relative) — force
+    tiny segments and compare against the single-segment call."""
+    import melonix_tpu.engine.phase_vocoder as pv
+    from melonix_tpu.engine.maps import MapKnots
+    from melonix_tpu.engine.phase_vocoder import _resample_pv_fused, build_pv_plan
+    from melonix_tpu.kernels.pallas_resample import rows_for
+    from melonix_tpu.markers import Marker
+
+    sr = 8000
+    n = 4 * sr
+    markers = [
+        Marker(n // 4, 57.0, 0.01, 3.0),
+        Marker(n // 2, 57.0, -0.01, -2.0),
+        Marker(3 * n // 4, 57.0, 0.02, 5.0),
+    ]
+    knots = MapKnots.from_markers(markers, sr, n)
+    plan = build_pv_plan(knots, n)
+    y = jnp.asarray(rng.standard_normal(plan.stretch_len).astype(np.float32))
+    rows = rows_for(max(plan.rho_max, float(plan.rho_m.max()), 1.0))
+    want = np.asarray(_resample_pv_fused(plan, y, rows, interpret=True))
+    monkeypatch.setattr(pv, "RESAMPLE_SEG_BLOCKS", 4)  # 8192-sample segments
+    got = np.asarray(_resample_pv_fused(plan, y, rows, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pv_fused_formant_matches_natural(rng):
+    """Formant-preserving stretch through the fused scrambled path vs the
+    natural path: same rms/envelope bounds as the plain-mode test (the
+    scrambled full-spectrum cepstral projection reproduces the natural
+    {1,2,...,2,1}/N weights exactly)."""
+    from unittest import mock
+
+    from melonix_tpu.engine.maps import MapKnots
+    from melonix_tpu.engine.phase_vocoder import (
+        _chunk_arrays,
+        _stretch_chunk_core,
+        build_pv_plan,
+    )
+    from melonix_tpu.engine.spectral import hann_window
+    from melonix_tpu.kernels import pallas_pv
+    from melonix_tpu.markers import Marker
+
+    sr = 8000
+    n = 2 * sr
+    t = np.arange(n) / sr
+    w = (0.5 * np.sin(2 * np.pi * 220 * t)
+         + 0.25 * np.sin(2 * np.pi * 660 * t)).astype(np.float32)
+    knots = MapKnots.from_markers([Marker(n // 2, 57.0, 0.0, 4.0)], sr, n)
+    plan = build_pv_plan(knots, n)
+    win = jnp.asarray(hann_window(plan.size))
+    starts, da, rho, fr = _chunk_arrays(plan, 0, plan.n_frames)
+    zs = jnp.zeros(plan.size // 2 + 1, jnp.float32)
+    zf = jnp.zeros(plan.size, jnp.float32)
+    kw = dict(size=plan.size, hop=plan.hop, n_frames_c=plan.n_frames,
+              formant=True)
+    args = (jnp.asarray(w), jnp.asarray(starts), jnp.asarray(da),
+            jnp.asarray(rho), win, jnp.int32(0), jnp.int32(fr))
+    base = np.asarray(_stretch_chunk_core(*args, zs, zs, zs, **kw)[0])
+    with mock.patch.object(
+        pallas_pv, "analysis", partial(pallas_pv.analysis, interpret=True)
+    ), mock.patch.object(
+        pallas_pv, "synth_ola", partial(pallas_pv.synth_ola, interpret=True)
+    ):
+        fused = np.asarray(
+            _stretch_chunk_core(*args, zf, zf, zf, **kw, fused=True)[0]
+        )
+    scale = float(np.abs(base).max())
+    rms = float(np.sqrt(np.mean((fused - base) ** 2)))
+    assert rms < 5e-3 * scale, rms
