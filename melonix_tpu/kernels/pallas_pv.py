@@ -189,15 +189,21 @@ def _ana_kernel(
         for g in range(G):
             _copy(b + 1, (b + 1) % 2, g).start()
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (n_rows, 128), 1)
+    # Realign on the minimal 17-row window (16 rows of frame + 1 row of
+    # lane spill), deriving the row-shifted operand from the already
+    # lane-rolled one (the rolls commute) — one lane roll + one row roll
+    # per frame instead of two+one on the full slab (~2x less VPU work;
+    # realign is the kernel's second-largest cost after the DFT).
+    nr = N2 + 1
+    lane = jax.lax.broadcasted_iota(jnp.int32, (nr, 128), 1)
     slot = b % 2
     for g in range(G):
         _copy(b, slot, g).wait()
         rem = jax.lax.rem(starts_ref[b * G + g], 128)
-        cur = slabs[slot, g]
+        cur = slabs[slot, g][:nr]
         sh = jax.lax.rem(128 - rem, 128)
         a_same = pltpu.roll(cur, sh, 1)
-        a_next = pltpu.roll(pltpu.roll(cur, n_rows - 1, 0), sh, 1)
+        a_next = pltpu.roll(a_same, nr - 1, 0)
         frames[g] = jnp.where(lane + rem < 128, a_same, a_next)[:N2]
 
     x = frames[...] * win_ref[...][None]  # (G, n2=16, n1=128) windowed
@@ -226,7 +232,7 @@ def analysis(
     assert supported(size, starts.shape[0]), (size, starts.shape)
     f = starts.shape[0]
     n = wav.shape[0]
-    n_rows = N2 + 8
+    n_rows = N2 + 1  # 16 frame rows + 1 row of lane spill (rem > 0)
     total = 128 * -(-(n + size + n_rows * 128) // 128)
     wavp = jnp.zeros((total,), jnp.float32)
     wavp = jax.lax.dynamic_update_slice(wavp, wav.astype(jnp.float32), (0,))
