@@ -637,3 +637,41 @@ def test_pv_fused_formant_matches_natural(rng):
     scale = float(np.abs(base).max())
     rms = float(np.sqrt(np.mean((fused - base) ** 2)))
     assert rms < 5e-3 * scale, rms
+
+
+def test_pv_fused_chunked_carry(rng, monkeypatch):
+    """Chunked fused stretch (scrambled phase carry across chunk
+    boundaries) vs the one-shot fused stretch, interpret mode."""
+    from unittest import mock
+
+    import melonix_tpu.engine.phase_vocoder as pv
+    from melonix_tpu.engine.maps import MapKnots
+    from melonix_tpu.engine.phase_vocoder import render_track_pv
+    from melonix_tpu.kernels import pallas_pv
+    from melonix_tpu.markers import Marker
+
+    sr = 8000
+    n = 3 * sr
+    t = np.arange(n) / sr
+    w = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    knots = MapKnots.from_markers(
+        [Marker(n // 2, 57.0, 0.02, 2.0)], sr, n
+    )
+    with mock.patch.object(
+        pallas_pv, "analysis", partial(pallas_pv.analysis, interpret=True)
+    ), mock.patch.object(
+        pallas_pv, "synth_ola", partial(pallas_pv.synth_ola, interpret=True)
+    ), mock.patch.object(
+        pv, "_pv_fused_ok", lambda *a: True
+    ), mock.patch.object(
+        pv, "_resample_pv_fused",
+        partial(pv._resample_pv_fused, interpret=True),
+    ):
+        single = render_track_pv(w, knots)
+        monkeypatch.setattr(pv, "PV_CHUNK_FRAMES", 64)
+        chunked = render_track_pv(w, knots)
+    assert len(single) == len(chunked)
+    err = np.sqrt(np.mean((single - chunked) ** 2)) / (
+        np.sqrt(np.mean(single**2)) + 1e-12
+    )
+    assert err < 2e-3, err
