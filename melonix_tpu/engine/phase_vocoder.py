@@ -55,7 +55,7 @@ import numpy as np
 
 from ..config import DEFAULT_CONFIG, Config
 from .maps import MapKnots
-from .spectral import hann_window, istft_device, ola_device
+from .spectral import hann_window, istft_device
 
 LN2_12 = np.log(2.0) / 12.0
 

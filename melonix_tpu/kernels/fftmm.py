@@ -104,15 +104,3 @@ def fft_matmul(x: jnp.ndarray) -> jnp.ndarray:
     re, im = fft_matmul_real(x.astype(jnp.float32))
     return jax.lax.complex(re, im)
 
-
-@partial(jax.jit, static_argnames=("n_bins",))
-def fft_matmul_mag(x: jnp.ndarray, n_bins: int) -> jnp.ndarray:
-    """Fused DFT + magnitude of the first ``n_bins`` bins, normalized by N.
-
-    The spectrogram path never needs phases; fusing the magnitude avoids
-    materializing the full complex spectrum in HBM.
-    """
-    n = x.shape[-1]
-    re, im = fft_matmul_real(x)
-    mags = jnp.sqrt(re * re + im * im) / n
-    return mags[..., :n_bins]

@@ -37,23 +37,6 @@ def _twiddle(n: int, sign: float) -> np.ndarray:
     return np.exp(sign * 2j * np.pi * np.arange(m + 1) / n).astype(np.complex64)
 
 
-def rfft_packed(x: jnp.ndarray) -> jnp.ndarray:
-    """Drop-in for ``jnp.fft.rfft`` on real float32 input with even last dim."""
-    n = x.shape[-1]
-    assert n % 2 == 0, n
-    m = n // 2
-    z = x.reshape(x.shape[:-1] + (m, 2))
-    zc = jax.lax.complex(z[..., 0], z[..., 1])
-    zf = jnp.fft.fft(zc, axis=-1)
-    # conj(Z[(M-k) mod M]) for k = 0..M (k=0 and k=M both hit Z[0]).
-    rev = jnp.conj(jnp.roll(zf[..., ::-1], 1, axis=-1))
-    zf1 = jnp.concatenate([zf, zf[..., :1]], axis=-1)
-    rev1 = jnp.concatenate([rev, rev[..., :1]], axis=-1)
-    e = 0.5 * (zf1 + rev1)
-    o = -0.5j * (zf1 - rev1)
-    return e + jnp.asarray(_twiddle(n, -1.0)) * o
-
-
 def irfft_packed(spec: jnp.ndarray, n: int) -> jnp.ndarray:
     """Drop-in for ``jnp.fft.irfft(spec, n=n)`` — Hermitian half-spectrum
     (..., n//2 + 1) complex -> (..., n) real float32, n even."""

@@ -384,18 +384,6 @@ def test_pv_positions_rel_device_matches_float64():
     np.testing.assert_allclose(got_abs[mask], want_abs[mask], atol=2e-3)
 
 
-def test_rfft_packed_matches_numpy(rng):
-    """Half-size packed forward rfft vs the float64 NumPy transform."""
-    from melonix_tpu.kernels.packfft import rfft_packed
-
-    for shape in [(4, 2048), (6, 256), (130,)]:
-        x = rng.standard_normal(shape).astype(np.float32)
-        want = np.fft.rfft(x.astype(np.float64))
-        got = np.asarray(jax.jit(rfft_packed)(jnp.asarray(x)))
-        scale = np.abs(want).max()
-        np.testing.assert_allclose(got, want, atol=2e-6 * scale)
-
-
 def test_irfft_packed_matches_numpy(rng):
     """Half-size packed c2r inverse vs the float64 NumPy transform."""
     from melonix_tpu.kernels.packfft import irfft_packed

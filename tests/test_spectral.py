@@ -8,7 +8,7 @@ import oracle
 from melonix_tpu.config import Config
 from melonix_tpu.engine import spectral as S
 from melonix_tpu.engine.maps import MapKnots
-from melonix_tpu.kernels.fftmm import fft_matmul, fft_matmul_mag
+from melonix_tpu.kernels.fftmm import fft_matmul
 
 # Small DFT size keeps the oracle fast; engine semantics are size-generic.
 CFG = Config(spectr_size=2048)
@@ -63,13 +63,6 @@ def test_matmul_backend_column_parity(chirp):
     want = oracle.spec_column(x, 1000, 3000, CFG.spectr_size)
     got = S.spectrogram_columns(x, [1000], [3000], CFG, backend="matmul")[0]
     assert snr_db(got, want) < -75, snr_db(got, want)
-
-
-def test_fft_matmul_mag(rng):
-    x = rng.standard_normal((2, 2048)).astype(np.float32)
-    want = np.abs(np.fft.fft(x))[:, :1024] / 2048
-    got = np.asarray(fft_matmul_mag(jnp.asarray(x), 1024))
-    np.testing.assert_allclose(got, want, atol=1e-5)
 
 
 def test_view_column_ranges(chirp):
