@@ -321,8 +321,11 @@ def render(
         # Gather-free Pallas path: per-step DMA + lane-gather resample.
         if plan.n_steps <= pallas_render.MAX_STEPS:
             args, gmax, szmax = pallas_render.args_for(plan, wav_np, out_len)
-            out = pallas_render.granular_render_pallas(
-                jnp.asarray(wav_np), *args, gmax=gmax, szmax=szmax
+            gs_d, rate_d, sz_d, _offs_d, _ol, fi_d, fv_d = args
+            out = pallas_render.render_pallas_full(
+                jnp.asarray(wav_np), gs_d, rate_d, sz_d,
+                plan.out_offset[:-1], out_len, fi_d, fv_d,
+                gmax=gmax, szmax=szmax,
             )
             return np.asarray(out[:total])
         # Hour-scale plans: render SMEM-sized chunks of steps; spans are
@@ -352,12 +355,12 @@ def render(
                 (0, pad),
                 constant_values=chunk_len,
             )
-            out_c = pallas_render.granular_render_pallas(
+            out_c = pallas_render.render_pallas_full(
                 wav_dev,
                 jnp.asarray(gs_c),
                 jnp.asarray(rt_c),
                 jnp.asarray(sz_c),
-                jnp.asarray(offs_c),
+                offs_c,
                 chunk_len,
                 no_fix,
                 no_fix_val,

@@ -61,3 +61,19 @@ def lerp_rows(
         lo = jnp.where(sel, jnp.take_along_axis(g_row, lanei, axis=1), lo)
         hi = jnp.where(sel, jnp.take_along_axis(h_row, lanei, axis=1), hi)
     return (1.0 - frac) * lo + frac * hi
+
+
+def place_at(g: jnp.ndarray, j0, rows: int) -> jnp.ndarray:
+    """F_flat[j] = G_flat[j - j0] for j >= j0 (garbage below — mask it).
+
+    The inverse of :func:`realign`: shifts a flat-aligned slab RIGHT by
+    ``j0`` elements (dynamic), so a span can be placed at an arbitrary
+    offset inside an output block.  Three rolls + one select.
+    """
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+    r = jax.lax.rem(j0, 128)
+    d = jax.lax.div(j0, 128)
+    b_same = pltpu.roll(g, r, 1)
+    a_cur = pltpu.roll(b_same, d, 0)
+    a_prev = pltpu.roll(b_same, d + 1, 0)
+    return jnp.where(lane >= r, a_cur, a_prev)
