@@ -22,10 +22,13 @@ Per step s (one grid program):
 * The step writes its own (SZMAX,) output block (step-major), zero beyond
   ``sz``.
 
-Step outputs then *compact* into the flat track with an XLA fori_loop of
-dynamic-update-slices at the plan offsets: ascending order makes each
-step's zero tail self-healing (the next step overwrites it), so the
-variable-length concatenation costs two sequential HBM passes, no scatter.
+Step outputs then *compact* into the flat track with the block-compact
+kernel (compact_pallas below): output blocks select and place the few
+step rows overlapping them, reproducing — bit-exactly — the semantics of
+an ascending fori_loop of dynamic-update-slices at the plan offsets
+(each step's zero tail self-heals under its successor).  The fori form
+(_compact) is kept as the reference twin: at ~2.9 us of serial HBM
+round-trip per grain it was 15 of the 19 ms render.
 
 Constraints (host-checked; engine/render falls back to render_device):
 ``grain_len < GMAX`` and ``sz <= SZMAX`` — i.e. grains under ~4094 samples

