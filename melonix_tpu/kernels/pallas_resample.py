@@ -29,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .lane_gather import lerp_rows, realign, shift_one
 
-BLK = 2048  # output samples per block
+BLK = 2048  # output samples per block (4096 measured slower: the lane-gather row-select loop scales with slab rows)
 BLK_ROWS = BLK // 128
 SLACK = 128  # guard below the host base for device f32 rounding
 LN2_12 = np.log(2.0) / 12.0  # d(bend)/dt → d(ln rho)/dt
