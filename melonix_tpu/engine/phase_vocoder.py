@@ -387,6 +387,7 @@ def _pv_fused_ok(size: int, hop: int, ch: int) -> bool:
         and pallas_pv.supported(size, ch)
         and hop % 128 == 0
         and size % hop == 0
+        and hop < size  # synth_ola's carry needs at least one overlap row
     )
 
 
@@ -740,6 +741,7 @@ def _resample_pv_fused(plan: PVPlan, y, rows: int, interpret: bool = False):
     anc_j = anc_j_p[:n_real].astype(np.int64)
     nb = plan.n_out_pad // blk
     base_np = np.asarray(plan.base)
+    y2d = pallas_resample.pad_src(y, rows)  # shared across segments
     outs = []
     for b0 in range(0, nb, RESAMPLE_SEG_BLOCKS):
         b1 = min(b0 + RESAMPLE_SEG_BLOCKS, nb)
@@ -752,7 +754,7 @@ def _resample_pv_fused(plan: PVPlan, y, rows: int, interpret: bool = False):
         n_anc_p = 512 * -(-len(aj) // 512)
         pad_a = n_anc_p - len(aj)
         out_seg = pallas_resample.resample_pv_pallas(
-            y, jnp.asarray(base_np[b0:b1]), jnp.asarray(a0), jnp.asarray(cnt),
+            y2d, jnp.asarray(base_np[b0:b1]), jnp.asarray(a0), jnp.asarray(cnt),
             jnp.asarray(np.pad(aj, (0, pad_a), constant_values=n_out_seg)),
             jnp.asarray(np.pad(src_f[lo:hi], (0, pad_a), mode="edge")),
             jnp.asarray(np.pad(r_f[lo:hi], (0, pad_a), mode="edge")),

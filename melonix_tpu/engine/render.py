@@ -321,10 +321,10 @@ def render(
         # Gather-free Pallas path: per-step DMA + lane-gather resample.
         if plan.n_steps <= pallas_render.MAX_STEPS:
             args, gmax, szmax = pallas_render.args_for(plan, wav_np, out_len)
-            gs_d, rate_d, sz_d, _offs_d, _ol, fi_d, fv_d = args
+            gs_d, rate_d, sz_d, offs_host, _ol, fi_d, fv_d = args
             out = pallas_render.render_pallas_full(
                 jnp.asarray(wav_np), gs_d, rate_d, sz_d,
-                plan.out_offset[:-1], out_len, fi_d, fv_d,
+                offs_host, out_len, fi_d, fv_d,
                 gmax=gmax, szmax=szmax,
             )
             return np.asarray(out[:total])

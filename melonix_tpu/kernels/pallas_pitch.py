@@ -23,7 +23,7 @@ energy terms need them and they otherwise never exist in HBM).
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -46,32 +46,14 @@ def supported(frame: int, hop: int, n_frames: int) -> bool:
     return frame == FRAME and hop % 128 == 0 and hop <= frame and n_frames >= 1
 
 
-@lru_cache(maxsize=2)
 def _consts():
-    sp = bf16x3.split_np
-    k2, m2 = np.meshgrid(np.arange(N2), np.arange(N2), indexing="ij")
-    a2 = -2.0 * np.pi * (k2 * m2 % N2) / N2
-    tk2, tn1 = np.meshgrid(np.arange(N2), np.arange(N1), indexing="ij")
-    at = -2.0 * np.pi * (tk2 * tn1 % NFFT) / NFFT
-    m1, k1 = np.meshgrid(np.arange(N1), np.arange(N1), indexing="ij")
-    a1 = -2.0 * np.pi * (m1 * k1 % N1) / N1
-    fwd = (
-        sp(np.cos(a2).astype(np.float32)), sp(np.sin(a2).astype(np.float32)),
-        np.cos(at).astype(np.float32), np.sin(at).astype(np.float32),
-        sp(np.cos(a1).astype(np.float32)), sp(np.sin(a1).astype(np.float32)),
-    )
-    ik1, in1 = np.meshgrid(np.arange(N1), np.arange(N1), indexing="ij")
-    ia1 = 2.0 * np.pi * (ik1 * in1 % N1) / N1
-    iat = 2.0 * np.pi * (tk2 * tn1 % NFFT) / NFFT
-    in2, ik2 = np.meshgrid(np.arange(N2), np.arange(N2), indexing="ij")
-    ia2 = 2.0 * np.pi * (in2 * ik2 % N2) / N2
-    inv = (
-        sp(np.cos(ia1).astype(np.float32)), sp(np.sin(ia1).astype(np.float32)),
-        np.cos(iat).astype(np.float32), np.sin(iat).astype(np.float32),
-        sp((np.cos(ia2) / NFFT).astype(np.float32)),
-        sp((np.sin(ia2) / NFFT).astype(np.float32)),
-    )
-    return fwd, inv
+    """Forward + inverse four-step constants at N=4096 (n2=32), from the
+    shared builder in pallas_pv (one copy of the twiddle math)."""
+    from .pallas_pv import fourstep_consts
+
+    fwd = fourstep_consts(NFFT, N2, -1.0)
+    ic2, is2, ict, ist, ic1, is1 = fourstep_consts(NFFT, N2, 1.0, 1.0 / NFFT)
+    return fwd, (ic1, is1, ict, ist, ic2, is2)
 
 
 def _kernel(

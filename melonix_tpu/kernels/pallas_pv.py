@@ -86,47 +86,47 @@ def scrambled_omega(size: int) -> np.ndarray:
     return (2.0 * np.pi / size * ks).astype(np.float32)
 
 
-@lru_cache(maxsize=4)
+@lru_cache(maxsize=8)
+def fourstep_consts(size: int, n2: int, sign: float, scale2: float = 1.0):
+    """Four-step DFT constants for N = (size//n2) * n2, bf16x3-pre-split.
+
+    Returns (c2, s2, ct, st, c1, s1): the (n2, n2) small-stage pair, the
+    (n2, n1) twiddle, and the (n1, n1) big-stage pair — valid for BOTH
+    directions because cos/sin of ``k*m`` products are index-symmetric;
+    ``sign`` picks forward (-1) or inverse (+1), and ``scale2`` folds a
+    normalization (e.g. 1/N for the inverse) into the small-stage pair.
+
+        X[k2 + n2*k1] = sum_{n1} W_N^{s k2 n1} W_{N1}^{s k1 n1}
+                        sum_{m2} x[n1 + n1_sz*m2] W_{N2}^{s k2 m2}
+
+    Shared by the PV analysis/synthesis kernels (n2=16) and the pitch
+    autocorrelation kernel (n2=32) — one copy of the twiddle math.
+    """
+    n1 = size // n2
+    sp = bf16x3.split_np
+    k2, m2 = np.meshgrid(np.arange(n2), np.arange(n2), indexing="ij")
+    a2 = sign * 2.0 * np.pi * (k2 * m2 % n2) / n2
+    tk2, tn1 = np.meshgrid(np.arange(n2), np.arange(n1), indexing="ij")
+    at = sign * 2.0 * np.pi * (tk2 * tn1 % size) / size
+    m1, k1 = np.meshgrid(np.arange(n1), np.arange(n1), indexing="ij")
+    a1 = sign * 2.0 * np.pi * (m1 * k1 % n1) / n1
+    return (
+        sp((np.cos(a2) * scale2).astype(np.float32)),
+        sp((np.sin(a2) * scale2).astype(np.float32)),
+        np.cos(at).astype(np.float32), np.sin(at).astype(np.float32),
+        sp(np.cos(a1).astype(np.float32)), sp(np.sin(a1).astype(np.float32)),
+    )
+
+
 def _fwd_consts(size: int):
-    """Forward four-step constants, pre-split to (hi, lo) bf16 pairs.
-
-    X[k2 + 16 k1] = sum_{n1} W_N^{-k2 n1} W_{N1}^{-k1 n1}
-                    sum_{n2} x[n1 + 128 n2] W_{N2}^{-k2 n2}
-    """
-    k2, m2 = np.meshgrid(np.arange(N2), np.arange(N2), indexing="ij")
-    a2 = -2.0 * np.pi * (k2 * m2 % N2) / N2  # F2[k2, n2]
-    tk2, tn1 = np.meshgrid(np.arange(N2), np.arange(N1), indexing="ij")
-    at = -2.0 * np.pi * (tk2 * tn1 % size) / size  # twiddle[k2, n1]
-    m1, k1 = np.meshgrid(np.arange(N1), np.arange(N1), indexing="ij")
-    a1 = -2.0 * np.pi * (m1 * k1 % N1) / N1  # F1[n1, k1]
-    sp = bf16x3.split_np
-    return (
-        sp(np.cos(a2).astype(np.float32)), sp(np.sin(a2).astype(np.float32)),
-        np.cos(at).astype(np.float32), np.sin(at).astype(np.float32),
-        sp(np.cos(a1).astype(np.float32)), sp(np.sin(a1).astype(np.float32)),
-    )
+    """Forward constants in kernel order (c2, s2, ct, st, c1, s1)."""
+    return fourstep_consts(size, N2, -1.0)
 
 
-@lru_cache(maxsize=4)
 def _inv_consts(size: int):
-    """Inverse four-step constants (conjugate transforms, 1/N in stage B).
-
-    x[n1 + 128 n2] = Re[ (1/N) sum_{k2} W_{N2}^{+k2 n2} W_N^{+k2 n1}
-                         sum_{k1} Z[k2, k1] W_{N1}^{+k1 n1} ]
-    """
-    k1, n1 = np.meshgrid(np.arange(N1), np.arange(N1), indexing="ij")
-    a1 = 2.0 * np.pi * (k1 * n1 % N1) / N1  # F1inv[k1, n1]
-    tk2, tn1 = np.meshgrid(np.arange(N2), np.arange(N1), indexing="ij")
-    at = 2.0 * np.pi * (tk2 * tn1 % size) / size  # twiddle[k2, n1]
-    n2, k2 = np.meshgrid(np.arange(N2), np.arange(N2), indexing="ij")
-    a2 = 2.0 * np.pi * (n2 * k2 % N2) / N2  # F2inv[n2, k2], holds 1/N
-    sp = bf16x3.split_np
-    return (
-        sp(np.cos(a1).astype(np.float32)), sp(np.sin(a1).astype(np.float32)),
-        np.cos(at).astype(np.float32), np.sin(at).astype(np.float32),
-        sp((np.cos(a2) / size).astype(np.float32)),
-        sp((np.sin(a2) / size).astype(np.float32)),
-    )
+    """Inverse constants in kernel order (c1, s1, ct, st, c2/N, s2/N)."""
+    c2, s2, ct, st, c1, s1 = fourstep_consts(size, N2, 1.0, 1.0 / size)
+    return (c1, s1, ct, st, c2, s2)
 
 
 # ----------------------------------------------------------------------
@@ -485,7 +485,9 @@ def synth_ola(
     """
     f = mag.shape[0]
     assert supported(size, f), (size, f)
-    assert hop % 128 == 0 and size % hop == 0, (size, hop)
+    # hop == size (carry_rows == 0) would emit zero-length Mosaic slice
+    # ops in the carry shift; _pv_fused_ok routes that config elsewhere.
+    assert hop % 128 == 0 and size % hop == 0 and hop < size, (size, hop)
     hop_rows = hop // 128
     carry_rows = (size - hop) // 128
     (c1, s1, ct, st, c2, s2) = _inv_consts(size)

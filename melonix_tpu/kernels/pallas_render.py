@@ -159,7 +159,9 @@ def args_for(plan, wav_np, out_len: int):
     """Public dispatch helper: device operands + buckets for this kernel.
 
     Shared by engine/render.render and bench.py so the argument marshalling
-    and bucketing live in one place.
+    and bucketing live in one place.  Offsets stay on the HOST —
+    render_pallas_full builds the per-block step map from them and the
+    compact kernel scalar-prefetches its own copy.
     """
     import numpy as np
 
@@ -171,7 +173,7 @@ def args_for(plan, wav_np, out_len: int):
         jnp.asarray(gs),
         jnp.asarray(plan.rate.astype(np.float32)),
         jnp.asarray(plan.sz, jnp.int32),
-        jnp.asarray(plan.out_offset[:-1], jnp.int32),
+        plan.out_offset[:-1],
         out_len,
         jnp.asarray(fix_idx),
         jnp.asarray(fix_val),

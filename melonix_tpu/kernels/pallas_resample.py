@@ -187,9 +187,20 @@ def _pv_kernel(
     o_ref[0] = lerp_rows(g, hsh, rel, frac, BLK_ROWS, rows - 1)
 
 
+@partial(jax.jit, static_argnames=("rows",))
+def pad_src(y: jnp.ndarray, rows: int) -> jnp.ndarray:
+    """Zero-pad + (rows, 128)-view of the stretched source, shared across
+    the hour-scale render's resample segments (repadding the full track
+    per segment costs a full-HBM copy pass each)."""
+    total = 128 * -(-(y.shape[0] + (rows + 2) * 128) // 128)
+    yp = jnp.zeros((total,), jnp.float32)
+    yp = jax.lax.dynamic_update_slice(yp, y.astype(jnp.float32), (0,))
+    return yp.reshape(total // 128, 128)
+
+
 @partial(jax.jit, static_argnames=("rows", "kmax", "sr", "n_out", "interpret"))
 def resample_pv_pallas(
-    y: jnp.ndarray,  # (n_src,) float32 stretched source
+    y: jnp.ndarray,  # (n_src,) f32 source, or its pad_src (rows, 128) view
     base: jnp.ndarray,  # int32 (n_out // BLK,) host slab bases
     a0: jnp.ndarray,  # int32 (nb,) first anchor index per block
     cnt: jnp.ndarray,  # int32 (nb,) live anchors per block
@@ -203,13 +214,9 @@ def resample_pv_pallas(
     n_out: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    n_src = y.shape[0]
     nb = n_out // BLK
     n_anc = anc_j.shape[0]
-    total = 128 * -(-(n_src + (rows + 2) * 128) // 128)
-    yp = jnp.zeros((total,), jnp.float32)
-    yp = jax.lax.dynamic_update_slice(yp, y.astype(jnp.float32), (0,))
-    y2d = yp.reshape(total // 128, 128)
+    y2d = y if y.ndim == 2 else pad_src(y, rows)
 
     out = pl.pallas_call(
         partial(_pv_kernel, rows=rows, kmax=kmax, sr=sr, n_anc=n_anc),

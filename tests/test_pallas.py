@@ -723,3 +723,32 @@ def test_pitch_ac_pallas_matches_xla():
     ac_ref = np.fft.irfft(np.abs(spec) ** 2, n=2 * frame)[:, :frame]
     scale = np.abs(ac_ref).max()
     np.testing.assert_allclose(ac, ac_ref, atol=3e-4 * scale)
+
+
+@pytest.mark.parametrize("hop", [512, 256, 1024])
+def test_stft_mag_fourstep_matches_xla(hop):
+    """The default TPU |STFT| kernel (four-step bf16x3, scrambled-half
+    output unscrambled by one transpose) vs the XLA twin, interpret mode.
+    Exercises the slab framing, the k1<64 natural-bin selection, and the
+    non-multiple-of-G frame tail."""
+    from melonix_tpu.kernels.pallas_pv import stft_mag_fourstep, stft_supported
+
+    rng2 = np.random.default_rng(11)
+    size = 2048
+    assert stft_supported(size, hop)
+    F = 70  # not a multiple of G=64
+    n = (F - 1) * hop + size + 37
+    x = (rng2.standard_normal(n) * 0.4).astype(np.float32)
+    win = hann_window(size)
+    nf = num_frames(n, size, hop)
+    got = np.asarray(
+        stft_mag_fourstep(jnp.asarray(x), jnp.asarray(win), size, hop, nf,
+                          scale=0.5, interpret=True)
+    )
+    frames = np.lib.stride_tricks.sliding_window_view(
+        np.pad(x.astype(np.float64), (0, size)), size
+    )[::hop][:nf]
+    want = 0.5 * np.abs(np.fft.rfft(frames * win.astype(np.float64)))[:, : size // 2]
+    assert got.shape == (nf, size // 2)
+    snr = 10 * np.log10(np.sum((got - want) ** 2) / np.sum(want**2))
+    assert snr < -80.0, snr
