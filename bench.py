@@ -125,6 +125,45 @@ def _column_snr_db(x: np.ndarray, sr: int) -> tuple[float, float | None]:
     return snr_xla, snr_pallas
 
 
+def _pv_pitch_err_cents() -> float:
+    """End-to-end PV pitch accuracy from THIS chip's output.
+
+    Renders a 440 Hz tone through a +2-semitone bend marker and measures
+    the output's dominant frequency at the marker (where the bend is
+    exactly +2) with a 32768-pt column + parabolic bin refinement.
+    Returns the error in cents vs 440 * 2^(2/12) — an artifact of the
+    whole fused PV pipeline (analysis/phase/synthesis/resample kernels),
+    not just its parts."""
+    import jax.numpy as jnp
+
+    from melonix_tpu.engine.maps import MapKnots
+    from melonix_tpu.engine.phase_vocoder import render_track_pv
+    from melonix_tpu.engine.spectral import spectrogram_columns
+    from melonix_tpu.markers import Marker
+
+    sr = 44100
+    n = 5 * sr
+    t = np.arange(n) / sr
+    tone = (0.5 * np.sin(2.0 * np.pi * 440.0 * t)).astype(np.float32)
+    # Two equal markers: the bend is EXACTLY +2 on the whole plateau
+    # between them (a single marker only ramps through +2).
+    knots = MapKnots.from_markers(
+        [Marker(n // 3, 57.0, 0.0, 2.0), Marker(2 * n // 3, 57.0, 0.0, 2.0)],
+        sr, n,
+    )
+    out = render_track_pv(tone, knots)
+    size = 32768
+    end = np.asarray([n // 2], np.int64)  # window well inside the plateau
+    col = spectrogram_columns(out, end - int(0.05 * sr), end)[0]
+    k = int(np.argmax(col[: size // 2 - 1]))
+    ym1, y0, yp1 = col[k - 1], col[k], col[k + 1]
+    denom = ym1 - 2 * y0 + yp1
+    dk = 0.5 * (ym1 - yp1) / denom if abs(denom) > 1e-12 else 0.0
+    f_got = (k + float(np.clip(dk, -0.5, 0.5))) * sr / size
+    f_want = 440.0 * 2.0 ** (2.0 / 12.0)
+    return float(1200.0 * np.log2(f_got / f_want))
+
+
 def _granular_parity_max_err() -> float:
     """On-chip granular render vs the literal reference transcription."""
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
@@ -216,6 +255,11 @@ def main() -> None:
     except Exception as exc:
         gran_err = None
         print(f"# granular parity check failed: {exc!r}", file=sys.stderr)
+    try:
+        pv_cents = _pv_pitch_err_cents()
+    except Exception as exc:
+        pv_cents = None
+        print(f"# pv pitch check failed: {exc!r}", file=sys.stderr)
 
     value = seconds / (dev_ms / 1000.0)
     result = {
@@ -231,6 +275,7 @@ def main() -> None:
     print(
         f"# breakdown: device={dev_ms:.1f}ms/iter ({source}) wall={t_wall:.3f}s/iter "
         f"granular_parity_max_err={gran_err} "
+        f"pv_pitch_err_cents={None if pv_cents is None else round(pv_cents, 2)} "
         f"platform={jax.devices()[0].platform}",
         file=sys.stderr,
     )
