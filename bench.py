@@ -155,7 +155,9 @@ def _pv_pitch_err_cents() -> float:
     size = 32768
     end = np.asarray([n // 2], np.int64)  # window well inside the plateau
     col = spectrogram_columns(out, end - int(0.05 * sr), end)[0]
-    k = int(np.argmax(col[: size // 2 - 1]))
+    # Skip the DC bin: argmax there (silent/degenerate render) would wrap
+    # col[k-1] to the last bin and fabricate a cents figure.
+    k = 1 + int(np.argmax(col[1 : size // 2 - 1]))
     ym1, y0, yp1 = col[k - 1], col[k], col[k + 1]
     denom = ym1 - 2 * y0 + yp1
     dk = 0.5 * (ym1 - yp1) / denom if abs(denom) > 1e-12 else 0.0

@@ -8,6 +8,13 @@ TPU (batched device programs, MXU matmul FFTs, mesh sharding) rather than the
 reference's per-column CPU worker threads.
 """
 
+from .runtime.compile_cache import enable as _enable_compile_cache
+
+# Persist XLA executables across processes before anything can compile —
+# the TPU analogue of the reference building its FFTW plan once at startup
+# (spec.cpp:15) instead of re-deriving it per run.
+_enable_compile_cache()
+
 from .config import DEFAULT_CONFIG, Config
 from .markers import Marker, markers_from_json, markers_to_json, sort_markers
 from .engine.maps import MapKnots
@@ -21,6 +28,8 @@ from .io import (
     load_audio, read_wav, write_wav, write_flac,
     Project, load_project, save_project,
 )
+from .io.audio import DecodeError
+from .runtime.compile_cache import warmup_session, warmup_session_async
 
 __version__ = "0.1.0"
 
@@ -45,6 +54,7 @@ __all__ = [
     "pitch_curve",
     "autotune",
     "suggest_markers",
+    "DecodeError",
     "load_audio",
     "read_wav",
     "write_wav",
@@ -52,5 +62,7 @@ __all__ = [
     "Project",
     "load_project",
     "save_project",
+    "warmup_session",
+    "warmup_session_async",
     "__version__",
 ]

@@ -58,12 +58,15 @@ def cmd_render(args) -> int:
     from .io.wav import write_wav
     from .utils import trace
 
-    if args.stereo and not args.input.endswith(".mlx"):
+    is_project = args.input.endswith((".mlx", ".melonix"))
+    if args.stereo and not is_project:
         wav, rate = load_audio(args.input, mono=False)
         markers = []
     else:
         if args.stereo:
-            print("warning: .mlx projects store mono audio; --stereo ignored",
+            # Both project formats store mono audio (app.hpp:71-76), so a
+            # .melonix must take this branch too, not the WAV parser.
+            print("warning: projects store mono audio; --stereo ignored",
                   file=sys.stderr)
         wav, rate, markers, _b, _t = _load_any(args.input)
     markers = _markers_from_arg(args.markers, markers)

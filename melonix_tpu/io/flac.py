@@ -153,7 +153,8 @@ def _encode_subframe(w: _BitWriter, s: np.ndarray, bps: int) -> None:
         if best is None or bits < best[0]:
             best = (bits, order, k, r)
     verbatim_bits = n * bps
-    if best is not None and best[0] < verbatim_bits and best[2] < 14:
+    # k <= 14 is encodable in the 4-bit Rice field (15 is the escape code).
+    if best is not None and best[0] < verbatim_bits and best[2] <= 14:
         _, order, k, r = best
         w.u(0, 1)
         w.u(0x08 | order, 6)  # FIXED

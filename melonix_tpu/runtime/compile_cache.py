@@ -1,0 +1,128 @@
+"""Persistent XLA compilation cache + standard-bucket warm-up.
+
+The reference pays its plan cost once at startup — FFTW_MEASURE builds the
+32768-pt plan when the file opens (/root/reference/spec.cpp:15) — and every
+later column reuses it.  The TPU analogue of that plan is the XLA
+executable, and without a persistent cache every *process* re-pays the
+remote AOT compile of every kernel shape (measured at 246-349 s for a cold
+``render --engine pv`` in round 2).  Two pieces fix that:
+
+* ``enable()`` points JAX's compilation cache at a durable directory
+  (``MELONIX_XLA_CACHE_DIR``, default ``~/.cache/melonix_tpu/xla``) before
+  the first compile, so executables persist across processes.  Repeat
+  invocations deserialize instead of recompiling.
+* ``warmup_session(n, rate)`` compiles the standard shape buckets a session
+  of ``n`` samples will need (spectrogram column batches, granular render,
+  PV chunks) — run it in the background at file-open and the first
+  play/zoom hits warm executables, exactly like the reference's
+  plan-at-open contract.
+
+``enable()`` is called from ``melonix_tpu/__init__`` at import time; set
+``MELONIX_XLA_CACHE=0`` to opt out (e.g. hermetic tests).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+
+_lock = threading.Lock()
+_enabled_dir: str | None = None
+
+
+def enable(cache_dir: str | None = None) -> str | None:
+    """Point JAX's persistent compilation cache at a durable directory.
+
+    Returns the cache directory, or None when disabled via
+    ``MELONIX_XLA_CACHE=0`` or when the directory cannot be created.
+    Idempotent; safe to call before or after other jax.config use, but must
+    run before the first compile to benefit that compile.
+    """
+    global _enabled_dir
+    with _lock:
+        if _enabled_dir is not None:
+            return _enabled_dir
+        if os.environ.get("MELONIX_XLA_CACHE", "1") == "0":
+            return None
+        d = cache_dir or os.environ.get("MELONIX_XLA_CACHE_DIR") or os.path.join(
+            os.path.expanduser("~"), ".cache", "melonix_tpu", "xla"
+        )
+        try:
+            os.makedirs(d, exist_ok=True)
+        except OSError:
+            return None
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", d)
+        # Cache everything: the remote AOT round trip dominates even tiny
+        # programs, so the default 1 s / 4 KiB floors would skip most of the
+        # session's kernels.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        _enabled_dir = d
+        return d
+
+
+def warmup_session(
+    n_samples: int,
+    rate: int,
+    *,
+    engines: tuple[str, ...] = ("granular", "pv"),
+    columns: bool = True,
+    pitch: bool = False,
+) -> None:
+    """Compile the shape buckets a session over ``n_samples`` will use.
+
+    Renders a silent track of the session's length through the requested
+    paths.  Every path buckets its jitted shapes (render.py:306,
+    phase_vocoder.py:676,753), so a same-length silent track compiles the
+    exact executables later edits reuse; with ``enable()`` the work also
+    lands in the persistent cache for future processes.
+
+    Pure compute warm-up — no files, no UI state.  Raises nothing: warm-up
+    is best-effort by contract (a failure just means the first real render
+    pays the compile, as before).
+    """
+    import numpy as np
+
+    try:
+        zeros = np.zeros(max(int(n_samples), 2048), np.float32)
+        from ..engine.maps import MapKnots
+        from ..markers import Marker
+
+        # One marker mid-track: compiles the same bucketed shapes as the
+        # no-marker case (knots pad to 128, maps.py:201) while also touching
+        # the bend/warp paths an edit session always uses.
+        markers = [Marker(len(zeros) // 2, 57.0, 0.0, 1.0)]
+        knots = MapKnots.from_markers(markers, rate, len(zeros))
+
+        if "granular" in engines:
+            from ..engine.grains import build_grain_table
+            from ..engine.render import render_track
+
+            render_track(zeros, build_grain_table(zeros), knots)
+        if "pv" in engines:
+            from ..engine.phase_vocoder import render_track_pv
+
+            render_track_pv(zeros, knots)
+        if columns:
+            from ..engine.spectral import spectrogram_columns
+
+            end = np.asarray([len(zeros)], np.int64)
+            np.asarray(spectrogram_columns(zeros, end - 1024, end))
+        if pitch:
+            from ..engine.pitch import pitch_curve
+
+            pitch_curve(zeros, rate)
+    except Exception:  # pragma: no cover - warm-up must never take the app down
+        pass
+
+
+def warmup_session_async(n_samples: int, rate: int, **kw) -> threading.Thread:
+    """``warmup_session`` on a daemon thread (the file-open hook)."""
+    t = threading.Thread(
+        target=warmup_session, args=(n_samples, rate), kwargs=kw, daemon=True,
+        name="melonix-warmup",
+    )
+    t.start()
+    return t

@@ -67,6 +67,7 @@ class EditorState:
         self.brightness = config.brightness
         self.tempo = config.tempo
         self.save_name = ""
+        self.engine = "granular"  # live render engine: "granular" | "pv"
 
         # Derived state (rebuilt by _preproc / invalidated on edits)
         self.grains: GrainTable | None = None
@@ -120,8 +121,21 @@ class EditorState:
         self._rebuild_knots()
         from ..engine.player import Player
 
-        self.player = Player(self.wav, self.grains, self.knots, config=self.config)
+        self.player = Player(
+            self.wav, self.grains, self.knots, config=self.config,
+            engine=self.engine,
+        )
         self.invalidate()
+        # Warm the standard shape buckets in the background so first
+        # play/zoom hits compiled executables — the reference's
+        # plan-at-file-open contract (FFTW_MEASURE at spec.cpp:15).  Skipped
+        # on CPU (tests): interpret-mode warm-up would only slow the suite.
+        import jax
+
+        if jax.default_backend() != "cpu":
+            from ..runtime.compile_cache import warmup_session_async
+
+            warmup_session_async(len(self.wav), self.sample_rate)
 
     def _cleanup(self) -> None:
         """Reset caches and view on file change (app.cpp:1156-1164)."""
@@ -220,13 +234,20 @@ class EditorState:
         self.save_name = os.path.abspath(out)
         return out
 
-    def export_wav(self, path: str) -> None:
+    def export_wav(self, path: str, engine: str | None = None) -> None:
         """Offline render through the same engine as playback
-        (App::exportWav, app.cpp:1194-1215)."""
-        from ..engine.render import render_track
-
+        (App::exportWav, app.cpp:1194-1215).  ``engine`` defaults to the
+        session's selected live engine, so what you hear is what exports."""
         self.is_playing = False
-        out = render_track(self.wav, self.grains, self.knots, config=self.config)
+        engine = engine or self.engine
+        if engine == "pv":
+            from ..engine.phase_vocoder import render_track_pv
+
+            out = render_track_pv(self.wav, self.knots, config=self.config)
+        else:
+            from ..engine.render import render_track
+
+            out = render_track(self.wav, self.grains, self.knots, config=self.config)
         write_wav(path, out, self.sample_rate, dtype="int16")
 
     # ------------------------------------------------------------------
@@ -235,6 +256,16 @@ class EditorState:
 
     def duration(self) -> float:
         return self.knots.duration() if self.knots else 0.0
+
+    def set_engine(self, engine: str) -> None:
+        """Control-center engine toggle: granular (reference parity) or pv
+        (quality).  Applies live — the player's next buffer comes from the
+        newly selected engine (VERDICT round 2, next #2)."""
+        if engine not in ("granular", "pv"):
+            raise ValueError(f"unknown engine: {engine}")
+        self.engine = engine
+        if self.player is not None:
+            self.player.set_engine(engine)
 
     def set_brightness(self, b: float) -> None:
         """Brightness slider → k = 2^(b/10 + 9); rebuilds tiles when it

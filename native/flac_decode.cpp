@@ -207,6 +207,7 @@ bool read_subframe(Bits& b, int blocksize, int bps, int32_t* out) {
     for (int i = 0; i < blocksize; ++i) out[i] = b.s(ebps);
   } else if ((type & 0x38) == 0x08 && (type & 0x07) <= 4) {  // FIXED
     const int order = (int)(type & 0x07);
+    if (order > blocksize) return false;  // warm-up must fit the block
     for (int i = 0; i < order; ++i) out[i] = b.s(ebps);
     if (!read_residual(b, order, blocksize, out)) return false;
     switch (order) {
@@ -306,6 +307,10 @@ int read_frame(Bits& b, const StreamInfo& si,
     case 7: bps = 32; break;
     default: return -14;
   }
+  // The reader normalizes every sample by the STREAMINFO bps; a frame at a
+  // different depth would decode at the wrong amplitude, so reject it like
+  // the rate mismatch above rather than mis-scale.
+  if (bps != si.bps) return -14;
   // Header CRC-8 covers sync through the CRC byte's predecessor.
   b.align();
   const size_t hdr_end = b.bytepos();
@@ -413,8 +418,8 @@ extern "C" int32_t mlx_flac_read(const char* path, float* out,
     if (bs < 0) return bs;
     const int64_t take = std::min((int64_t)bs, n_frames - done);
     for (int64_t i = 0; i < take; ++i) {
-      // Frame bps can vary per frame; normalize by the stream bps so a
-      // constant-format file scales uniformly (1 << (bps-1) full scale).
+      // read_frame rejects any frame whose bps differs from STREAMINFO, so
+      // the stream bps is the per-sample full scale (1 << (bps-1)).
       const float scale = 1.0f / (float)(1u << (si.bps - 1));
       if (mono) {
         float acc = 0.0f;

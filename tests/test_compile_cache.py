@@ -1,0 +1,68 @@
+"""Persistent compilation cache + warm-up (VERDICT round 2, next #1).
+
+The reference builds its FFTW plan once at startup (spec.cpp:15); the TPU
+analogue is a durable XLA executable cache so fresh processes deserialize
+instead of re-paying the remote AOT compile, plus a file-open warm-up of
+the standard shape buckets.
+"""
+
+import numpy as np
+
+from melonix_tpu.runtime import compile_cache as cc
+
+
+def test_enable_sets_jax_config_and_is_idempotent(tmp_path, monkeypatch):
+    import jax
+
+    monkeypatch.setattr(cc, "_enabled_dir", None)
+    d = cc.enable(str(tmp_path / "xla"))
+    assert d == str(tmp_path / "xla")
+    assert jax.config.jax_compilation_cache_dir == d
+    assert jax.config.jax_persistent_cache_min_compile_time_secs == 0.0
+    assert jax.config.jax_persistent_cache_min_entry_size_bytes == 0
+    # Second call is a no-op returning the active directory.
+    assert cc.enable(str(tmp_path / "other")) == d
+
+
+def test_enable_env_dir_and_opt_out(tmp_path, monkeypatch):
+    monkeypatch.setattr(cc, "_enabled_dir", None)
+    monkeypatch.setenv("MELONIX_XLA_CACHE_DIR", str(tmp_path / "envdir"))
+    assert cc.enable() == str(tmp_path / "envdir")
+
+    monkeypatch.setattr(cc, "_enabled_dir", None)
+    monkeypatch.setenv("MELONIX_XLA_CACHE", "0")
+    assert cc.enable(str(tmp_path / "off")) is None
+
+
+def test_package_import_enabled_cache():
+    """melonix_tpu's import hook must have pointed the cache somewhere
+    (unless the suite env opted out)."""
+    import os
+
+    import jax
+
+    if os.environ.get("MELONIX_XLA_CACHE", "1") == "0":
+        return
+    assert jax.config.jax_compilation_cache_dir
+
+
+def test_warmup_session_compiles_real_buckets(tmp_path):
+    """Warm-up must run the actual engine paths (same bucketed shapes a
+    later render of the same length reuses) and never raise."""
+    cc.warmup_session(4096, 8000, engines=("granular",), columns=True)
+
+    # The compiled executables are now live: an immediate real render of the
+    # same length traces into cache without error.
+    from melonix_tpu.engine.grains import build_grain_table
+    from melonix_tpu.engine.maps import MapKnots
+    from melonix_tpu.engine.render import render_track
+
+    x = (0.3 * np.sin(2 * np.pi * 220.0 * np.arange(4096) / 8000)).astype(np.float32)
+    out = render_track(x, build_grain_table(x), MapKnots.from_markers([], 8000, 4096))
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_warmup_async_joins():
+    t = cc.warmup_session_async(2048, 8000, engines=(), columns=True)
+    t.join(timeout=120)
+    assert not t.is_alive()

@@ -123,6 +123,89 @@ def test_corrupt_payload_fails_soft(tmp_path):
         load_audio(p)
 
 
+def test_fixed_order_exceeding_blocksize_fails_soft(tmp_path):
+    """Crafted frame: blocksize 2 (bs_code 6) with a FIXED order-4 subframe.
+
+    The warm-up samples (4) would overflow the 2-sample channel buffer if the
+    decoder trusted the subframe type before checking it fits the block
+    (advisor round 2, medium) — CRC-16 only runs *after* subframe decode and
+    the header CRC-8 is attacker-computable, so the guard must be up front.
+    """
+    from melonix_tpu.io.flac import _BitWriter, _utf8_num, crc8, crc16
+
+    si = _BitWriter()
+    si.u(16, 16)  # min block size
+    si.u(16, 16)  # max block size
+    si.u(0, 24)
+    si.u(0, 24)
+    si.u(8000, 20)
+    si.u(0, 3)  # mono
+    si.u(15, 5)  # 16-bit
+    si.u(0, 4)
+    si.u(2, 32)  # total samples: 2
+    for _ in range(16):
+        si.u(0, 8)
+    info = si.bytes()
+    out = bytearray(b"fLaC") + bytes([0x80]) + len(info).to_bytes(3, "big") + info
+
+    w = _BitWriter()
+    w.u(0x3FFE, 14)
+    w.u(0, 1)
+    w.u(0, 1)
+    w.u(6, 4)  # bs_code 6: 8-bit blocksize-1 follows
+    w.u(0, 4)  # rate from STREAMINFO
+    w.u(0, 4)  # mono
+    w.u(4, 3)  # 16-bit (matches STREAMINFO)
+    w.u(0, 1)
+    _utf8_num(w, 0)
+    w.u(1, 8)  # blocksize - 1 = 1  ->  blocksize 2
+    w.align()
+    hdr = w.bytes()
+    body = _BitWriter()
+    body.u(0, 1)  # subframe padding bit
+    body.u(0x0C, 6)  # FIXED, order 4  >  blocksize 2
+    body.u(0, 1)  # no wasted bits
+    for v in (1, 2, 3, 4):  # warm-up samples the decoder must NOT write
+        body.s(v, 16)
+    body.u(0, 2)  # residual method 0
+    body.u(0, 4)  # partition order 0
+    body.u(0, 4)  # rice k = 0
+    body.align()
+    payload = hdr + bytes([crc8(hdr)]) + body.bytes()
+    payload += crc16(payload).to_bytes(2, "big")
+    out += payload
+
+    p = str(tmp_path / "oob.flac")
+    open(p, "wb").write(bytes(out))
+    with pytest.raises(DecodeError):
+        load_audio(p)
+
+
+def test_frame_bps_mismatch_fails_soft(tmp_path):
+    """A frame whose ss_code-derived bps differs from STREAMINFO is rejected
+    (advisor round 2, low): the reader normalizes by the stream bps, so a
+    mismatched frame would decode at the wrong amplitude."""
+    x = _smooth(n=4096)
+    p = str(tmp_path / "bps.flac")
+    write_flac(p, x, 8000)
+    raw = bytearray(open(p, "rb").read())
+    # Find the first frame: sync code 0xFFF8 byte-aligned after the headers.
+    i = raw.find(b"\xff\xf8", 4)
+    assert i > 0
+    # Byte i+3 holds [ch_code:4 | ss_code:3 | reserved:1]; the encoder wrote
+    # ss_code=4 (16-bit).  Rewrite to ss_code=1 (8-bit) and fix the CRC-8.
+    b3 = raw[i + 3]
+    raw[i + 3] = (b3 & 0xF1) | (1 << 1)
+    from melonix_tpu.io.flac import crc8
+
+    # Header runs from the sync byte through the byte before the CRC-8; for
+    # bs_code 12 / sr_code 0 / frame 0 that is 4 header bytes + 1 utf8 byte.
+    raw[i + 5] = crc8(bytes(raw[i : i + 5]))
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(DecodeError):
+        load_audio(p)
+
+
 def test_truncated_header_fails_soft(tmp_path):
     p = str(tmp_path / "trunc.flac")
     open(p, "wb").write(b"fLaC\x00\x00")
