@@ -150,6 +150,7 @@ class Player:
         knots: MapKnots,
         *,
         config: Config = DEFAULT_CONFIG,
+        engine: str = "granular",
     ):
         self.wav = np.asarray(wav, np.float32)
         self.grains = grains
@@ -158,6 +159,8 @@ class Player:
         self.sample_rate = knots.sample_rate
         self.cursor_sec = 0.0
         self.is_playing = False
+        self.engine = engine  # "granular" | "pv"
+        self._pv_stream = None  # lazy; dropped on any edit/seek/switch
         self._backlog = _make_backlog()
         self._last_sample = F32(0)
         self._fading = False
@@ -170,6 +173,17 @@ class Player:
         self.knots = knots
         self._backlog.clear()
         self._exhausted = False
+        self._pv_stream = None  # restart the PV stream at the cursor
+
+    def set_engine(self, engine: str) -> None:
+        """Live engine switch; the next buffer comes from the new engine."""
+        if engine not in ("granular", "pv"):
+            raise ValueError(f"unknown engine: {engine}")
+        if engine != self.engine:
+            self.engine = engine
+            self._backlog.clear()
+            self._exhausted = False
+            self._pv_stream = None
 
     def toggle(self) -> None:
         if not self.is_playing:
@@ -181,6 +195,7 @@ class Player:
         self.cursor_sec = float(np.clip(t, 0.0, self.knots.duration()))
         self._backlog.clear()
         self._exhausted = False
+        self._pv_stream = None
 
     # -- the audio callback ----------------------------------------------
 
@@ -202,6 +217,37 @@ class Player:
             return out
 
         pgs = self.config.preferred_grain_size
+        if self.engine == "pv":
+            # Quality engine live: the backlog is fed by the forward-only
+            # PV stream (chunked stretch + exact phase carry + block
+            # resample — engine/pv_stream.py).  Edits/seeks drop the stream
+            # so the next buffer reflects the new marker state, same
+            # freshness contract as the granular re-plan below.
+            if self._pv_stream is None:
+                from .pv_stream import PvStream
+
+                self._pv_stream = PvStream(
+                    self.wav, self.knots, config=self.config,
+                    start_sec=self.cursor_sec
+                    + self._backlog.avail() / self.sample_rate,
+                )
+            while not self._exhausted and self._backlog.avail() < n + pgs:
+                self._backlog.write(self._pv_stream.read(max(n, 2048)))
+                if self._pv_stream.exhausted:
+                    self._exhausted = True
+            got = self._backlog.read(n)
+            sz = len(got)
+            out[:sz] = got
+            self.cursor_sec += sz / self.sample_rate
+            if sz:
+                self._last_sample = out[sz - 1]
+                self._fading = True
+            if self._exhausted and self._backlog.avail() == 0:
+                self.is_playing = False
+                self._exhausted = False
+                self._pv_stream = None
+            return out
+
         tmp_cursor = self.cursor_sec + self._backlog.avail() / self.sample_rate
         while not self._exhausted and self._backlog.avail() < n + pgs:
             step = build_render_plan(

@@ -6,6 +6,8 @@ from .sharded import (
     data_parallel_render,
     data_parallel_pv,
     pv_batch_args,
+    seq_parallel_pv,
+    seq_pv_args,
     session_step,
     session_step_full,
 )
@@ -18,6 +20,8 @@ __all__ = [
     "data_parallel_render",
     "data_parallel_pv",
     "pv_batch_args",
+    "seq_parallel_pv",
+    "seq_pv_args",
     "session_step",
     "session_step_full",
 ]

@@ -392,6 +392,186 @@ def pv_batch_args(plans, mesh=None):
 
 
 # ----------------------------------------------------------------------
+# Sequence-parallel phase-vocoder render: ONE track's stretch frames
+# sharded over `seq` (SURVEY §5's frame-axis sharding mandate; VERDICT
+# round 2, next #4).  The chunked path proved the decomposition is exact —
+# phase propagation is a prefix sum, OLA is linear — so distributing it is
+# the same carry math over ICI:
+#
+#   * analysis phases:  each shard's first frame needs its LEFT
+#     neighbor's last analysis phase — one-hop ``ppermute``;
+#   * phase prefix sum: shard-local cumsum + exclusive cross-shard carry
+#     (``all_gather`` of the per-shard totals, masked sum — the
+#     distributed scan);
+#   * OLA seams:        each shard's synthesis spills (size - hop)
+#     samples past its stretched span — one-hop ``ppermute`` to the
+#     RIGHT neighbor, added to its head;
+#   * resample:         output blocks stay data-local per shard; the
+#     normalized stretched track is the one replicated operand (the time
+#     warp can map an output shard anywhere on the stretched timeline, so
+#     XLA inserts a single all_gather at the shard_map boundary).
+# ----------------------------------------------------------------------
+
+
+def seq_parallel_pv(
+    mesh: Mesh,
+    *,
+    size: int,
+    hop: int,
+    n_frames: int,  # padded to a multiple of mesh.shape["seq"]
+    n_out_pad: int,  # padded to a multiple of seq * BLK
+    sr: int,
+    formant: bool = False,
+    n_ceps: int = 40,
+):
+    """Jitted seq-sharded PV render of ONE track.
+
+    Returns f(wav, starts, da, rho, f_real, window, anc_j, src_b, r_b,
+    s_b, base) -> (n_out_pad,) audio.  ``starts/da/rho`` are the PVPlan
+    frame arrays padded to ``n_frames``; ``f_real`` masks the live count.
+    Use ``seq_pv_args`` to build the operands from a PVPlan.
+    """
+    from ..engine.phase_vocoder import (
+        _formant_gain,
+        _lerp_resample_rel_xla,
+        _ola_wsum,
+        _positions_rel_device,
+        _princarg,
+    )
+    from ..engine.spectral import istft_device
+    from ..kernels.pallas_resample import BLK
+
+    n_seq = mesh.shape["seq"]
+    assert n_frames % n_seq == 0, (n_frames, n_seq)
+    f_loc = n_frames // n_seq
+    assert f_loc * hop >= size - hop, "shard span shorter than the OLA spill"
+    n_bins = size // 2 + 1
+    L = n_frames * hop  # fully-covered stretched span (tail pad excluded)
+
+    def stretch_body(wav, starts_l, da_l, rho_l, f_real, window, wsum_l):
+        idx = jax.lax.axis_index("seq")
+        nsh = jax.lax.axis_size("seq")
+        starts_l, da_l, rho_l = starts_l[0], da_l[0], rho_l[0]
+        n = wav.shape[0]
+
+        # Analysis (frame fetch from the replicated track + rFFT).
+        gidx = starts_l[:, None] + jnp.arange(size, dtype=jnp.int32)[None, :]
+        frames = jnp.where(gidx < n, wav[jnp.clip(gidx, 0, n - 1)], 0.0)
+        spec = jnp.fft.rfft(frames * window[None, :])
+        mag = jnp.abs(spec)
+        phi = jnp.angle(spec)
+        if formant:
+            mag = mag * _formant_gain(mag, rho_l, size, n_bins, n_ceps)
+
+        # Left neighbor's last analysis phase seeds my first frame's diff.
+        perm_r = [(i, (i + 1) % nsh) for i in range(nsh)]
+        phi_in = jax.lax.ppermute(phi[-1], "seq", perm_r)
+        phi_prev = jnp.concatenate([phi_in[None, :], phi[:-1]], axis=0)
+
+        omega = (2.0 * jnp.pi / size) * jnp.arange(n_bins, dtype=jnp.float32)
+        da = jnp.maximum(da_l, 1e-3)[:, None]
+        dphi = _princarg(phi - phi_prev - omega[None, :] * da)
+        incr = hop * dphi / da
+        m_global = idx * f_loc + jnp.arange(f_loc, dtype=jnp.int32)
+        # Global frame 0 has no predecessor: psi_0 = phi_0 exactly.
+        incr = jnp.where((m_global == 0)[:, None], 0.0, incr)
+
+        # Distributed prefix sum: local cumsum + exclusive carry of the
+        # preceding shards' totals.
+        local_cum = jnp.cumsum(incr, axis=0)
+        tots = jax.lax.all_gather(local_cum[-1], "seq")  # (nsh, bins)
+        carry = jnp.sum(
+            jnp.where((jnp.arange(nsh) < idx)[:, None], tots, 0.0), axis=0
+        )
+        resid = carry[None, :] + local_cum
+
+        # psi = phi(global frame 0) + exact int-mod linear ramp + residual
+        # (float32 ramp sums overflow ulp at minute scale — see
+        # _stretch_chunk_core).
+        phi0 = jax.lax.psum(
+            jnp.where(idx == 0, phi[0], jnp.zeros_like(phi[0])), "seq"
+        )
+        hm = jnp.mod(m_global * hop, size)
+        k_idx = jnp.arange(n_bins, dtype=jnp.int32)
+        ramp = (2.0 * jnp.pi / size) * jnp.mod(
+            hm[:, None] * k_idx[None, :], size
+        ).astype(jnp.float32)
+        psis = (phi0[None, :] + ramp + resid).astype(jnp.float32)
+
+        live = (m_global < f_real)[:, None]
+        synth = jnp.where(live, mag, 0.0) * jnp.exp(1j * psis)
+        out_local = f_loc * hop + (size - hop)
+        buf = istft_device(synth, window, size, hop, out_local, normalize=False)
+
+        # OLA seam: my tail overlaps the RIGHT neighbor's head.
+        spill = buf[f_loc * hop :]
+        recv = jax.lax.ppermute(spill, "seq", perm_r)
+        recv = jnp.where(idx == 0, jnp.zeros_like(recv), recv)
+        keep = buf[: f_loc * hop].at[: size - hop].add(recv)
+        return (keep / wsum_l[0])[None, :]
+
+    def resample_body(y, src_rel_l, base_l):
+        return _lerp_resample_rel_xla(y, src_rel_l[0], base_l[0], L, BLK)[None, :]
+
+    stretch = jax.shard_map(
+        stretch_body,
+        mesh=mesh,
+        in_specs=(P(), P(None, "seq"), P(None, "seq"), P(None, "seq"),
+                  P(), P(), P(None, "seq")),
+        out_specs=P(None, "seq"),
+    )
+    resample = jax.shard_map(
+        resample_body,
+        mesh=mesh,
+        # y replicated: the warp can send an output shard anywhere on the
+        # stretched timeline; XLA all_gathers once at this boundary.
+        in_specs=(P(), P(None, "seq"), P(None, "seq")),
+        out_specs=P(None, "seq"),
+    )
+
+    def step(wav, starts, da, rho, f_real, window, anc_j, src_b, r_b, s_b, base):
+        wsum = _ola_wsum(window, size, hop, n_frames, L)
+        y = stretch(
+            wav, starts[None], da[None], rho[None], f_real, window, wsum[None]
+        )[0]
+        src_rel = _positions_rel_device(anc_j, src_b, r_b, s_b, n_out_pad, sr)
+        return resample(y, src_rel[None], base[None])[0]
+
+    return jax.jit(step)
+
+
+def seq_pv_args(plan, n_seq: int):
+    """Pad a PVPlan's operands to seq-shardable shapes.
+
+    Returns (builder_kw, ops): frame arrays padded to a multiple of
+    ``n_seq`` (edge frames, masked live by f_real) and the resample
+    side padded to a multiple of ``n_seq * BLK`` output samples.
+    """
+    from ..kernels.pallas_resample import BLK
+
+    n_frames = n_seq * -(-plan.n_frames // n_seq)
+    pad_f = n_frames - plan.n_frames
+    starts = np.pad(plan.starts_m, (0, pad_f), mode="edge")
+    da = np.pad(plan.da_m, (0, pad_f), constant_values=float(plan.hop))
+    rho = np.pad(plan.rho_m.astype(np.float32), (0, pad_f), mode="edge")
+
+    quantum = n_seq * BLK
+    n_out_pad = quantum * -(-plan.n_out_pad // quantum)
+    nb = n_out_pad // BLK
+    base = np.pad(np.asarray(plan.base), (0, nb - len(plan.base)), mode="edge")
+    builder_kw = dict(
+        size=plan.size, hop=plan.hop, n_frames=n_frames,
+        n_out_pad=n_out_pad, sr=plan.sr,
+    )
+    anc_j, src_b, r_b, s_b = (np.asarray(a) for a in plan.anc_args)
+    ops = (
+        starts, da, rho, np.int32(plan.n_frames),
+        anc_j, src_b, r_b, s_b, base,
+    )
+    return builder_kw, ops
+
+
+# ----------------------------------------------------------------------
 # Full session step: the "training step" equivalent for this framework —
 # one device program that analyses (sharded STFT) and renders (data-parallel
 # gather) a batch of sessions.

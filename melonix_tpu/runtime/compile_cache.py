@@ -44,6 +44,23 @@ def enable(cache_dir: str | None = None) -> str | None:
             return _enabled_dir
         if os.environ.get("MELONIX_XLA_CACHE", "1") == "0":
             return None
+        # CPU-only sessions (the test suite, the driver's virtual-mesh
+        # dryrun) skip the persistent cache unless a directory is named
+        # explicitly: CPU compiles are cheap, and XLA:CPU AOT results carry
+        # host machine features — an executable cached on one machine can
+        # SIGILL on another.  The cache's value is the remote TPU AOT
+        # round trip.
+        if cache_dir is None and not os.environ.get("MELONIX_XLA_CACHE_DIR"):
+            try:
+                import jax
+
+                platforms = jax.config.jax_platforms or os.environ.get(
+                    "JAX_PLATFORMS", ""
+                )
+            except Exception:
+                platforms = os.environ.get("JAX_PLATFORMS", "")
+            if (platforms or "").strip().lower() == "cpu":
+                return None
         d = cache_dir or os.environ.get("MELONIX_XLA_CACHE_DIR") or os.path.join(
             os.path.expanduser("~"), ".cache", "melonix_tpu", "xla"
         )

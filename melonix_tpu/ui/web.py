@@ -71,6 +71,10 @@ body { margin:0; background:#111; color:#ddd; font:13px sans-serif; }
  <label>Tempo <input id="tempo" type="range" min="30" max="250" value="130"
    oninput="ctl('tempo', this.value)"></label>
  <label><input id="follow" type="checkbox" onchange="ctl('follow', this.checked?1:0)">Follow</label>
+ <label>Engine <select id="engine" onchange="ctl('engine', this.value)"
+   title="granular = reference-parity splicer; pv = phase-vocoder quality engine">
+  <option value="granular">granular</option><option value="pv">pv</option>
+ </select></label>
  <span id="marker" style="display:none">
   dTime <input id="mdt" type="number" step="0.01" style="width:70px"
     onchange="ctl('marker_dtime', parseFloat(this.value)||0)">
@@ -308,6 +312,7 @@ class EditorServer:
             ),
             "playing": st.is_playing,
             "follow": st.follow_mode,
+            "engine": st.engine,
             "brightness": st.brightness,
             "tempo": st.tempo,
             "save_name": st.save_name,
@@ -388,6 +393,11 @@ class EditorServer:
             st.tempo = float(np.clip(float(value), 30.0, 250.0))
         elif action == "follow":
             st.follow_mode = bool(int(value))
+        elif action == "engine":
+            # Live engine toggle: the player's next buffer (and any
+            # subsequent export) comes from the selected engine.
+            st.set_engine(str(value))
+            self._audio_epoch += 1  # offline /audio.wav must re-render too
         elif action == "open":  # direct path open (tests / CLI arg)
             st.open_file(str(value))
         elif action == "autotune" and st.loaded:
@@ -423,16 +433,23 @@ class EditorServer:
 
     def _audio_wav(self) -> bytes:
         """Offline render of the current edit, cached by edit epoch — an
-        unchanged edit state is served from memory, never re-rendered."""
-        from ..engine.render import render_track
-
+        unchanged edit state is served from memory, never re-rendered.
+        Renders through the session's selected engine (what you hear live
+        is what downloads)."""
         st = self.state
         if not st.loaded:
             return b""
         epoch = self._audio_epoch
         if self._audio_cache is not None and self._audio_cache[0] == epoch:
             return self._audio_cache[1]
-        out = np.asarray(render_track(st.wav, st.grains, st.knots, config=st.config))
+        if st.engine == "pv":
+            from ..engine.phase_vocoder import render_track_pv
+
+            out = np.asarray(render_track_pv(st.wav, st.knots, config=st.config))
+        else:
+            from ..engine.render import render_track
+
+            out = np.asarray(render_track(st.wav, st.grains, st.knots, config=st.config))
         self._audio_renders += 1
         pcm = _pcm16(out)
         body = _wav_header(st.sample_rate, len(pcm)) + pcm

@@ -34,16 +34,15 @@ def test_enable_env_dir_and_opt_out(tmp_path, monkeypatch):
     assert cc.enable(str(tmp_path / "off")) is None
 
 
-def test_package_import_enabled_cache():
-    """melonix_tpu's import hook must have pointed the cache somewhere
-    (unless the suite env opted out)."""
-    import os
-
-    import jax
-
-    if os.environ.get("MELONIX_XLA_CACHE", "1") == "0":
-        return
-    assert jax.config.jax_compilation_cache_dir
+def test_cpu_platform_skips_implicit_cache(monkeypatch):
+    """With no explicit directory, a CPU-platform session must NOT enable
+    the persistent cache (XLA:CPU AOT results carry host machine features;
+    a cache shared across machines can SIGILL).  The test suite runs on
+    the forced-CPU conftest, so the package import hook itself exercises
+    this path; an explicit dir still wins (tests above)."""
+    monkeypatch.setattr(cc, "_enabled_dir", None)
+    monkeypatch.delenv("MELONIX_XLA_CACHE_DIR", raising=False)
+    assert cc.enable() is None
 
 
 def test_warmup_session_compiles_real_buckets(tmp_path):

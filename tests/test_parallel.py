@@ -194,6 +194,68 @@ def test_data_parallel_pv_matches_single(chirp, mesh):
         assert snr_db < -60.0, (i, snr_db)
 
 
+def test_seq_parallel_pv_matches_single(chirp, mesh):
+    """ONE track's PV render with stretch frames sharded over ``seq``
+    (SURVEY §5 frame-axis mandate; VERDICT round 2, next #4).
+
+    The distributed phase prefix sum (local cumsum + cross-shard carry)
+    reorders float32 additions, and PV phase propagation is chaotic at the
+    ulp level — so the bar is the PV comparison convention (rms-relative +
+    spectral envelope), not bit equality."""
+    from melonix_tpu.engine.phase_vocoder import render_track_pv
+    from melonix_tpu.parallel import seq_parallel_pv, seq_pv_args
+
+    for (w, k, p) in _pv_setup(chirp):
+        want = render_track_pv(w, k)
+        kw, ops = seq_pv_args(p, mesh.shape["seq"])
+        f = seq_parallel_pv(mesh, **kw)
+        win = jnp.asarray(S.hann_window(kw["size"]))
+        out = f(
+            jnp.asarray(w), jnp.asarray(ops[0]), jnp.asarray(ops[1]),
+            jnp.asarray(ops[2]), jnp.asarray(ops[3]), win,
+            *[jnp.asarray(o) for o in ops[4:]],
+        )
+        got = np.asarray(out)[: p.n_out]
+        assert len(got) == len(want)
+        err = np.sqrt(np.mean((got - want) ** 2)) / (
+            np.sqrt(np.mean(want**2)) + 1e-12
+        )
+        assert err < 2e-3, err
+        # Spectral envelope agreement per quarter-second window.
+        sr = p.sr
+        win_n = sr // 4
+        for w0 in range(0, len(want) - win_n, win_n):
+            a = np.abs(np.fft.rfft(want[w0 : w0 + win_n] * np.hanning(win_n)))
+            b = np.abs(np.fft.rfft(got[w0 : w0 + win_n] * np.hanning(win_n)))
+            denom = np.sqrt(np.sum(a**2)) + 1e-12
+            assert np.sqrt(np.sum((a - b) ** 2)) / denom < 0.02, w0
+
+
+def test_seq_parallel_pv_formant(chirp, mesh):
+    """Formant preservation composes with the seq sharding (the cepstral
+    warp is frame-local — no extra collectives)."""
+    from melonix_tpu.engine.phase_vocoder import build_pv_plan, render_track_pv
+    from melonix_tpu.parallel import seq_parallel_pv, seq_pv_args
+
+    x, sr = chirp
+    knots = MapKnots.from_markers(
+        [Marker(len(x) // 2, 57.0, 0.0, 5.0)], sr, len(x)
+    )
+    plan = build_pv_plan(knots, len(x))
+    want = render_track_pv(x, knots, preserve_formants=True)
+    kw, ops = seq_pv_args(plan, mesh.shape["seq"])
+    f = seq_parallel_pv(mesh, formant=True, **kw)
+    win = jnp.asarray(S.hann_window(kw["size"]))
+    got = np.asarray(
+        f(jnp.asarray(x), *[jnp.asarray(o) for o in ops[:4]], win,
+          *[jnp.asarray(o) for o in ops[4:]])
+    )[: plan.n_out]
+    err = np.sqrt(np.mean((got - want) ** 2)) / (
+        np.sqrt(np.mean(want**2)) + 1e-12
+    )
+    assert err < 2e-3, err
+
+
 def test_session_step_full_both_engines(chirp, mesh):
     """One jitted step covering analysis + granular + PV (VERDICT #6)."""
     from melonix_tpu.engine.phase_vocoder import build_pv_plan, render_track_pv

@@ -78,6 +78,64 @@ def test_seek_and_edit_drop_backlog(chirp):
     assert np.isfinite(buf).all()
 
 
+def test_pv_engine_matches_offline_pv(chirp):
+    """engine="pv": playback from t=0 streams the phase-vocoder render
+    (VERDICT round 2, next #2 — the quality engine must be hearable)."""
+    from melonix_tpu.engine.phase_vocoder import render_track_pv
+
+    x, sr = chirp
+    markers = [Marker(4000, 60.0, 0.02, 2.0)]
+    table = build_grain_table(x, backend="numpy")
+    knots = MapKnots.from_markers(markers, sr, len(x))
+    player = Player(x, table, knots, engine="pv")
+    want = render_track_pv(x, knots)
+
+    player.toggle()
+    got = []
+    for _ in range(1000):
+        got.append(player.callback(1024))
+        if not player.is_playing:
+            break
+    assert not player.is_playing  # auto-stop after full delivery
+    got = np.concatenate(got)
+    assert len(got) >= len(want)
+    err = np.sqrt(np.mean((got[: len(want)] - want) ** 2)) / (
+        np.sqrt(np.mean(want**2)) + 1e-12
+    )
+    assert err < 2e-3, err
+    assert np.abs(got[len(want) :]).max(initial=0.0) == 0.0
+
+
+def test_pv_engine_edit_and_switch_freshness(chirp):
+    """A marker edit mid-play must change the PV stream's next buffers, and
+    a live engine switch must change the source without breaking playback."""
+    x, sr = chirp
+    table = build_grain_table(x, backend="numpy")
+    knots = MapKnots.from_markers([], sr, len(x))
+    player = Player(x, table, knots, engine="pv")
+    player.toggle()
+    before = player.callback(1024)
+    assert np.any(before != 0.0)
+
+    bent = MapKnots.from_markers(
+        [Marker(2000, 60.0, 0.0, 7.0)], sr, len(x)
+    )
+    player.set_knots(bent)
+    assert len(player._backlog) == 0  # lookahead dropped
+    after = np.concatenate([player.callback(1024) for _ in range(4)])
+    # +7 semitones over the whole mid-track: dominant frequency moves.
+    fa = np.argmax(np.abs(np.fft.rfft(before * np.hanning(1024))))
+    win = np.hanning(len(after))
+    fb = np.argmax(np.abs(np.fft.rfft(after * win))) * 1024 / len(after)
+    assert fb > fa * 1.2, (fa, fb)
+
+    player.set_engine("granular")
+    buf = player.callback(1024)
+    assert np.isfinite(buf).all() and player.engine == "granular"
+    player.set_engine("pv")
+    assert np.isfinite(player.callback(1024)).all()
+
+
 def test_declick_ramp(chirp):
     player, *_ = make_player(chirp, [])
     player.toggle()

@@ -1,0 +1,112 @@
+"""Streaming PV engine (engine/pv_stream.py) vs the offline render.
+
+The stream IS the chunked offline pipeline behind a pull API, so a stream
+from t=0 must match ``render_track_pv`` under the PV comparison convention
+(rms-relative, never waveform-tight: phase propagation is chaotic at the
+ulp level — see test_chunked_stretch_matches_single_shot).  Mid-track
+restarts re-anchor phase, so those compare rms + dominant frequency.
+"""
+
+import numpy as np
+import pytest
+
+from melonix_tpu.engine.maps import MapKnots
+from melonix_tpu.engine.phase_vocoder import render_track_pv
+from melonix_tpu.engine.pv_stream import PvStream
+from melonix_tpu.markers import Marker
+
+SR = 8000
+
+
+def _sine(f, secs):
+    t = np.arange(int(SR * secs)) / SR
+    return (0.5 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+
+
+def _knots(n, markers):
+    return MapKnots.from_markers(markers, SR, n)
+
+
+@pytest.fixture(scope="module")
+def bent_track():
+    x = _sine(330.0, 4.0)
+    n = len(x)
+    markers = [
+        Marker(sample=n // 3, note=52.0, d_time=0.08, pitch_bend=4.0),
+        Marker(sample=2 * n // 3, note=52.0, d_time=-0.03, pitch_bend=-2.0),
+    ]
+    return x, _knots(n, markers)
+
+
+def _read_all(stream, quantum):
+    chunks = []
+    while not stream.exhausted:
+        chunks.append(stream.read(quantum))
+    return np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
+
+
+def test_stream_from_zero_matches_offline(bent_track):
+    x, knots = bent_track
+    offline = render_track_pv(x, knots)
+    stream = PvStream(x, knots, chunk_frames=96)  # force many chunks
+    got = _read_all(stream, 1000)[: len(offline)]
+    assert len(got) == len(offline)
+    err = np.sqrt(np.mean((offline - got) ** 2)) / (
+        np.sqrt(np.mean(offline**2)) + 1e-12
+    )
+    assert err < 2e-3, err
+
+
+def test_read_granularity_invariant(bent_track):
+    x, knots = bent_track
+    a = _read_all(PvStream(x, knots, chunk_frames=128), 977)
+    b = _read_all(PvStream(x, knots, chunk_frames=128), 4096)
+    m = min(len(a), len(b))
+    np.testing.assert_array_equal(a[:m], b[:m])
+    # Past-the-end reads are silent zeros.
+    s = PvStream(x, knots)
+    _ = _read_all(s, 2048)
+    assert np.all(s.read(512) == 0.0)
+
+
+def test_stream_length_matches_warped_duration(bent_track):
+    x, knots = bent_track
+    s = PvStream(x, knots)
+    got = _read_all(s, 2048)
+    assert s.n_out == int(knots.duration() * SR)
+    # Reads always return full buffers: real samples through n_out, zeros
+    # after (the audio callback contract), so only the tail pad exceeds it.
+    assert len(got) - s.n_out < 2048
+    assert np.all(got[s.n_out :] == 0.0)
+    assert np.any(got[: s.n_out] != 0.0)
+
+
+def test_midtrack_restart_spectrally_consistent(bent_track):
+    """A stream restarted at t0 (the edit/seek path) must produce the same
+    *signal content* as the offline render from t0 on: equal rms and equal
+    dominant frequency per half-second window (phase re-anchors, so the
+    waveform itself may differ by a per-partial constant phase)."""
+    x, knots = bent_track
+    offline = render_track_pv(x, knots)
+    t0 = 1.3
+    j0 = round(t0 * SR)
+    s = PvStream(x, knots, start_sec=t0, chunk_frames=256)
+    got = _read_all(s, 2048)
+    ref = offline[j0 : j0 + len(got)]
+    got = got[: len(ref)]
+    win = SR // 2
+    skip = 2048  # the splice's OLA fade-in window
+    for w0 in range(skip, len(ref) - win, win):
+        a, b = ref[w0 : w0 + win], got[w0 : w0 + win]
+        rms_a, rms_b = np.sqrt(np.mean(a**2)), np.sqrt(np.mean(b**2))
+        assert abs(rms_a - rms_b) < 0.05 * (rms_a + 1e-9), (w0, rms_a, rms_b)
+        fa = np.argmax(np.abs(np.fft.rfft(a * np.hanning(win))))
+        fb = np.argmax(np.abs(np.fft.rfft(b * np.hanning(win))))
+        assert abs(int(fa) - int(fb)) <= 1, (w0, fa, fb)
+
+
+def test_empty_and_degenerate_tracks():
+    knots = _knots(100, [])
+    s = PvStream(np.zeros(100, np.float32), knots)  # shorter than one frame
+    assert s.read(64).shape == (64,)
+    assert s.exhausted

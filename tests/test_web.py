@@ -320,6 +320,70 @@ def test_end_of_track_underrun_serves_reference_tail(tmp_path):
         srv.stop()
 
 
+def test_engine_toggle_changes_offline_audio(server):
+    """/control engine must re-route /audio.wav through the selected
+    engine: the PV render differs from the granular one (no grain-seam
+    splicing, no 1500-zero tail)."""
+    srv, conn, wav = server
+    _post(conn, "/control", {"action": "open", "value": wav})
+    _, st = _get_state(conn)
+    assert st["engine"] == "granular"
+    _, body_gr, _ = _get(conn, "/audio.wav")
+    status, st = _post(conn, "/control", {"action": "engine", "value": "pv"})
+    assert status == 200
+    _, st = _get_state(conn)
+    assert st["engine"] == "pv"
+    _, body_pv, _ = _get(conn, "/audio.wav")
+    assert body_pv != body_gr
+    # Toggling back re-renders granular (epoch-bumped, not stale cache).
+    _post(conn, "/control", {"action": "engine", "value": "granular"})
+    _, body_gr2, _ = _get(conn, "/audio.wav")
+    assert body_gr2 == body_gr and body_gr2 != body_pv
+
+
+def test_pv_live_stream_edit_freshness_mid_play(tmp_path):
+    """The hear-the-edit loop on the QUALITY engine (VERDICT round 2, next
+    #2): with engine=pv the live stream serves phase-vocoder audio, and a
+    mid-play marker edit is audible in the served bytes within a buffer or
+    two — same freshness contract as the granular path."""
+    sr = 8000
+    t = np.arange(4 * sr) / sr
+    x = (0.5 * np.sin(2 * np.pi * 200.0 * t)).astype(np.float32)
+    p = str(tmp_path / "tone.wav")
+    write_wav(p, x, sr, dtype="float32")
+    srv = EditorServer()
+    port = srv.start()
+    ctl = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    stream = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    try:
+        _post(ctl, "/control", {"action": "open", "value": p})
+        _post(ctl, "/control", {"action": "engine", "value": "pv"})
+        assert srv.state.player.engine == "pv"
+        from melonix_tpu.markers import Marker
+
+        stream.request("GET", "/audio/stream?from=0")
+        resp = stream.getresponse()
+        assert resp.status == 200
+        assert resp.read(44)[:4] == b"RIFF"
+        pre = resp.read(2 * int(0.8 * sr))
+        assert _freq_of_pcm16(pre[2 * 1600 :], sr) == pytest.approx(200.0, abs=8)
+        with srv._lock:
+            srv.state.markers = [
+                Marker(sample=sr // 2, note=55.0, d_time=0.0, pitch_bend=12.0),
+                Marker(sample=7 * sr // 2, note=55.0, d_time=0.0, pitch_bend=12.0),
+            ]
+            srv.state.invalidate()
+        resp.read(2 * sr)  # in-flight backlog + HTTP buffering
+        post = resp.read(2 * sr)  # 1 s inside the +12 plateau
+        assert _freq_of_pcm16(post, sr) == pytest.approx(400.0, abs=16)
+        _, st = _get_state(ctl)
+        assert st["playing"] and st["engine"] == "pv"
+    finally:
+        ctl.close()
+        stream.close()
+        srv.stop()
+
+
 def test_dialog_http_flow(server, tmp_path):
     srv, conn, wav = server
     srv._open_dlg.cwd = os.path.dirname(wav)
