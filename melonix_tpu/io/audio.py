@@ -77,6 +77,19 @@ def load_audio(path: str, *, mono: bool = True) -> tuple[np.ndarray, int]:
                 raise DecodeError(str(e)) from e
         # No native runtime built: fall through to the ffmpeg path.
 
+    if lower.endswith(".mp3"):
+        from ..runtime import native
+
+        lib = native.try_load()
+        if lib is not None and hasattr(lib, "mlx_mp3_info"):
+            try:
+                return native.decode_mp3(lib, path, mono=mono)
+            except ValueError as e:
+                # MPEG-2/2.5 and Layer I/II are out of the native decoder's
+                # scope (rc -21/-22): fall through to ffmpeg when present.
+                if shutil.which("ffmpeg") is None:
+                    raise DecodeError(str(e)) from e
+
     if shutil.which("ffmpeg") is None:
         raise DecodeError(
             f"cannot decode {path!r}: not WAV/FLAC and no ffmpeg binary available"
