@@ -85,8 +85,8 @@ def load_audio(path: str, *, mono: bool = True) -> tuple[np.ndarray, int]:
             try:
                 return native.decode_mp3(lib, path, mono=mono)
             except ValueError as e:
-                # MPEG-2/2.5 and Layer I/II are out of the native decoder's
-                # scope (rc -21/-22): fall through to ffmpeg when present.
+                # Layer I/II and free-format are out of the native
+                # decoder's scope: fall through to ffmpeg when present.
                 if shutil.which("ffmpeg") is None:
                     raise DecodeError(str(e)) from e
 

@@ -267,7 +267,11 @@ class EditorServer:
 
         When a /audio/stream consumer is live, the cursor comes from the
         samples actually delivered to it (the reference's cursorSec +=
-        emitted/sampleRate, app.cpp:289-291) and this is a no-op."""
+        emitted/sampleRate, app.cpp:289-291) and this is a no-op.  With NO
+        stream attached there is no audio consumer to anchor to, so the
+        scrubber position is a wall-clock ESTIMATE — it can drift from
+        what a real consumer would have heard; /frame.png-only clients see
+        an approximate cursor by design."""
         st = self.state
         if st.is_playing and self._active_streams == 0:
             now = time.monotonic()

@@ -199,11 +199,13 @@ def extract_quads(f, secs, ptr_pairs, u16s, u8s):
 
 
 def extract_sfb_tables():
-    """Scalefactor band boundaries (ISO Table B.8) for the MPEG-1 rates.
+    """Scalefactor band boundaries (ISO 11172-3 Table B.8 + ISO 13818-3)
+    for all nine MPEG-1/2/2.5 rates.
 
     Located in libmp3lame's .rodata as adjacent (long[23], short[14])
-    ascending-int pairs ending 576/192, identified per rate by unique
-    members (418 -> 44100, 384 -> 48000, 550 -> 32000)."""
+    ascending-int pairs ending 576/192, laid out in LAME's sfBandIndex
+    order [22050, 24000, 16000, 44100, 48000, 32000, 11025, 12000, 8000];
+    identified by per-rate unique anchors."""
     f = open(LAME, "rb").read()
     secs = elf_sections(f)
     ro = secs[".rodata"]
@@ -213,7 +215,7 @@ def extract_sfb_tables():
     runs = []
     i = 0
     while i < n:
-        if vals[i] == 0 and i + 5 < n and vals[i + 1] == 4 and vals[i + 2] == 8:
+        if vals[i] == 0 and i + 5 < n and vals[i + 1] in (4, 6, 8, 12):
             j = i + 1
             while j < n and 0 < vals[j] <= 576 and vals[j] > vals[j - 1]:
                 j += 1
@@ -223,21 +225,19 @@ def extract_sfb_tables():
             i = j
         else:
             i += 1
-    out = {}
-    marker = {418: 44100, 384: 48000, 550: 32000}
-    for k, (i, run) in enumerate(runs):
-        if len(run) != 23:
-            continue
-        rate = next((marker[v] for v in run if v in marker), None)
-        if rate is None or k + 1 >= len(runs):
-            continue
-        i2, short = runs[k + 1]
-        if len(short) == 14:
-            out[rate] = (run, short)
-    assert sorted(out) == [32000, 44100, 48000], sorted(out)
+    pairs = []
+    for k in range(len(runs) - 1):
+        if len(runs[k][1]) == 23 and len(runs[k + 1][1]) == 14:
+            pairs.append((runs[k][1], runs[k + 1][1]))
+    lame_order = [22050, 24000, 16000, 44100, 48000, 32000, 11025, 12000, 8000]
+    assert len(pairs) >= 9, len(pairs)
+    out = dict(zip(lame_order, pairs[:9]))
     # Identity anchors fixed by the spec.
     assert out[44100][1] == [0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192]
     assert out[48000][0][9:13] == [42, 50, 60, 72]
+    assert 418 in out[44100][0] and 550 in out[32000][0]
+    assert 522 in out[22050][0] and 540 in out[24000][0]
+    assert 568 in out[8000][0] and out[8000][0][1] == 12
     return out
 
 
@@ -298,12 +298,14 @@ def emit(out):
         else:
             w("  {nullptr, nullptr, 0, 0},\n")
     w("};\n\n")
-    w("// Scalefactor band boundaries (ISO Table B.8), MPEG-1 rates in\n")
-    w("// header sr_index order (44100, 48000, 32000).\n")
+    w("// Scalefactor band boundaries (ISO 11172-3 B.8 / ISO 13818-3):\n")
+    w("// rows 0-2 MPEG-1 (44100, 48000, 32000), 3-5 MPEG-2 (22050, 24000,\n")
+    w("// 16000), 6-8 MPEG-2.5 (11025, 12000, 8000) — header sr_index\n")
+    w("// order within each version.\n")
+    rates = [44100, 48000, 32000, 22050, 24000, 16000, 11025, 12000, 8000]
     for name, idx_rate in (("Long", 0), ("Short", 1)):
-        rates = [44100, 48000, 32000]
         dim = 23 if name == "Long" else 14
-        w(f"static const int16_t kSfb{name}[3][{dim}] = {{\n")
+        w(f"static const int16_t kSfb{name}[9][{dim}] = {{\n")
         for r in rates:
             w("  {" + ",".join(str(v) for v in sfb[r][idx_rate]) + "},\n")
         w("};\n")

@@ -10,14 +10,15 @@
 //   mlx_mp3_info(path, &n_frames, &channels, &rate, &bits)
 //   mlx_mp3_read(path, out, n_frames, mono)
 //
-// Scope (VERDICT round 2, missing #1): MPEG-1 only (32/44.1/48 kHz),
-// mono/stereo incl. MS + intensity stereo, CBR and VBR, long/short/mixed
-// blocks, bit reservoir, Xing/Info frame skip, LAME gapless trim.  No
-// Layer I/II, no MPEG-2/2.5, no free-format — those return errors and the
-// Python importer falls soft (io/audio.py).  Spec constants (Huffman
-// tables, synthesis window, scalefactor bands) come from
-// extract_mp3_tables.py with structural validation; decode correctness is
-// pinned against the independent libmpg123 oracle in tests/test_mp3.py.
+// Scope (VERDICT round 2, missing #1): MPEG-1 (32/44.1/48 kHz), MPEG-2
+// and MPEG-2.5 LSF (8-24 kHz), mono/stereo incl. MS + intensity stereo,
+// CBR and VBR, long/short/mixed blocks, bit reservoir, Xing/Info frame
+// skip, LAME gapless trim.  No Layer I/II, no free-format — those return
+// errors and the Python importer falls soft (io/audio.py).  Spec
+// constants (Huffman tables, synthesis window, scalefactor bands for all
+// nine rates) come from extract_mp3_tables.py with structural validation;
+// decode correctness is pinned against the independent libmpg123 oracle
+// in tests/test_mp3.py (-127..-133 dB across the full matrix).
 //
 // Error contract mirrors flac_decode.cpp: negative codes, never throws,
 // truncated/corrupt input mutes the affected frame or stops cleanly.
@@ -63,39 +64,51 @@ struct Bits {
 struct FrameHeader {
   int bitrate_kbps;
   int rate;       // Hz
-  int sr_index;   // 0=44100, 1=48000, 2=32000
+  int sfb_row;    // row into kSfbLong/kSfbShort (version x sr_index)
+  int lsf;        // 1 for MPEG-2 / MPEG-2.5 (low sampling frequency)
   int padding;
   int channels;   // 1 or 2
   int mode;       // 0 stereo, 1 joint, 2 dual, 3 mono
   int mode_ext;   // joint-stereo flags: bit1 = MS, bit0 = intensity
   int crc;        // 1 when a CRC-16 follows the header
   int frame_bytes;
+  int frame_samples;  // 1152 (MPEG-1) or 576 (LSF)
 };
 
-const int kBitrates[16] = {0,  32,  40,  48,  56,  64,  80,  96,
-                           112, 128, 160, 192, 224, 256, 320, 0};
-const int kRates[4] = {44100, 48000, 32000, 0};
+const int kBitratesV1[16] = {0,  32,  40,  48,  56,  64,  80,  96,
+                             112, 128, 160, 192, 224, 256, 320, 0};
+const int kBitratesV2[16] = {0,  8,  16, 24, 32, 40, 48,  56,
+                             64, 80, 96, 112, 128, 144, 160, 0};
+const int kRatesV1[4] = {44100, 48000, 32000, 0};
+const int kRatesV2[4] = {22050, 24000, 16000, 0};
+const int kRatesV25[4] = {11025, 12000, 8000, 0};
 
 // Parse 4 header bytes.  Returns 0 ok, <0 unsupported/invalid.
 int parse_header(const uint8_t* p, FrameHeader* h) {
   if (p[0] != 0xFF || (p[1] & 0xE0) != 0xE0) return -20;  // sync
-  const int version = (p[1] >> 3) & 3;  // 3 = MPEG-1
+  const int version = (p[1] >> 3) & 3;  // 3 = MPEG-1, 2 = MPEG-2, 0 = 2.5
   const int layer = (p[1] >> 1) & 3;    // 1 = Layer III
-  if (version != 3) return -21;         // MPEG-2/2.5 out of scope
+  if (version == 1) return -20;         // reserved
   if (layer != 1) return -22;           // Layer I/II out of scope
+  // MPEG-2.5 needs the extended sync (p[1] upper 3 bits only); the 4-bit
+  // sync check above already allows it (0xE0 mask).
+  h->lsf = version != 3 ? 1 : 0;
   h->crc = ((p[1] & 1) == 0) ? 1 : 0;
   const int br = (p[2] >> 4) & 0xF;
   const int sr = (p[2] >> 2) & 3;
   if (br == 0) return -23;  // free-format out of scope
   if (br == 15 || sr == 3) return -20;
-  h->bitrate_kbps = kBitrates[br];
-  h->sr_index = sr;
-  h->rate = kRates[sr];
+  h->bitrate_kbps = h->lsf ? kBitratesV2[br] : kBitratesV1[br];
+  h->rate = version == 3 ? kRatesV1[sr]
+                         : (version == 2 ? kRatesV2[sr] : kRatesV25[sr]);
+  h->sfb_row = sr + (version == 3 ? 0 : (version == 2 ? 3 : 6));
   h->padding = (p[2] >> 1) & 1;
   h->mode = (p[3] >> 6) & 3;
   h->mode_ext = (p[3] >> 4) & 3;
   h->channels = (h->mode == 3) ? 1 : 2;
-  h->frame_bytes = 144000 * h->bitrate_kbps / h->rate + h->padding;
+  h->frame_samples = h->lsf ? 576 : 1152;
+  h->frame_bytes =
+      (h->lsf ? 72000 : 144000) * h->bitrate_kbps / h->rate + h->padding;
   return 0;
 }
 
@@ -124,18 +137,24 @@ struct SideInfo {
   GrCh gr[2][2];  // [granule][channel]
 };
 
-bool parse_side_info(Bits& b, int channels, SideInfo* si) {
-  si->main_data_begin = (int)b.u(9);
-  b.u(channels == 1 ? 5 : 3);  // private bits
-  for (int ch = 0; ch < channels; ++ch)
-    for (int i = 0; i < 4; ++i) si->scfsi[ch][i] = b.bit();
-  for (int g = 0; g < kGranules; ++g) {
+bool parse_side_info(Bits& b, int channels, int lsf, SideInfo* si) {
+  si->main_data_begin = (int)b.u(lsf ? 8 : 9);
+  if (lsf)
+    b.u(channels == 1 ? 1 : 2);  // private bits (ISO 13818-3)
+  else
+    b.u(channels == 1 ? 5 : 3);
+  std::memset(si->scfsi, 0, sizeof(si->scfsi));
+  if (!lsf)
+    for (int ch = 0; ch < channels; ++ch)
+      for (int i = 0; i < 4; ++i) si->scfsi[ch][i] = b.bit();
+  const int n_gr = lsf ? 1 : kGranules;
+  for (int g = 0; g < n_gr; ++g) {
     for (int ch = 0; ch < channels; ++ch) {
       GrCh& gc = si->gr[g][ch];
       gc.part2_3_length = (int)b.u(12);
       gc.big_values = (int)b.u(9);
       gc.global_gain = (int)b.u(8);
-      gc.scalefac_compress = (int)b.u(4);
+      gc.scalefac_compress = (int)b.u(lsf ? 9 : 4);
       gc.window_switching = b.bit();
       if (gc.window_switching) {
         gc.block_type = (int)b.u(2);
@@ -155,7 +174,7 @@ bool parse_side_info(Bits& b, int channels, SideInfo* si) {
         gc.region1_count = (int)b.u(3);
         for (int w = 0; w < 3; ++w) gc.subblock_gain[w] = 0;
       }
-      gc.preflag = b.bit();
+      gc.preflag = lsf ? 0 : b.bit();  // LSF: derived from the sc case
       gc.scalefac_scale = b.bit();
       gc.count1table_select = b.bit();
       if (gc.big_values > 288) return false;
@@ -175,6 +194,10 @@ const int kPretab[22] = {0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
 struct ScaleFactors {
   int l[23];      // long bands 0..21
   int s[3][13];   // short windows x bands 0..12
+  // Per-band "illegal intensity position" sentinels: MPEG-1 fixes 7;
+  // LSF uses (1 << slen) - 1 of the band's partition.
+  int ill_l[23];
+  int ill_s[13];
 };
 
 // part2 bits consumed is returned for the Huffman region bound.
@@ -184,6 +207,8 @@ int read_scalefactors(Bits& b, const GrCh& gc, const int* scfsi,
   const int slen2 = kSlen2[gc.scalefac_compress];
   int bits = 0;
   std::memset(sf, 0, sizeof(*sf));
+  for (int i = 0; i < 23; ++i) sf->ill_l[i] = 7;  // MPEG-1 illegal is_pos
+  for (int i = 0; i < 13; ++i) sf->ill_s[i] = 7;
   if (gc.window_switching && gc.block_type == 2) {
     if (gc.mixed_block) {
       for (int band = 0; band < 8; ++band) {
@@ -224,6 +249,107 @@ int read_scalefactors(Bits& b, const GrCh& gc, const int* scfsi,
     }
   }
   return bits;
+}
+
+// LSF scalefactor partitions (ISO 13818-3): rows 0-2 for normal
+// channels, 3-5 for the intensity channel; columns long/short/mixed.
+const int kNrSfbLsf[6][3][4] = {
+    {{6, 5, 5, 5}, {9, 9, 9, 9}, {6, 9, 9, 9}},
+    {{6, 5, 7, 3}, {9, 9, 12, 6}, {6, 9, 12, 6}},
+    {{11, 10, 0, 0}, {18, 18, 0, 0}, {15, 18, 0, 0}},
+    {{7, 7, 7, 0}, {12, 12, 12, 0}, {6, 15, 12, 0}},
+    {{6, 6, 6, 3}, {12, 9, 9, 6}, {6, 12, 9, 6}},
+    {{8, 8, 5, 0}, {15, 12, 9, 0}, {6, 18, 9, 0}},
+};
+
+// LSF scalefactors: 9-bit scalefac_compress decomposes into four slens
+// over block-type-dependent partitions; the intensity channel (right,
+// joint-stereo with mode_ext bit 0) uses its own decomposition and the
+// low bit selects the intensity scale.  Sets gc.preflag for the sc>=500
+// case.  Returns part2 bits; -1 on a reserved decomposition.
+int read_scalefactors_lsf(Bits& b, GrCh& gc, int intensity_ch,
+                          int* int_scale, ScaleFactors* sf) {
+  std::memset(sf, 0, sizeof(*sf));
+  int sc = gc.scalefac_compress;
+  int slen[4] = {0, 0, 0, 0};
+  int row;
+  *int_scale = 0;
+  if (intensity_ch) {
+    *int_scale = sc & 1;
+    const int isc = sc >> 1;
+    if (isc < 180) {
+      slen[0] = isc / 36;
+      slen[1] = (isc % 36) / 6;
+      slen[2] = isc % 6;
+      row = 3;
+    } else if (isc < 244) {
+      const int t = isc - 180;
+      slen[0] = (t >> 4) & 3;
+      slen[1] = (t >> 2) & 3;
+      slen[2] = t & 3;
+      row = 4;
+    } else if (isc < 255) {
+      const int t = isc - 244;
+      slen[0] = t / 3;
+      slen[1] = t % 3;
+      row = 5;
+    } else {
+      return -1;
+    }
+  } else {
+    if (sc < 400) {
+      slen[0] = (sc >> 4) / 5;
+      slen[1] = (sc >> 4) % 5;
+      slen[2] = (sc & 0xF) >> 2;
+      slen[3] = sc & 3;
+      row = 0;
+    } else if (sc < 500) {
+      const int t = sc - 400;
+      slen[0] = (t >> 2) / 5;
+      slen[1] = (t >> 2) % 5;
+      slen[2] = t & 3;
+      row = 1;
+    } else {
+      const int t = sc - 500;
+      slen[0] = t / 3;
+      slen[1] = t % 3;
+      gc.preflag = 1;
+      row = 2;
+    }
+  }
+  const int col = (gc.window_switching && gc.block_type == 2)
+                      ? (gc.mixed_block ? 2 : 1)
+                      : 0;
+  const int* nsfb = kNrSfbLsf[row][col];
+  int bits = 0;
+  // Slot order: long bands first (mixed: bands 0..5), then short bands
+  // window-minor (for band: for window), matching the Huffman reorder.
+  int long_bands = col == 0 ? 21 : (col == 2 ? 6 : 0);
+  int li = 0;
+  int s_band = col == 1 ? 0 : 3;
+  int s_w = 0;
+  for (int p = 0; p < 4; ++p) {
+    const int ill = (1 << slen[p]) - 1;
+    for (int c = 0; c < nsfb[p]; ++c) {
+      const int v = slen[p] ? (int)b.u(slen[p]) : 0;
+      bits += slen[p];
+      if (li < long_bands) {
+        sf->l[li] = v;
+        sf->ill_l[li] = ill;
+        ++li;
+      } else {
+        if (s_band < 13) {
+          sf->s[s_w][s_band] = v;
+          sf->ill_s[s_band] = ill;
+        }
+        if (++s_w == 3) {
+          s_w = 0;
+          ++s_band;
+        }
+      }
+    }
+  }
+  return b.ok ? bits : -1;
 }
 
 // ------------------------------------------------------------ huffman
@@ -326,7 +452,7 @@ float pow43(int v) {
 // ---------------------------------------------------------- the state
 
 struct Decoder {
-  int rate = 0, channels = 0, sr_index = 0;
+  int rate = 0, channels = 0, sfb_row = 0, lsf = 0;
   std::vector<uint8_t> reservoir;
   ScaleFactors prev_sf[2];
   bool have_prev_sf[2] = {false, false};
@@ -388,8 +514,8 @@ struct Decoder {
   bool decode_spectrum(Bits& b, const GrCh& gc, const ScaleFactors& sf,
                        size_t part2_start, float* xr, int* zero_bound) {
     init_tables();
-    const int16_t* sfb_l = kSfbLong[sr_index];
-    const int16_t* sfb_s = kSfbShort[sr_index];
+    const int16_t* sfb_l = kSfbLong[sfb_row];
+    const int16_t* sfb_s = kSfbShort[sfb_row];
     int is[576];
     std::memset(is, 0, sizeof(is));
     int pos_limit_bits = (int)part2_start + gc.part2_3_length;
@@ -397,7 +523,13 @@ struct Decoder {
     // Region boundaries in line indices.
     int region1, region2;
     if (gc.window_switching) {
-      region1 = 36;  // spec: region0 = 36 lines for switched windows
+      // Switched windows: implicit region0_count = 8 (pure short; 9
+      // band-units = 3 short bands counted once per window) or 7 (start/
+      // stop/mixed, long bands).  At every MPEG-1 rate sfb_l[8] == 36 —
+      // the constant many decoders hard-code — but at LSF rates it is 54,
+      // so derive it from the table.
+      region1 = (gc.block_type == 2 && !gc.mixed_block) ? 3 * sfb_s[3]
+                                                        : sfb_l[8];
       region2 = 576;
     } else {
       const int r0 = std::min(gc.region0_count + 1, 22);
@@ -605,17 +737,46 @@ struct Decoder {
 // ------------------------------------------------- stereo processing
 
 void apply_stereo(const FrameHeader& h, const GrCh& gc_r,
-                  const ScaleFactors& sf_r, int sr_index, int zero_bound_r,
-                  float* xl, float* xr_ch) {
+                  const ScaleFactors& sf_r, int sfb_row, int int_scale,
+                  int zero_bound_r, float* xl, float* xr_ch) {
   const bool ms = (h.mode == 1) && (h.mode_ext & 2);
   const bool intensity = (h.mode == 1) && (h.mode_ext & 1);
   const double invsq = 1.0 / std::sqrt(2.0);
+  // LSF intensity ratio base (ISO 13818-3); MPEG-1 uses the tan table.
+  const double io = int_scale ? std::sqrt(0.5) : std::pow(2.0, -0.25);
+  const int lsf = h.lsf;
+
+  auto ms_one = [&](int i) {
+    const double m = xl[i] * invsq, s2 = xr_ch[i] * invsq;
+    xl[i] = (float)(m + s2);
+    xr_ch[i] = (float)(m - s2);
+  };
+  auto is_one = [&](int pos, int ill, int i) {
+    if (pos == ill) {  // illegal position: fall back to MS/LR for the band
+      if (ms) ms_one(i);
+      return;
+    }
+    double kl, kr;
+    if (lsf) {
+      const double t = std::pow(io, (double)((pos + 1) >> 1));
+      kl = (pos & 1) ? t : 1.0;
+      kr = (pos & 1) ? 1.0 : t;
+    } else {
+      const double r = std::tan(pos * M_PI / 12.0);
+      kl = r / (1.0 + r);
+      kr = 1.0 / (1.0 + r);
+    }
+    const double v = xl[i];
+    xl[i] = (float)(v * kl);
+    xr_ch[i] = (float)(v * kr);
+  };
+
   int is_start = 576;
   if (intensity) {
     // Intensity applies above the right channel's zero boundary, aligned
     // DOWN to a scalefactor band edge.
-    const int16_t* sfb_l = kSfbLong[sr_index];
-    const int16_t* sfb_s = kSfbShort[sr_index];
+    const int16_t* sfb_l = kSfbLong[sfb_row];
+    const int16_t* sfb_s = kSfbShort[sfb_row];
     if (gc_r.window_switching && gc_r.block_type == 2) {
       // Per-window zero bound (conservative: shared bound over windows).
       int band = 12;
@@ -626,53 +787,22 @@ void apply_stereo(const FrameHeader& h, const GrCh& gc_r,
         for (int w = 0; w < 3; ++w) {
           const int pos = sf_r.s[w][b2];
           const int base = 3 * sfb_s[b2];
-          for (int k = 0; k < width; ++k) {
-            const int i = base + 3 * k + w;
-            if (pos == 7) {  // illegal: fall back to MS/LR for the band
-              if (ms) {
-                const double m = xl[i] * invsq, s2 = xr_ch[i] * invsq;
-                xl[i] = (float)(m + s2);
-                xr_ch[i] = (float)(m - s2);
-              }
-            } else {
-              const double r = std::tan(pos * M_PI / 12.0);
-              const double v = xl[i];
-              xl[i] = (float)(v * (r / (1.0 + r)));
-              xr_ch[i] = (float)(v * (1.0 / (1.0 + r)));
-            }
-          }
+          for (int k = 0; k < width; ++k)
+            is_one(pos, sf_r.ill_s[b2], base + 3 * k + w);
         }
       }
     } else {
       int band = 21;
       while (band > 0 && sfb_l[band] >= zero_bound_r) --band;
       is_start = sfb_l[band + 1 <= 21 ? band + 1 : 21];
-      for (int b2 = band + 1; b2 <= 21; ++b2) {
-        const int pos = sf_r.l[b2];
-        for (int i = sfb_l[b2]; i < sfb_l[b2 + 1]; ++i) {
-          if (pos == 7) {
-            if (ms) {
-              const double m = xl[i] * invsq, s2 = xr_ch[i] * invsq;
-              xl[i] = (float)(m + s2);
-              xr_ch[i] = (float)(m - s2);
-            }
-          } else {
-            const double r = std::tan(pos * M_PI / 12.0);
-            const double v = xl[i];
-            xl[i] = (float)(v * (r / (1.0 + r)));
-            xr_ch[i] = (float)(v * (1.0 / (1.0 + r)));
-          }
-        }
-      }
+      for (int b2 = band + 1; b2 <= 21; ++b2)
+        for (int i = sfb_l[b2]; i < sfb_l[b2 + 1]; ++i)
+          is_one(sf_r.l[b2], sf_r.ill_l[b2], i);
     }
   }
   if (ms) {
     const int until = intensity ? is_start : 576;
-    for (int i = 0; i < until; ++i) {
-      const double m = xl[i] * invsq, s2 = xr_ch[i] * invsq;
-      xl[i] = (float)(m + s2);
-      xr_ch[i] = (float)(m - s2);
-    }
+    for (int i = 0; i < until; ++i) ms_one(i);
   }
 }
 
@@ -734,7 +864,9 @@ int next_frame(Stream* st, FrameHeader* h, size_t* frame_off) {
 // when the frame is metadata-only and must be skipped.
 bool is_info_frame(const std::vector<uint8_t>& f, size_t off,
                    const FrameHeader& h, int* enc_delay, int* enc_padding) {
-  const size_t side = (size_t)(h.channels == 1 ? 17 : 32) + (h.crc ? 2 : 0);
+  const size_t side = (size_t)(h.lsf ? (h.channels == 1 ? 9 : 17)
+                                     : (h.channels == 1 ? 17 : 32)) +
+                      (h.crc ? 2 : 0);
   const size_t tag = off + 4 + side;
   if (tag + 8 > f.size()) return false;
   if (std::memcmp(&f[tag], "Xing", 4) != 0 &&
@@ -784,7 +916,8 @@ int decode_file(const char* path, std::vector<std::vector<float>>* chans,
       if (is_info_frame(st.file, off, h, &st.enc_delay, &st.enc_padding))
         continue;  // metadata frame: no audio
       dec.rate = h.rate;
-      dec.sr_index = h.sr_index;
+      dec.sfb_row = h.sfb_row;
+      dec.lsf = h.lsf;
       dec.channels = h.channels;
       chans->assign((size_t)h.channels, {});
       first = false;
@@ -792,13 +925,15 @@ int decode_file(const char* path, std::vector<std::vector<float>>* chans,
       break;  // format change mid-stream: stop at the consistent prefix
     }
 
-    const size_t side_len = (size_t)(h.channels == 1 ? 17 : 32);
+    const size_t side_len =
+        (size_t)(h.lsf ? (h.channels == 1 ? 9 : 17)
+                       : (h.channels == 1 ? 17 : 32));
     size_t p = off + 4;
     if (h.crc) p += 2;  // CRC-16 over side info; mute-on-mismatch below
     if (p + side_len > st.file.size()) break;
     Bits sb(&st.file[p], side_len);
     SideInfo si;
-    const bool side_ok = parse_side_info(sb, h.channels, &si);
+    const bool side_ok = parse_side_info(sb, h.channels, h.lsf, &si);
     p += side_len;
 
     // Main data: append this frame's payload to the reservoir.
@@ -815,28 +950,37 @@ int decode_file(const char* path, std::vector<std::vector<float>>* chans,
       const size_t start = res_before - (size_t)si.main_data_begin;
       Bits mb(dec.reservoir.data() + start, dec.reservoir.size() - start);
       float xr[2][576];
-      for (int g = 0; g < kGranules && frame_ok; ++g) {
+      const int n_gr = h.lsf ? 1 : kGranules;
+      for (int g = 0; g < n_gr && frame_ok; ++g) {
         ScaleFactors sf[2];
         int zero_bound[2] = {576, 576};
+        int int_scale = 0;
         for (int ch = 0; ch < h.channels && frame_ok; ++ch) {
-          const GrCh& gc = si.gr[g][ch];
+          GrCh& gc = si.gr[g][ch];
           const size_t part2_start = mb.pos;
-          read_scalefactors(
-              mb, gc, si.scfsi[ch],
-              (g == 1 && dec.have_prev_sf[ch]) ? &dec.prev_sf[ch] : nullptr,
-              &sf[ch]);
-          if (g == 1) dec.prev_sf[ch] = sf[ch];
-          // scfsi copies need granule 0's factors within this frame:
-          if (g == 0) {
-            dec.prev_sf[ch] = sf[ch];
-            dec.have_prev_sf[ch] = true;
+          if (h.lsf) {
+            const int intensity_ch =
+                (h.mode == 1 && (h.mode_ext & 1) && ch == 1) ? 1 : 0;
+            const int bits = read_scalefactors_lsf(mb, gc, intensity_ch,
+                                                   &int_scale, &sf[ch]);
+            frame_ok = bits >= 0;
+          } else {
+            read_scalefactors(
+                mb, gc, si.scfsi[ch],
+                (g == 1 && dec.have_prev_sf[ch]) ? &dec.prev_sf[ch] : nullptr,
+                &sf[ch]);
+            if (g == 0) {
+              // scfsi copies need granule 0's factors within this frame.
+              dec.prev_sf[ch] = sf[ch];
+              dec.have_prev_sf[ch] = true;
+            }
           }
-          frame_ok = dec.decode_spectrum(mb, gc, sf[ch], part2_start,
-                                         xr[ch], &zero_bound[ch]) &&
-                     frame_ok;
+          frame_ok = frame_ok &&
+                     dec.decode_spectrum(mb, gc, sf[ch], part2_start,
+                                         xr[ch], &zero_bound[ch]);
           if (ch == 1 && frame_ok)
-            apply_stereo(h, si.gr[g][1], sf[1], dec.sr_index, zero_bound[1],
-                         xr[0], xr[1]);
+            apply_stereo(h, si.gr[g][1], sf[1], dec.sfb_row, int_scale,
+                         zero_bound[1], xr[0], xr[1]);
         }
         if (!frame_ok) break;
         for (int ch = 0; ch < h.channels; ++ch)
@@ -852,7 +996,7 @@ int decode_file(const char* path, std::vector<std::vector<float>>* chans,
       muted_lead = -1;  // at least one real frame decoded
     for (int ch = 0; ch < h.channels; ++ch)
       (*chans)[(size_t)ch].insert((*chans)[(size_t)ch].end(), pcm[ch],
-                                  pcm[ch] + kFrameSamples);
+                                  pcm[ch] + h.frame_samples);
 
     // Bound the reservoir (spec max 511 bytes of back-reference).
     if (dec.reservoir.size() > 4096) {

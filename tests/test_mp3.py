@@ -66,6 +66,28 @@ def test_fixture_transient_vbr_decodes():
     assert np.abs(x).max() > 5 * np.sqrt(np.mean(x**2))
 
 
+def test_fixture_lsf_decodes():
+    """MPEG-2 LSF (22.05 kHz) through the product path."""
+    x, rate = load_audio(os.path.join(FIXTURES, "lsf_22050.mp3"))
+    assert rate == 22050
+    # LAME writes no gapless tag for LSF streams, so the encoder delay +
+    # padding stay in the output (mpg123 behaves identically).
+    assert abs(len(x) - rate) < 2600
+    f1, f2 = _peak_freqs(x, rate)
+    assert abs(f1 - 330.0) < 4 and abs(f2 - 900.0) < 6
+
+
+def test_real_world_mpeg25_file():
+    """A real MPEG-2.5 file shipped with this environment (11.025 kHz
+    joint stereo) decodes through the product path."""
+    p = "/opt/venv/lib/python3.12/site-packages/pygame/examples/data/house_lo.mp3"
+    if not os.path.exists(p):
+        pytest.skip("pygame example mp3 not present")
+    x, rate = load_audio(p)
+    assert rate == 11025 and len(x) > 5 * rate
+    assert np.isfinite(x).all() and np.abs(x).max() > 0.1
+
+
 def test_garbage_mp3_fails_soft(tmp_path):
     p = str(tmp_path / "g.mp3")
     rng = np.random.default_rng(0)
@@ -141,16 +163,80 @@ def _snr_db(ref, got):
 
 
 @needs_libs
-@pytest.mark.parametrize("sr", [44100, 48000, 32000])
+@pytest.mark.parametrize(
+    "sr", [44100, 48000, 32000, 22050, 24000, 16000, 11025, 12000, 8000],
+)
 def test_oracle_mono_rates(tmp_path, sr):
+    """All nine MPEG-1 / MPEG-2 / MPEG-2.5 rates, float-exact vs the
+    independent oracle."""
     t = np.arange(2 * sr) / sr
-    x = (0.4 * np.sin(2 * np.pi * 440 * t) + 0.1 * np.sin(2 * np.pi * 3000 * t)).astype(np.float32)
+    f_hi = min(3000, sr // 3)
+    x = (0.4 * np.sin(2 * np.pi * 440 * t) + 0.1 * np.sin(2 * np.pi * f_hi * t)).astype(np.float32)
     p = str(tmp_path / f"m{sr}.mp3")
-    lame_encode(p, x, sr, kbps=128, mode=3)
+    lame_encode(p, x, sr, kbps=128 if sr >= 32000 else (48 if sr > 12000 else 24), mode=3)
     ref, r1 = mpg123_decode(p)
     got, r2 = _mlx_decode(p)
     assert r1 == r2 == sr and len(ref) == len(got)
     assert _snr_db(ref, got) < -100.0
+
+
+@needs_libs
+@pytest.mark.parametrize("sr", [22050, 11025])
+def test_oracle_lsf_joint_stereo(tmp_path, sr):
+    t = np.arange(2 * sr) / sr
+    x = np.stack(
+        [0.4 * np.sin(2 * np.pi * 330 * t),
+         0.32 * np.sin(2 * np.pi * 330 * t + 0.4) + 0.1 * np.sin(2 * np.pi * 700 * t)],
+        axis=1,
+    ).astype(np.float32)
+    p = str(tmp_path / "js.mp3")
+    lame_encode(p, x, sr, kbps=48 if sr > 12000 else 32, mode=1)
+    ref, _ = mpg123_decode(p)
+    got, _ = _mlx_decode(p)
+    assert ref.shape == got.shape
+    assert _snr_db(ref.ravel(), got.ravel()) < -100.0
+
+
+@needs_libs
+def test_oracle_lsf_short_blocks(tmp_path):
+    sr = 22050
+    rng = np.random.default_rng(4)
+    click = np.zeros(2 * sr, np.float32)
+    for k in range(12):
+        p0 = 1500 + k * 3200
+        click[p0 : p0 + 50] = (
+            0.8 * np.sin(2 * np.pi * 1500 * np.arange(50) / sr) * np.hanning(50)
+        ).astype(np.float32)
+    click += (0.04 * rng.standard_normal(len(click))).astype(np.float32)
+    p = str(tmp_path / "lt.mp3")
+    lame_encode(p, click, sr, kbps=64, mode=3)
+    ref, _ = mpg123_decode(p)
+    got, _ = _mlx_decode(p)
+    assert len(ref) == len(got)
+    assert _snr_db(ref, got) < -100.0
+
+
+@needs_libs
+def test_oracle_real_world_files():
+    """Environment-shipped real MP3s vs the oracle (MPEG-2/2.5)."""
+    cands = [
+        "/opt/venv/lib/python3.12/site-packages/pygame/examples/data/house_lo.mp3",
+        "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/test_data/test.mp3",
+    ]
+    checked = 0
+    for p in cands:
+        if not os.path.exists(p):
+            continue
+        ref, r1 = mpg123_decode(p)
+        got, r2 = _mlx_decode(p)
+        assert r1 == r2
+        a = ref.ravel() if ref.ndim == 2 else ref
+        b = got.ravel() if got.ndim == 2 else got
+        if np.abs(a).max() > 0:
+            assert _snr_db(a, b) < -100.0, p
+        checked += 1
+    if not checked:
+        pytest.skip("no real-world mp3s present")
 
 
 @needs_libs

