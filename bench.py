@@ -190,6 +190,163 @@ def _granular_parity_max_err() -> float:
     return float(np.max(np.abs(got[:n] - want[:n])))
 
 
+def _interactive_latency_ms(x: np.ndarray, sr: int) -> dict:
+    """Interactive-latency artifacts, measured on this chip (VERDICT round
+    2, next #3).  Targets: the reference's 20 ms-class worker poll for
+    tiles (spec.cpp:83) and its one-audio-buffer edit->audio latency
+    (~23 ms at 44.1k, app.cpp:243).
+
+    * tile_burst_*: 100 zoomed-view columns requested -> RGB texels on the
+      host (the UI's frame-fill path).  Cold includes the first device
+      dispatch of the session (compile served from the persistent cache);
+      warm is a second burst at different positions.
+    * edit_to_audio: marker edit -> first fresh PV audio buffer from the
+      live player (the quality engine's hear-the-edit loop).
+    """
+    from melonix_tpu.config import DEFAULT_CONFIG
+    from melonix_tpu.runtime.tiles import TileServer
+
+    out: dict = {}
+    cfg = DEFAULT_CONFIG
+    srv = TileServer(x, k=cfg.brightness_to_k(), config=cfg)
+    try:
+        span = int(0.02 * sr)
+
+        def burst(key0: int) -> float:
+            keys = [(key0 + i, (i + 1) * len(x) // 128 - span, (i + 1) * len(x) // 128)
+                    for i in range(100)]
+            t0 = time.perf_counter()
+            pending = {k: (s, e) for k, s, e in keys}
+            for k, (s, e) in pending.items():
+                srv.get_tile(k, s, e)
+            deadline = t0 + 600.0
+            while pending and time.perf_counter() < deadline:
+                done = [k for k, (s, e) in pending.items()
+                        if srv.get_tile(k, s, e) is not None]
+                for k in done:
+                    del pending[k]
+                if pending:
+                    time.sleep(0.001)
+            if pending:
+                raise TimeoutError(f"{len(pending)} tiles never arrived")
+            return (time.perf_counter() - t0) * 1000.0
+
+        out["tile_burst_cold_ms"] = round(burst(0), 1)
+        out["tile_burst_warm_ms"] = round(burst(1000), 1)
+    finally:
+        srv.close()
+
+    from melonix_tpu.engine.grains import build_grain_table
+    from melonix_tpu.engine.maps import MapKnots
+    from melonix_tpu.engine.player import Player
+    from melonix_tpu.markers import Marker
+
+    short = x[: 20 * sr]
+    table = build_grain_table(short)
+    knots = MapKnots.from_markers([], sr, len(short))
+    bent = MapKnots.from_markers(
+        [Marker(sr, 57.0, 0.0, 4.0), Marker(10 * sr, 57.0, 0.0, 4.0)], sr, len(short)
+    )
+    for engine in ("granular", "pv"):
+        player = Player(short, table, knots, engine=engine)
+        player.toggle()
+        player.callback(1024)  # warm: backlog planned / stream stretched
+        t0 = time.perf_counter()
+        player.set_knots(bent)  # the edit
+        buf = player.callback(1024)  # first fresh buffer on the new curve
+        out[f"edit_to_audio_{engine}_ms"] = round(
+            (time.perf_counter() - t0) * 1000.0, 1
+        )
+        assert np.isfinite(buf).all()
+    return out
+
+
+def _sharded_pallas_compose_ms() -> float:
+    """Compile-and-run the shard_map + Mosaic composition on real hardware
+    (VERDICT round 2, next #6): a 1x1 mesh shard_map whose body runs the
+    fused Pallas PV analysis/synthesis chunk — the combination the CPU
+    test mesh can never exercise (Mosaic needs the TPU).  Returns the
+    wall ms for one jitted step."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from melonix_tpu.engine.phase_vocoder import _stretch_chunk_core
+    from melonix_tpu.engine.spectral import hann_window
+
+    size, hop, ch = 2048, 512, 256
+    sr = 44100
+    n = 8 * sr
+    t = np.arange(n) / sr
+    wav = (0.5 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
+    starts = (np.arange(ch, dtype=np.int32) * hop) % (n - size)
+    da = np.full(ch, float(hop), np.float32)
+    rho = np.ones(ch, np.float32)
+    win = jnp.asarray(hann_window(size))
+    mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1), ("data", "seq"))
+
+    def body(w, st, d, r, wn, phi0, resid, phip):
+        y, _res, _php, _p0 = _stretch_chunk_core(
+            w[0], st[0], d[0], r[0], wn[0], jnp.int32(0), jnp.int32(ch),
+            phi0[0], resid[0], phip[0],
+            size=size, hop=hop, n_frames_c=ch, fused=True,
+        )
+        return y[None]
+
+    f = jax.jit(
+        jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
+            out_specs=P(),
+            # Pallas calls don't annotate varying-mesh-axes metadata; the
+            # 1x1 mesh makes the check moot.
+            check_vma=False,
+        )
+    )
+    z = jnp.zeros(size, jnp.float32)
+    args = (
+        jnp.asarray(wav)[None], jnp.asarray(starts)[None],
+        jnp.asarray(da)[None], jnp.asarray(rho)[None], win[None],
+        z[None], z[None], z[None],
+    )
+    y = f(*args)  # compile + run
+    assert bool(jnp.isfinite(y).all()) and bool(jnp.any(y != 0.0))
+    t0 = time.perf_counter()
+    y = f(*args)
+    _ = float(y[0, 1234])  # anchor: force execution through the tunnel
+    return (time.perf_counter() - t0) * 1000.0
+
+
+def _hour_scale_x_realtime() -> float:
+    """Opt-in (MELONIX_BENCH_HOUR=1): a 60-minute track through the
+    chunked PV path on the chip — the int32-anchor + f32-residual position
+    machinery at the scale its precision claims are about (VERDICT round
+    2, next #8).  Returns x-realtime from wall clock (chunked host loop:
+    the trace would span many dispatches)."""
+    from melonix_tpu.engine.maps import MapKnots
+    from melonix_tpu.engine.phase_vocoder import render_track_pv
+    from melonix_tpu.markers import Marker
+
+    sr = 44100
+    seconds = 3600.0
+    n = int(sr * seconds)
+    t = np.arange(n, dtype=np.float64) / sr
+    x = (0.4 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
+    markers = [
+        Marker(sample=int((i + 1) * n / 8), note=57.0, d_time=0.0,
+               pitch_bend=float((-1) ** i) * 2.0)
+        for i in range(6)
+    ]
+    knots = MapKnots.from_markers(markers, sr, n)
+    t0 = time.perf_counter()
+    out = render_track_pv(x, knots)
+    anchor = float(out[n // 2]) + float(out[-sr])
+    dt = time.perf_counter() - t0
+    assert np.isfinite(anchor), "hour-scale render produced non-finite audio"
+    assert np.abs(out[sr : 2 * sr]).max() > 0.01, "hour-scale render silent"
+    return seconds / dt
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -263,6 +420,29 @@ def main() -> None:
         pv_cents = None
         print(f"# pv pitch check failed: {exc!r}", file=sys.stderr)
 
+    # --- Interactive latency artifacts (VERDICT r2 #3) ---
+    try:
+        latency = _interactive_latency_ms(x, sr)
+    except Exception as exc:
+        latency = {}
+        print(f"# interactive latency check failed: {exc!r}", file=sys.stderr)
+
+    # --- shard_map + Mosaic composition on the real chip (VERDICT r2 #6) ---
+    shard_pallas_ms = None
+    if jax.default_backend() == "tpu":
+        try:
+            shard_pallas_ms = round(_sharded_pallas_compose_ms(), 1)
+        except Exception as exc:
+            print(f"# sharded+pallas compose failed: {exc!r}", file=sys.stderr)
+
+    # --- Opt-in hour-scale artifact (VERDICT r2 #8) ---
+    hour_x = None
+    if os.environ.get("MELONIX_BENCH_HOUR") == "1":
+        try:
+            hour_x = round(_hour_scale_x_realtime(), 1)
+        except Exception as exc:
+            print(f"# hour-scale render failed: {exc!r}", file=sys.stderr)
+
     value = seconds / (dev_ms / 1000.0)
     result = {
         "metric": "stft+phase-vocoder render audio-sec/sec/chip (180s song, 2048/75% Hann + 12-marker PV edit); snr_db = 32768-pt reference-column spectral error vs float64 oracle",
@@ -271,13 +451,22 @@ def main() -> None:
         "vs_baseline": round(value / 100.0, 3),
         "snr_db": None if snr_db is None else round(snr_db, 1),
         "snr_pallas_db": None if snr_pallas_db is None else round(snr_pallas_db, 1),
+        # Interactive latency (20 ms-class target: spec.cpp:83 worker poll;
+        # ~23 ms audio buffer app.cpp:243).
+        **latency,
     }
+    if shard_pallas_ms is not None:
+        result["shard_pallas_ms"] = shard_pallas_ms
+    if hour_x is not None:
+        result["hour_x_realtime"] = hour_x
     print(json.dumps(result))
     # Diagnostic breakdown (ignored by the driver):
     print(
         f"# breakdown: device={dev_ms:.1f}ms/iter ({source}) wall={t_wall:.3f}s/iter "
         f"granular_parity_max_err={gran_err} "
         f"pv_pitch_err_cents={None if pv_cents is None else round(pv_cents, 2)} "
+        f"latency={latency} shard_pallas_ms={shard_pallas_ms} "
+        f"hour_x_realtime={hour_x} "
         f"platform={jax.devices()[0].platform}",
         file=sys.stderr,
     )

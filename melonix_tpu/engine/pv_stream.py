@@ -53,6 +53,27 @@ def _normalize_span(y, y_norm, wsum_pad, off, span: int):
     return jax.lax.dynamic_update_slice(y_norm, seg / ws, (off,))
 
 
+@partial(jax.jit, static_argnames=("size", "hop", "ch", "formant", "fused",
+                                   "span"))
+def _advance_fused(wav, starts_c, da_c, rho_c, win, m0_local, f_real,
+                   phi0, resid, phi_prev, y, y_norm, wsum_pad, acc_off,
+                   norm_off, size, hop, ch, formant, fused, span):
+    """One chunk advance as ONE device program: stretch + accumulate +
+    finalize the newly-covered span.  The interactive restart path is
+    dispatch-latency bound (each round trip through a remote-dispatch
+    tunnel costs ~0.1-1 s), so fusing the three steps cuts the edit ->
+    first-fresh-audio latency accordingly."""
+    y_c, resid, phi_prev, phi0 = pv._stretch_chunk(
+        wav, starts_c, da_c, rho_c, win, m0_local, f_real,
+        phi0, resid, phi_prev, size, hop, ch, formant=formant, fused=fused,
+    )
+    y = pv._accum_at(y, y_c, acc_off)
+    seg = jax.lax.dynamic_slice(y, (norm_off,), (span,))
+    ws = jax.lax.dynamic_slice(wsum_pad, (norm_off,), (span,))
+    y_norm = jax.lax.dynamic_update_slice(y_norm, seg / ws, (norm_off,))
+    return y, y_norm, resid, phi_prev, phi0
+
+
 @partial(jax.jit, static_argnames=("q", "blk", "stretch_len"))
 def _read_quantum(y_norm, src_rel, base, b0, q: int, blk: int, stretch_len: int):
     """Resample output samples [b0*blk, b0*blk + q) from the stretched buffer."""
@@ -139,6 +160,7 @@ class PvStream:
     def _advance_to(self, s_hi: float) -> None:
         """Stretch frames until stretched samples < s_hi are finalized."""
         plan, hop = self.plan, self.plan.hop
+        span = self._ch * hop  # static shape; buffer slack absorbs the tail
         while (
             self._frames_done < plan.n_frames
             and self._frames_done * hop <= s_hi
@@ -146,30 +168,31 @@ class PvStream:
             m0_g = self._frames_done
             m0_local = m0_g - self._m_start
             starts_c, da_c, rho_c, f_real = pv._chunk_arrays(plan, m0_g, self._ch)
-            y_c, self._resid, self._phi_prev, self._phi0 = pv._stretch_chunk(
+            # One fused dispatch: stretch + accumulate + finalize the span
+            # [fin, fin + ch*hop) that this chunk fully covers.
+            (self._y, self._y_norm, self._resid, self._phi_prev,
+             self._phi0) = _advance_fused(
                 self._wav_dev, jnp.asarray(starts_c), jnp.asarray(da_c),
                 jnp.asarray(rho_c), self._win,
                 jnp.int32(m0_local), jnp.int32(f_real),
                 self._phi0, self._resid, self._phi_prev,
+                self._y, self._y_norm, self._wsum_pad,
+                jnp.int32(m0_g * hop), jnp.int32(self._fin),
                 plan.size, hop, self._ch,
-                formant=self.preserve_formants, fused=self._fused,
+                self.preserve_formants, self._fused, span,
             )
-            self._y = pv._accum_at(self._y, y_c, jnp.int32(m0_g * hop))
             self._frames_done = min(m0_g + self._ch, plan.n_frames)
-            # Finalize: all samples below frames_done*hop now have every
-            # contributing frame (the tail once the last frame landed).
-            fin_hi = (
-                plan.stretch_len
-                if self._frames_done >= plan.n_frames
-                else self._frames_done * hop
-            )
-            span = self._ch * hop  # static shape; slack absorbs the tail
-            while self._fin < fin_hi:
-                self._y_norm = _normalize_span(
-                    self._y, self._y_norm, self._wsum_pad,
-                    jnp.int32(self._fin), span,
-                )
-                self._fin = min(self._fin + span, fin_hi)
+            self._fin += span
+            if self._frames_done >= plan.n_frames:
+                # Tail: finalize the remaining (size - hop) overhang (all
+                # frames have landed) with at most one extra span.
+                while self._fin < plan.stretch_len:
+                    self._y_norm = _normalize_span(
+                        self._y, self._y_norm, self._wsum_pad,
+                        jnp.int32(self._fin), span,
+                    )
+                    self._fin += span
+                self._fin = plan.stretch_len
 
     # -- the pull API ------------------------------------------------------
 
