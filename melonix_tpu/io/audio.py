@@ -77,6 +77,20 @@ def load_audio(path: str, *, mono: bool = True) -> tuple[np.ndarray, int]:
                 raise DecodeError(str(e)) from e
         # No native runtime built: fall through to the ffmpeg path.
 
+    if lower.endswith((".ogg", ".oga")):
+        from ..runtime import native
+
+        lib = native.try_load()
+        if lib is not None and hasattr(lib, "mlx_vorbis_info"):
+            try:
+                return native.decode_vorbis(lib, path, mono=mono)
+            except ValueError as e:
+                # Non-Vorbis Ogg payloads (Opus, FLAC-in-Ogg, chained
+                # streams) are out of the native decoder's scope: fall
+                # through to ffmpeg when present.
+                if shutil.which("ffmpeg") is None:
+                    raise DecodeError(str(e)) from e
+
     if lower.endswith(".mp3"):
         from ..runtime import native
 

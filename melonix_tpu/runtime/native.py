@@ -289,3 +289,49 @@ def decode_mp3(lib: ctypes.CDLL, path: str, *, mono: bool = True):
     if rc != 0:
         raise ValueError(f"{path}: native MP3 read failed (rc {rc})")
     return out, int(rate.value)
+
+
+def decode_vorbis(lib: ctypes.CDLL, path: str, *, mono: bool = True):
+    """Native Ogg Vorbis decode → (float32 (n,) or (n, ch), rate); raises
+    ValueError on bad/unsupported input (fail-soft contract).  Same
+    two-call protocol as WAV/FLAC/MP3 (native/vorbis_decode.cpp)."""
+    if not hasattr(lib, "mlx_vorbis_info"):
+        return None
+    lib.mlx_vorbis_info.restype = ctypes.c_int32
+    lib.mlx_vorbis_info.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.mlx_vorbis_read.restype = ctypes.c_int32
+    lib.mlx_vorbis_read.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.c_int32,
+    ]
+    n = ctypes.c_int64()
+    ch = ctypes.c_int32()
+    rate = ctypes.c_int32()
+    bits = ctypes.c_int32()
+    rc = lib.mlx_vorbis_info(
+        path.encode(), ctypes.byref(n), ctypes.byref(ch),
+        ctypes.byref(rate), ctypes.byref(bits),
+    )
+    if rc != 0:
+        raise ValueError(f"{path}: not a decodable Ogg Vorbis stream (native rc {rc})")
+    frames = int(n.value)
+    channels = int(ch.value)
+    shape = (frames,) if (mono or channels == 1) else (frames, channels)
+    out = np.zeros(shape, np.float32)
+    rc = lib.mlx_vorbis_read(
+        path.encode(),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        frames,
+        1 if mono else 0,
+    )
+    if rc != 0:
+        raise ValueError(f"{path}: native Vorbis read failed (rc {rc})")
+    return out, int(rate.value)
