@@ -161,177 +161,66 @@ def build_grains(lib: ctypes.CDLL, wav: np.ndarray, pgs: int):
     return GrainTable(starts[:count].copy(), lengths[:count].copy())
 
 
-def decode_wav(lib: ctypes.CDLL, path: str, *, mono: bool = True):
-    """Native WAV decode → (float32 (n,) or (n, ch), rate); None = can't."""
-    if not hasattr(lib, "mlx_wav_info"):
-        return None
-    lib.mlx_wav_info.restype = ctypes.c_int32
-    lib.mlx_wav_info.argtypes = [
-        ctypes.c_char_p,
-        ctypes.POINTER(ctypes.c_int64),
-        ctypes.POINTER(ctypes.c_int32),
-        ctypes.POINTER(ctypes.c_int32),
-    ]
-    lib.mlx_wav_read.restype = ctypes.c_int32
-    lib.mlx_wav_read.argtypes = [
-        ctypes.c_char_p,
-        ctypes.POINTER(ctypes.c_float),
-        ctypes.c_int64,
-        ctypes.c_int32,
-    ]
+def _decode_two_call(lib: ctypes.CDLL, prefix: str, label: str, path: str,
+                     *, mono: bool, has_bits: bool = True):
+    """Drive a native decoder's two-call info/read protocol.
+
+    Every codec (WAV/FLAC/MP3/Vorbis) exports ``mlx_<prefix>_info`` (fills
+    frame count / channels / rate so the caller can size the buffer) and
+    ``mlx_<prefix>_read`` (fills the buffer, interleaved or downmixed).
+    Returns (float32 (n,) or (n, ch), rate); raises ValueError on bad or
+    unsupported input (fail-soft contract: callers keep prior state,
+    app.cpp:628-694).  WAV's info has no bits out-param (has_bits=False).
+    """
+    info = getattr(lib, f"mlx_{prefix}_info")
+    read = getattr(lib, f"mlx_{prefix}_read")
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    info.restype = ctypes.c_int32
+    info.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+                     i32p, i32p] + ([i32p] if has_bits else [])
+    read.restype = ctypes.c_int32
+    read.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+                     ctypes.c_int64, ctypes.c_int32]
     n = ctypes.c_int64()
     ch = ctypes.c_int32()
     rate = ctypes.c_int32()
-    rc = lib.mlx_wav_info(path.encode(), ctypes.byref(n), ctypes.byref(ch), ctypes.byref(rate))
+    bits = ctypes.c_int32()
+    args = [path.encode(), ctypes.byref(n), ctypes.byref(ch), ctypes.byref(rate)]
+    if has_bits:
+        args.append(ctypes.byref(bits))
+    rc = info(*args)
     if rc != 0:
-        raise ValueError(f"{path}: not a decodable WAV (native rc {rc})")
+        raise ValueError(f"{path}: not a decodable {label} (native rc {rc})")
     frames = int(n.value)
     channels = int(ch.value)
     shape = (frames,) if (mono or channels == 1) else (frames, channels)
     out = np.zeros(shape, np.float32)
-    rc = lib.mlx_wav_read(
+    rc = read(
         path.encode(),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         frames,
         1 if mono else 0,
     )
     if rc != 0:
-        raise ValueError(f"{path}: native WAV read failed (rc {rc})")
+        raise ValueError(f"{path}: native {label} read failed (rc {rc})")
     return out, int(rate.value)
+
+
+def decode_wav(lib: ctypes.CDLL, path: str, *, mono: bool = True):
+    """Native WAV decode (native/melonix_native.cpp)."""
+    return _decode_two_call(lib, "wav", "WAV", path, mono=mono, has_bits=False)
 
 
 def decode_flac(lib: ctypes.CDLL, path: str, *, mono: bool = True):
-    """Native FLAC decode → (float32 (n,) or (n, ch), rate); raises on bad
-    input (fail-soft contract: callers keep prior state, app.cpp:628-694)."""
-    if not hasattr(lib, "mlx_flac_info"):
-        return None
-    lib.mlx_flac_info.restype = ctypes.c_int32
-    lib.mlx_flac_info.argtypes = [
-        ctypes.c_char_p,
-        ctypes.POINTER(ctypes.c_int64),
-        ctypes.POINTER(ctypes.c_int32),
-        ctypes.POINTER(ctypes.c_int32),
-        ctypes.POINTER(ctypes.c_int32),
-    ]
-    lib.mlx_flac_read.restype = ctypes.c_int32
-    lib.mlx_flac_read.argtypes = [
-        ctypes.c_char_p,
-        ctypes.POINTER(ctypes.c_float),
-        ctypes.c_int64,
-        ctypes.c_int32,
-    ]
-    n = ctypes.c_int64()
-    ch = ctypes.c_int32()
-    rate = ctypes.c_int32()
-    bits = ctypes.c_int32()
-    rc = lib.mlx_flac_info(
-        path.encode(), ctypes.byref(n), ctypes.byref(ch),
-        ctypes.byref(rate), ctypes.byref(bits),
-    )
-    if rc != 0:
-        raise ValueError(f"{path}: not a decodable FLAC (native rc {rc})")
-    frames = int(n.value)
-    channels = int(ch.value)
-    shape = (frames,) if (mono or channels == 1) else (frames, channels)
-    out = np.zeros(shape, np.float32)
-    rc = lib.mlx_flac_read(
-        path.encode(),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        frames,
-        1 if mono else 0,
-    )
-    if rc != 0:
-        raise ValueError(f"{path}: native FLAC read failed (rc {rc})")
-    return out, int(rate.value)
+    """Native FLAC decode (native/flac_decode.cpp)."""
+    return _decode_two_call(lib, "flac", "FLAC", path, mono=mono)
 
 
 def decode_mp3(lib: ctypes.CDLL, path: str, *, mono: bool = True):
-    """Native MPEG-1 Layer III decode → (float32 (n,) or (n, ch), rate);
-    raises ValueError on bad/unsupported input (fail-soft contract).  Same
-    two-call protocol as WAV/FLAC (native/mp3_decode.cpp)."""
-    if not hasattr(lib, "mlx_mp3_info"):
-        return None
-    lib.mlx_mp3_info.restype = ctypes.c_int32
-    lib.mlx_mp3_info.argtypes = [
-        ctypes.c_char_p,
-        ctypes.POINTER(ctypes.c_int64),
-        ctypes.POINTER(ctypes.c_int32),
-        ctypes.POINTER(ctypes.c_int32),
-        ctypes.POINTER(ctypes.c_int32),
-    ]
-    lib.mlx_mp3_read.restype = ctypes.c_int32
-    lib.mlx_mp3_read.argtypes = [
-        ctypes.c_char_p,
-        ctypes.POINTER(ctypes.c_float),
-        ctypes.c_int64,
-        ctypes.c_int32,
-    ]
-    n = ctypes.c_int64()
-    ch = ctypes.c_int32()
-    rate = ctypes.c_int32()
-    bits = ctypes.c_int32()
-    rc = lib.mlx_mp3_info(
-        path.encode(), ctypes.byref(n), ctypes.byref(ch),
-        ctypes.byref(rate), ctypes.byref(bits),
-    )
-    if rc != 0:
-        raise ValueError(f"{path}: not a decodable MPEG-1 L3 stream (native rc {rc})")
-    frames = int(n.value)
-    channels = int(ch.value)
-    shape = (frames,) if (mono or channels == 1) else (frames, channels)
-    out = np.zeros(shape, np.float32)
-    rc = lib.mlx_mp3_read(
-        path.encode(),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        frames,
-        1 if mono else 0,
-    )
-    if rc != 0:
-        raise ValueError(f"{path}: native MP3 read failed (rc {rc})")
-    return out, int(rate.value)
+    """Native MPEG-1/2/2.5 Layer III decode (native/mp3_decode.cpp)."""
+    return _decode_two_call(lib, "mp3", "MPEG-1 L3 stream", path, mono=mono)
 
 
 def decode_vorbis(lib: ctypes.CDLL, path: str, *, mono: bool = True):
-    """Native Ogg Vorbis decode → (float32 (n,) or (n, ch), rate); raises
-    ValueError on bad/unsupported input (fail-soft contract).  Same
-    two-call protocol as WAV/FLAC/MP3 (native/vorbis_decode.cpp)."""
-    if not hasattr(lib, "mlx_vorbis_info"):
-        return None
-    lib.mlx_vorbis_info.restype = ctypes.c_int32
-    lib.mlx_vorbis_info.argtypes = [
-        ctypes.c_char_p,
-        ctypes.POINTER(ctypes.c_int64),
-        ctypes.POINTER(ctypes.c_int32),
-        ctypes.POINTER(ctypes.c_int32),
-        ctypes.POINTER(ctypes.c_int32),
-    ]
-    lib.mlx_vorbis_read.restype = ctypes.c_int32
-    lib.mlx_vorbis_read.argtypes = [
-        ctypes.c_char_p,
-        ctypes.POINTER(ctypes.c_float),
-        ctypes.c_int64,
-        ctypes.c_int32,
-    ]
-    n = ctypes.c_int64()
-    ch = ctypes.c_int32()
-    rate = ctypes.c_int32()
-    bits = ctypes.c_int32()
-    rc = lib.mlx_vorbis_info(
-        path.encode(), ctypes.byref(n), ctypes.byref(ch),
-        ctypes.byref(rate), ctypes.byref(bits),
-    )
-    if rc != 0:
-        raise ValueError(f"{path}: not a decodable Ogg Vorbis stream (native rc {rc})")
-    frames = int(n.value)
-    channels = int(ch.value)
-    shape = (frames,) if (mono or channels == 1) else (frames, channels)
-    out = np.zeros(shape, np.float32)
-    rc = lib.mlx_vorbis_read(
-        path.encode(),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        frames,
-        1 if mono else 0,
-    )
-    if rc != 0:
-        raise ValueError(f"{path}: native Vorbis read failed (rc {rc})")
-    return out, int(rate.value)
+    """Native Ogg Vorbis decode (native/vorbis_decode.cpp)."""
+    return _decode_two_call(lib, "vorbis", "Ogg Vorbis stream", path, mono=mono)

@@ -192,6 +192,13 @@ bool read_residual(Bits& b, int order, int blocksize, int32_t* res) {
   return true;
 }
 
+// Wrapping 32-bit narrowing: legal streams never overflow the predictor
+// arithmetic, but corrupt residuals can, and signed overflow is UB —
+// compute in 64-bit and wrap explicitly (fail-soft garbage, not UB).
+static inline int32_t wrap32(int64_t v) {
+  return (int32_t)(uint32_t)(uint64_t)v;
+}
+
 bool read_subframe(Bits& b, int blocksize, int bps, int32_t* out) {
   if (b.u(1) != 0) return false;  // padding bit
   const uint32_t type = b.u(6);
@@ -213,19 +220,23 @@ bool read_subframe(Bits& b, int blocksize, int bps, int32_t* out) {
     switch (order) {
       case 0: break;
       case 1:
-        for (int i = 1; i < blocksize; ++i) out[i] += out[i - 1];
+        for (int i = 1; i < blocksize; ++i)
+          out[i] = wrap32((int64_t)out[i] + out[i - 1]);
         break;
       case 2:
         for (int i = 2; i < blocksize; ++i)
-          out[i] += 2 * out[i - 1] - out[i - 2];
+          out[i] = wrap32((int64_t)out[i] + 2 * (int64_t)out[i - 1] - out[i - 2]);
         break;
       case 3:
         for (int i = 3; i < blocksize; ++i)
-          out[i] += 3 * out[i - 1] - 3 * out[i - 2] + out[i - 3];
+          out[i] = wrap32((int64_t)out[i] + 3 * (int64_t)out[i - 1] -
+                          3 * (int64_t)out[i - 2] + out[i - 3]);
         break;
       case 4:
         for (int i = 4; i < blocksize; ++i)
-          out[i] += 4 * out[i - 1] - 6 * out[i - 2] + 4 * out[i - 3] - out[i - 4];
+          out[i] = wrap32((int64_t)out[i] + 4 * (int64_t)out[i - 1] -
+                          6 * (int64_t)out[i - 2] + 4 * (int64_t)out[i - 3] -
+                          out[i - 4]);
         break;
     }
   } else if (type & 0x20) {  // LPC
@@ -243,7 +254,7 @@ bool read_subframe(Bits& b, int blocksize, int bps, int32_t* out) {
     for (int i = order; i < blocksize; ++i) {
       int64_t acc = 0;
       for (int j = 0; j < order; ++j) acc += (int64_t)coef[j] * out[i - 1 - j];
-      out[i] += (int32_t)(acc >> shift);
+      out[i] = wrap32((int64_t)out[i] + (acc >> shift));
     }
   } else {
     return false;  // reserved subframe type

@@ -486,6 +486,11 @@ static int wav_parse(FILE* f, WavFmt* w) {
     if (size & 1) fseek(f, 1, SEEK_CUR);
   }
   if (w->data_pos < 0 || w->channels == 0 || w->bits == 0) return -4;
+  if (w->channels > 1024) return -4;  // libsndfile's sanity cap: a
+                                      // larger count is a corrupt header
+  if (w->rate == 0 || w->rate > 0x7FFFFFFFu)
+    return -4;  // rate crosses the int32 ABI; a wrapped-negative value
+                // would poison every duration/time computation downstream
   // Clamp the declared size to the actual payload (the reference's own
   // writer over-reports by 16, save-wav.cpp:43).
   if (fseek(f, 0, SEEK_END) != 0) return -3;

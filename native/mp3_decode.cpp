@@ -31,6 +31,7 @@
 #include <vector>
 
 #include "mp3_tables.h"
+#include "pcm_cache.h"
 
 namespace {
 
@@ -388,20 +389,22 @@ HuffLookup build_lookup(const uint16_t* codes, const uint8_t* lens, int n) {
 struct Tables {
   HuffLookup pair[32];
   HuffLookup quad[2];
-  bool init = false;
 };
 
-Tables g_tables;
-
-void init_tables() {
-  if (g_tables.init) return;
-  for (int t = 0; t < 32; ++t)
-    if (kHuffTabs[t].codes != nullptr)
-      g_tables.pair[t] = build_lookup(kHuffTabs[t].codes, kHuffTabs[t].lens,
-                                      kHuffTabs[t].xlen * kHuffTabs[t].xlen);
-  g_tables.quad[0] = build_lookup(kQuadCodesA, kQuadLensA, 16);
-  g_tables.quad[1] = build_lookup(kQuadCodesB, kQuadLensB, 16);
-  g_tables.init = true;
+// Magic-static once-init: thread-safe when two imports decode
+// concurrently (e.g. web-shell requests), unlike a hand-rolled flag.
+const Tables& tables() {
+  static const Tables t = [] {
+    Tables tb;
+    for (int t2 = 0; t2 < 32; ++t2)
+      if (kHuffTabs[t2].codes != nullptr)
+        tb.pair[t2] = build_lookup(kHuffTabs[t2].codes, kHuffTabs[t2].lens,
+                                   kHuffTabs[t2].xlen * kHuffTabs[t2].xlen);
+    tb.quad[0] = build_lookup(kQuadCodesA, kQuadLensA, 16);
+    tb.quad[1] = build_lookup(kQuadCodesB, kQuadLensB, 16);
+    return tb;
+  }();
+  return t;
 }
 
 // Decode one symbol; returns linear index or -1 on bit exhaustion.
@@ -440,13 +443,13 @@ int huff_decode(Bits& b, const HuffLookup& lk) {
 // --------------------------------------------------------- requantize
 
 float pow43(int v) {
-  static float table[8192];
-  static bool init = false;
-  if (!init) {
-    for (int i = 0; i < 8192; ++i) table[i] = std::pow((double)i, 4.0 / 3.0);
-    init = true;
-  }
-  return v < 8192 ? table[v] : (float)std::pow((double)v, 4.0 / 3.0);
+  // Magic-static once-init (thread-safe under concurrent decodes).
+  static const std::vector<float> table = [] {
+    std::vector<float> t(8192);
+    for (int i = 0; i < 8192; ++i) t[i] = (float)std::pow((double)i, 4.0 / 3.0);
+    return t;
+  }();
+  return v < 8192 ? table[(size_t)v] : (float)std::pow((double)v, 4.0 / 3.0);
 }
 
 // ---------------------------------------------------------- the state
@@ -513,7 +516,7 @@ struct Decoder {
   // Huffman + requantize + reorder one granule/channel into xr[576].
   bool decode_spectrum(Bits& b, const GrCh& gc, const ScaleFactors& sf,
                        size_t part2_start, float* xr, int* zero_bound) {
-    init_tables();
+    const Tables& g_tables = tables();
     const int16_t* sfb_l = kSfbLong[sfb_row];
     const int16_t* sfb_s = kSfbShort[sfb_row];
     int is[576];
@@ -576,9 +579,11 @@ struct Decoder {
     }
     if ((int)b.pos > pos_limit_bits) {
       // Overshot: the last quad read padding bits; drop it (spec behavior).
+      // Check BEFORE zeroing: when the big-values loop itself overshoots
+      // with idx < 4 (corrupt frame), is[idx-4] would write out of bounds.
       idx -= 4;
-      for (int k = 0; k < 4 && idx + k < 576; ++k) is[idx + k] = 0;
       if (idx < 0) return false;
+      for (int k = 0; k < 4 && idx + k < 576; ++k) is[idx + k] = 0;
     }
     *zero_bound = idx;
     b.pos = (size_t)pos_limit_bits;  // skip any stuffing bits
@@ -845,6 +850,7 @@ void skip_id3(Stream* st) {
 int next_frame(Stream* st, FrameHeader* h, size_t* frame_off) {
   const auto& f = st->file;
   size_t p = st->pos;
+  int unsupported = 0;  // first structurally-valid-but-unsupported header
   while (p + 4 <= f.size()) {
     if (f[p] == 0xFF && (f[p + 1] & 0xE0) == 0xE0) {
       const int rc = parse_header(&f[p], h);
@@ -853,11 +859,18 @@ int next_frame(Stream* st, FrameHeader* h, size_t* frame_off) {
         st->pos = p + (size_t)h->frame_bytes;
         return 0;
       }
-      if (rc < -20) return rc;  // structurally valid but unsupported
+      // A Layer I/II or free-format header here may be a real
+      // unsupported file OR junk bytes that happen to look like a sync
+      // (APE tags, broken ID3 sizes, leading garbage).  Keep scanning:
+      // a decodable frame later wins; report the unsupported code only
+      // if the whole file yields nothing (so genuine Layer II files
+      // still fail with the specific reason, not "garbage").
+      if (rc < -20 && unsupported == 0) unsupported = rc;
     }
     ++p;
   }
-  return 1;  // EOF
+  st->pos = p;
+  return unsupported != 0 ? unsupported : 1;  // specific reason or EOF
 }
 
 // Detect a Xing/Info header frame (and LAME gapless info).  Returns true
@@ -1027,6 +1040,10 @@ int decode_file(const char* path, std::vector<std::vector<float>>* chans,
 
 }  // namespace
 
+// info must decode everything for the sample-exact gapless length; park
+// the result so the immediately-following read decodes once, not twice.
+static melonix::PcmCache g_mp3_cache;
+
 extern "C" int32_t mlx_mp3_info(const char* path, int64_t* n_frames,
                                 int32_t* channels, int32_t* rate,
                                 int32_t* bits) {
@@ -1041,6 +1058,7 @@ extern "C" int32_t mlx_mp3_info(const char* path, int64_t* n_frames,
   *channels = nch;
   *rate = r;
   *bits = 16;  // nominal
+  g_mp3_cache.put(path, {std::move(chans), r});
   return 0;
 }
 
@@ -1048,8 +1066,15 @@ extern "C" int32_t mlx_mp3_read(const char* path, float* out,
                                 int64_t n_frames, int32_t mono) {
   std::vector<std::vector<float>> chans;
   int r = 0, nch = 0;
-  const int rc = decode_file(path, &chans, &r, &nch);
-  if (rc != 0) return rc;
+  melonix::CachedPcm cached;
+  if (g_mp3_cache.take(path, &cached)) {
+    chans = std::move(cached.chans);
+    r = cached.rate;
+    nch = (int)chans.size();
+  } else {
+    const int rc = decode_file(path, &chans, &r, &nch);
+    if (rc != 0) return rc;
+  }
   const int64_t have = (int64_t)chans[0].size();
   const float inv = mono ? 1.0f / (float)nch : 1.0f;
   for (int64_t i = 0; i < n_frames; ++i) {

@@ -34,28 +34,32 @@
 #include <string>
 #include <vector>
 
+#include "pcm_cache.h"
+
 namespace vorbis {
 
 // ----------------------------------------------------------- Ogg layer
 
-static uint32_t crc_table[256];
-static bool crc_init_done = false;
-
-static void crc_init() {
-  if (crc_init_done) return;
-  for (uint32_t i = 0; i < 256; ++i) {
-    uint32_t c = i << 24;
-    for (int j = 0; j < 8; ++j)
-      c = (c & 0x80000000u) ? ((c << 1) ^ 0x04c11db7u) : (c << 1);
-    crc_table[i] = c;
-  }
-  crc_init_done = true;
+// Magic-static once-init (thread-safe under concurrent decodes).
+static const uint32_t* crc_tab() {
+  static const std::vector<uint32_t> table = [] {
+    std::vector<uint32_t> t(256);
+    for (uint32_t i = 0; i < 256; ++i) {
+      uint32_t c = i << 24;
+      for (int j = 0; j < 8; ++j)
+        c = (c & 0x80000000u) ? ((c << 1) ^ 0x04c11db7u) : (c << 1);
+      t[i] = c;
+    }
+    return t;
+  }();
+  return table.data();
 }
 
 static uint32_t ogg_crc(const uint8_t* p, size_t n) {
+  const uint32_t* table = crc_tab();
   uint32_t c = 0;
   for (size_t i = 0; i < n; ++i)
-    c = (c << 8) ^ crc_table[((c >> 24) & 0xff) ^ p[i]];
+    c = (c << 8) ^ table[((c >> 24) & 0xff) ^ p[i]];
   return c;
 }
 
@@ -69,7 +73,6 @@ struct Packet {
 // scan).
 static bool ogg_packets(const std::vector<uint8_t>& d,
                         std::vector<Packet>* out) {
-  crc_init();
   size_t pos = 0;
   std::vector<uint8_t> pending;
   bool have_serial = false;
@@ -200,6 +203,11 @@ struct Codebook {
     if (r.read(24) != 0x564342u) return false;
     dim = (int)r.read(16);
     entries = (int)r.read(24);
+    // Bound allocations by what the packet can actually encode: every
+    // entry costs >= 1 bit (sparse flag / 5-bit length), so a 24-bit
+    // entry count beyond the remaining payload is garbage, not data.
+    // (A crafted header otherwise requests multi-GB buffers here.)
+    if ((size_t)entries > r.nbits - r.pos) return false;
     std::vector<uint8_t> lengths((size_t)entries, 0);
     if (!r.read1()) {  // not ordered
       const bool sparse = r.read1();
@@ -244,6 +252,12 @@ struct Codebook {
     } else {
       n_mult = (size_t)entries * (size_t)dim;
     }
+    // Same payload bound for the multiplicand array (value_bits >= 1
+    // each), and an absolute cap on the expanded VQ table: real streams
+    // are a few thousand entries x dim <= 16; 2^26 floats (256 MB) is
+    // far past any legal setup header.
+    if (n_mult * (size_t)value_bits > r.nbits - r.pos) return false;
+    if ((size_t)entries * (size_t)dim > (1u << 26)) return false;
     std::vector<uint32_t> mults(n_mult);
     for (size_t i = 0; i < n_mult; ++i) mults[i] = r.read(value_bits);
     if (r.eop) return false;
@@ -352,20 +366,22 @@ struct Codebook {
 
 // floor1 amplitude -> linear: 10^(((i-255)*(140/256))/20), i in [0,255].
 static float floor1_db(int i) {
-  static float table[256];
-  static bool init = false;
-  if (!init) {
+  // Magic-static once-init (thread-safe under concurrent decodes).
+  static const std::vector<float> table = [] {
+    std::vector<float> t(256);
     for (int j = 0; j < 256; ++j)
-      table[j] =
+      t[(size_t)j] =
           (float)std::pow(10.0, ((j - 255) * (140.0 / 256.0)) / 20.0);
-    init = true;
-  }
-  return table[i < 0 ? 0 : (i > 255 ? 255 : i)];
+    return t;
+  }();
+  return table[(size_t)(i < 0 ? 0 : (i > 255 ? 255 : i))];
 }
 
 static int render_point(int x0, int y0, int x1, int y1, int X) {
   const int dy = y1 - y0;
   const int adx = x1 - x0;
+  if (adx <= 0) return y0;  // unreachable after the parse-time X
+                            // uniqueness check; belt-and-braces
   const int ady = dy < 0 ? -dy : dy;
   const int err = ady * (X - x0);
   const int off = err / adx;
@@ -375,6 +391,10 @@ static int render_point(int x0, int y0, int x1, int y1, int X) {
 static void render_line(int x0, int y0, int x1, int y1, float* v, int n) {
   const int dy = y1 - y0;
   const int adx = x1 - x0;
+  if (adx <= 0) {  // see render_point: parse rejects duplicate X
+    if (x0 >= 0 && x0 < n) v[x0] = floor1_db(y0);
+    return;
+  }
   int ady = dy < 0 ? -dy : dy;
   const int base = dy / adx;  // C truncation (required by spec math)
   int y = y0;
@@ -443,6 +463,12 @@ struct Floor1 {
     if (r.eop) return false;
     const int nv = (int)X.size();
     if (nv > 65) return false;  // spec cap (31 ranges * 2 + 2 loose bound)
+    // Spec 7.2.2: floor1_x_list element values must be unique; duplicate
+    // X coordinates would make the render_point/render_line divisors
+    // zero (SIGFPE on a crafted stream), so reject the setup here.
+    for (int i = 0; i < nv; ++i)
+      for (int j = i + 1; j < nv; ++j)
+        if (X[(size_t)i] == X[(size_t)j]) return false;
     lo_nb.assign((size_t)nv, 0);
     hi_nb.assign((size_t)nv, 1);
     for (int i = 2; i < nv; ++i) {
@@ -1171,17 +1197,35 @@ static int decode_file(const char* path,
 
 }  // namespace vorbis
 
+// Exception barrier: decode_file allocates from header-derived sizes
+// (bounded above, but std::bad_alloc stays possible under memory
+// pressure) and C++ exceptions must never cross the C ABI into ctypes.
+static int32_t decode_file_noexcept(const char* path,
+                                    std::vector<std::vector<float>>* chans,
+                                    int* rate, int* nch) {
+  try {
+    return vorbis::decode_file(path, chans, rate, nch);
+  } catch (...) {
+    return -9;
+  }
+}
+
+// info must decode everything to learn the length; park the result so
+// the immediately-following read doesn't decode the file a second time.
+static melonix::PcmCache g_vorbis_cache;
+
 extern "C" int32_t mlx_vorbis_info(const char* path, int64_t* n_frames,
                                    int32_t* channels, int32_t* rate,
                                    int32_t* bits) {
   std::vector<std::vector<float>> chans;
   int r = 0, nch = 0;
-  const int rc = vorbis::decode_file(path, &chans, &r, &nch);
+  const int rc = decode_file_noexcept(path, &chans, &r, &nch);
   if (rc != 0) return rc;
   *n_frames = (int64_t)chans[0].size();
   *channels = nch;
   *rate = r;
   *bits = 16;  // nominal (lossy float source)
+  g_vorbis_cache.put(path, {std::move(chans), r});
   return 0;
 }
 
@@ -1189,8 +1233,15 @@ extern "C" int32_t mlx_vorbis_read(const char* path, float* out,
                                    int64_t n_frames, int32_t mono) {
   std::vector<std::vector<float>> chans;
   int r = 0, nch = 0;
-  const int rc = vorbis::decode_file(path, &chans, &r, &nch);
-  if (rc != 0) return rc;
+  melonix::CachedPcm cached;
+  if (g_vorbis_cache.take(path, &cached)) {
+    chans = std::move(cached.chans);
+    r = cached.rate;
+    nch = (int)chans.size();
+  } else {
+    const int rc = decode_file_noexcept(path, &chans, &r, &nch);
+    if (rc != 0) return rc;
+  }
   const int64_t have = (int64_t)chans[0].size();
   const float inv = mono ? 1.0f / (float)nch : 1.0f;
   for (int64_t i = 0; i < n_frames; ++i) {

@@ -109,6 +109,30 @@ def test_single_silent_frame_is_silence(tmp_path):
     assert np.abs(x).max() == 0.0
 
 
+def test_leading_junk_with_pseudo_sync_still_decodes(tmp_path):
+    """Junk bytes containing a Layer-II-looking sync pattern (0xFF 0xF4 —
+    what APE tags or broken ID3 sizes produce) must not reject the valid
+    stream that follows: the resync scan keeps going past unsupported
+    pseudo-headers instead of aborting."""
+    src = open(os.path.join(FIXTURES, "tone.mp3"), "rb").read()
+    p = str(tmp_path / "junk.mp3")
+    open(p, "wb").write(b"JUNK\xff\xf4JUNKJUNK" + src)
+    x, rate = load_audio(p)
+    ref, _ = load_audio(os.path.join(FIXTURES, "tone.mp3"))
+    assert rate == 44100 and len(x) == len(ref)
+    np.testing.assert_array_equal(x, ref)
+
+
+def test_free_format_pseudo_sync_prefix_decodes(tmp_path):
+    """Same for a free-format-looking pseudo-sync (bitrate index 0)."""
+    src = open(os.path.join(FIXTURES, "tone.mp3"), "rb").read()
+    p = str(tmp_path / "ff.mp3")
+    open(p, "wb").write(b"\xff\xfb\x00\x00garbage" + src)
+    x, rate = load_audio(p)
+    assert rate == 44100 and len(x) > 0
+    assert np.isfinite(x).all()
+
+
 def test_not_an_mp3_fails_soft(tmp_path):
     p = str(tmp_path / "x.mp3")
     open(p, "wb").write(b"hello world, definitely not audio" * 100)
