@@ -242,6 +242,12 @@ def _interactive_latency_ms(x: np.ndarray, sr: int) -> dict:
     from melonix_tpu.markers import Marker
 
     short = x[: 20 * sr]
+    # The product warms this track length's shape buckets at file open
+    # (ui/state.py -> warmup_session_async), so the interactive number a
+    # user sees is the warm one; measure the same way.
+    from melonix_tpu.runtime.compile_cache import warmup_session
+
+    warmup_session(len(short), sr)
     table = build_grain_table(short)
     knots = MapKnots.from_markers([], sr, len(short))
     bent = MapKnots.from_markers(

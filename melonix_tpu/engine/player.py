@@ -161,6 +161,7 @@ class Player:
         self.is_playing = False
         self.engine = engine  # "granular" | "pv"
         self._pv_stream = None  # lazy; dropped on any edit/seek/switch
+        self._wav_dev = None  # device-resident samples, uploaded once
         self._backlog = _make_backlog()
         self._last_sample = F32(0)
         self._fading = False
@@ -226,8 +227,15 @@ class Player:
             if self._pv_stream is None:
                 from .pv_stream import PvStream
 
+                if self._wav_dev is None:
+                    # One upload per track: every edit/seek restart reuses
+                    # the device-resident samples (a re-upload costs
+                    # seconds through a remote-dispatch tunnel).
+                    import jax.numpy as jnp
+
+                    self._wav_dev = jnp.asarray(self.wav)
                 self._pv_stream = PvStream(
-                    self.wav, self.knots, config=self.config,
+                    self._wav_dev, self.knots, config=self.config,
                     start_sec=self.cursor_sec
                     + self._backlog.avail() / self.sample_rate,
                 )

@@ -43,6 +43,41 @@ from . import phase_vocoder as pv
 
 STREAM_CHUNK_FRAMES = 2048  # ~24 s of stretched audio per device call
 READ_BLOCKS = 2  # resample quantum = READ_BLOCKS * BLK output samples
+OUT_BUCKET = 1 << 20  # resample-shape bucket (~24 s of output samples)
+
+
+def _bucket(n: int, b: int) -> int:
+    return b * -(-int(n) // b)
+
+
+@partial(jax.jit, static_argnames=("size", "hop", "out_len"))
+def _wsum_stream(window, n_frames, stretch_len, size: int, hop: int,
+                 out_len: int):
+    """Window-square OLA normalizer at a BUCKETED static length.
+
+    Shape-stable twin of phase_vocoder._ola_wsum: the frame count and the
+    real stretched length arrive as traced scalars, so every edit of a
+    session reuses ONE executable (the eager builder re-dispatches
+    shape-keyed ops whenever an edit moves ``n_frames`` — each a remote
+    compile round trip on the interactive path).  Requires size % hop == 0
+    (the standard 2048/512 stream config; callers fall back otherwise).
+    Beyond ``stretch_len`` the value is 1.0 (the buffer is zero there, so
+    normalized pad reads stay zero).
+    """
+    k = size // hop
+    w2 = window * window
+    rows = w2.reshape(k, hop)
+    pat = jnp.sum(rows, axis=0)  # (hop,)
+    ws = jnp.tile(pat, out_len // hop + 1)[:out_len]
+    # Head: only window taps c' <= c are present (prefix sums).
+    head = jnp.cumsum(rows, axis=0).reshape(size)
+    ws = jax.lax.dynamic_update_slice(ws, head, (0,))
+    # Tail at j0 = n_frames*hop (traced): taps c' > c only (suffix sums).
+    tail = (jnp.cumsum(rows[::-1], axis=0)[::-1] - rows).reshape(size)
+    ws = jax.lax.dynamic_update_slice(ws, tail, (n_frames * hop,))
+    j = jnp.arange(out_len, dtype=jnp.int32)
+    ws = jnp.where(j >= stretch_len, 1.0, ws)
+    return jnp.maximum(ws, 1e-8)
 
 
 @partial(jax.jit, static_argnames=("span",))
@@ -107,9 +142,13 @@ class PvStream:
 
         self._blk = pallas_resample.BLK
         self._q = READ_BLOCKS * self._blk
-        wav = np.asarray(wav, np.float32)
+        if isinstance(wav, jax.Array):  # resident: skip the re-upload
+            wav_dev, n_wav = wav.astype(jnp.float32), int(wav.shape[0])
+        else:
+            wav = np.asarray(wav, np.float32)
+            wav_dev, n_wav = None, len(wav)  # upload only if plan exists
         self.sample_rate = int(knots.sample_rate)
-        self.plan = pv.build_pv_plan(knots, len(wav), config=config, size=size, hop=hop)
+        self.plan = pv.build_pv_plan(knots, n_wav, config=config, size=size, hop=hop)
         self.preserve_formants = preserve_formants
         self._buf = np.zeros(0, np.float32)
         if self.plan is None:
@@ -136,24 +175,52 @@ class PvStream:
         self._m_start = max(0, int((src0 - size_) // hop_) + 1) if j_start else 0
         self._frames_done = self._m_start  # global frames stretched so far
 
-        self._ch = min(int(chunk_frames), plan.n_frames)
+        # Shape stability across edits (the interactive frontier): every
+        # jitted shape below is either fixed or bucketed coarsely, so a
+        # marker drag reuses the executables the previous stream compiled
+        # (an unbucketed restart re-paid ~6 s of remote compiles per edit,
+        # measured round 3).  ch is ALWAYS chunk_frames (padded frames are
+        # masked by f_real); the stretch buffer rounds up to whole chunks;
+        # the resample shapes round up to OUT_BUCKET samples.
+        self._ch = int(chunk_frames)
         self._fused = pv._pv_fused_ok(size_, hop_, self._ch)
         n_state = size_ if self._fused else size_ // 2 + 1
         self._win = jnp.asarray(hann_window(size_))
-        buf_len = plan.stretch_len + self._ch * hop_ + size_
+        # Headroom: size from the TRACK (2x stretch covers bends to +12
+        # semitones), not the edit's exact stretch — so the identity
+        # warm-up stream and every ordinary edit share one buffer bucket
+        # (an exact-stretch bucket made the FIRST pitch edit recompile:
+        # 5.3 s measured).  Extreme edits fall into a larger bucket once.
+        slack = self._ch * hop_ + size_
+        buf_len = _bucket(
+            max(plan.stretch_len + slack, 2 * plan.n_wav + slack),
+            self._ch * hop_,
+        )
+        self._buf_len = buf_len
         self._y = jnp.zeros(buf_len, jnp.float32)
         self._y_norm = jnp.zeros(buf_len, jnp.float32)
-        wsum = pv._ola_wsum(self._win, size_, hop_, plan.n_frames, plan.stretch_len)
-        self._wsum_pad = jnp.concatenate(
-            [wsum, jnp.ones(buf_len - plan.stretch_len, jnp.float32)]
-        )
+        if size_ % hop_ == 0 and plan.n_frames >= size_ // hop_:
+            self._wsum_pad = _wsum_stream(
+                self._win, jnp.int32(plan.n_frames),
+                jnp.int32(plan.stretch_len), size_, hop_, buf_len,
+            )
+        else:  # non-standard geometry: eager builder + pad
+            wsum = pv._ola_wsum(self._win, size_, hop_, plan.n_frames,
+                                plan.stretch_len)
+            self._wsum_pad = jnp.concatenate(
+                [wsum, jnp.ones(buf_len - plan.stretch_len, jnp.float32)]
+            )
         self._fin = self._m_start * hop_  # stretched samples finalized
         self._resid = jnp.zeros(n_state, jnp.float32)
         self._phi_prev = jnp.zeros(n_state, jnp.float32)
         self._phi0 = jnp.zeros(n_state, jnp.float32)
-        self._wav_dev = jnp.asarray(wav)
-        self._src_rel = pv._positions_rel_device(*plan.anc_args, plan.n_out_pad, sr)
-        self._base_dev = jnp.asarray(plan.base)
+        self._wav_dev = jnp.asarray(wav) if wav_dev is None else wav_dev
+        n_out_pad_b = _bucket(plan.n_out_pad, OUT_BUCKET)
+        self._src_rel = pv._positions_rel_device(*plan.anc_args, n_out_pad_b, sr)
+        nb_b = n_out_pad_b // self._blk
+        self._base_dev = jnp.asarray(
+            np.pad(plan.base, (0, nb_b - len(plan.base)), mode="edge")
+        )
 
     # -- stretch advance ---------------------------------------------------
 
@@ -216,7 +283,7 @@ class PvStream:
             got = np.asarray(
                 _read_quantum(
                     self._y_norm, self._src_rel, self._base_dev,
-                    jnp.int32(self._bq), self._q, self._blk, plan.stretch_len,
+                    jnp.int32(self._bq), self._q, self._blk, self._buf_len,
                 )
             )
             q_start = self._bq * self._blk

@@ -122,6 +122,14 @@ def warmup_session(
             from ..engine.phase_vocoder import render_track_pv
 
             render_track_pv(zeros, knots)
+            # The LIVE stream path jits its own entry points
+            # (pv_stream._advance_fused/_read_quantum/_wsum_stream); its
+            # shapes are bucketed, so one warm stream + one read covers
+            # every later edit restart of this session.
+            from ..engine.pv_stream import PvStream
+
+            stream = PvStream(zeros, knots)
+            stream.read(2048)
         if columns:
             from ..engine.spectral import spectrogram_columns
 
