@@ -37,7 +37,7 @@ from typing import Callable
 import numpy as np
 
 from ..config import DEFAULT_CONFIG, Config
-from ..ui.colormap import colormap_np
+from ..ui.colormap import colormap_lut, colormap_np
 
 
 # ----------------------------------------------------------------------
@@ -137,7 +137,6 @@ class TileServer:
 
         from ..engine.spectral import spectrogram_columns_device
         from ..kernels import pallas_columns
-        from ..ui.colormap import colormap_jax
 
         self._cfg = config
         self._k = float(k)
@@ -171,24 +170,42 @@ class TileServer:
                 lambda m: jax.ops.segment_max(m, ids, num_segments=texels + 1)[:texels]
             )(mags)
             tex = jnp.maximum(pooled, mags[:, nearest])
-            return colormap_jax(tex, kgain)
+            # VALUE plane, not RGB: v quantizes to uint8 on device and the
+            # host colormaps through a 256-entry LUT — 3x fewer bytes over
+            # the device->host link (the burst path is transfer-bound).
+            return jnp.round(jnp.clip(tex * kgain, 0.0, 255.0)).astype(jnp.uint8)
 
-        def _rgb_device(starts, ends, kgain):
-            return np.asarray(
-                _tiles_device(
-                    self._wav_dev,
-                    jnp.asarray(starts, jnp.int32),
-                    jnp.asarray(ends, jnp.int32),
-                    jnp.float32(kgain),
-                    jnp.asarray(ids_np),
-                    jnp.asarray(nearest_np),
-                )
+        lut = colormap_lut()
+
+        def _rgb_device(starts, ends, kgain, n_keep):
+            v = _tiles_device(
+                self._wav_dev,
+                jnp.asarray(starts, jnp.int32),
+                jnp.asarray(ends, jnp.int32),
+                jnp.float32(kgain),
+                jnp.asarray(ids_np),
+                jnp.asarray(nearest_np),
             )
+            # Download only the rows actually requested, bucketed to 32 so
+            # the slice shapes stay from a tiny fixed set (the batch pads
+            # to CHUNK for ONE compute executable; downloading the padding
+            # was 2.5x the bytes for a typical 100-column burst).
+            n_dl = min(32 * -(-int(n_keep) // 32), v.shape[0])
+            return lut[np.asarray(v[:n_dl])]
 
         if compute is not None:
-            self._rgb = lambda s, e, kg: colormap_np(
-                log_resample_np(compute(s, e), texels, frac_min), kg
-            )
+            self._rgb = lambda s, e, kg, n_keep=None: lut[
+                np.uint8(
+                    np.round(
+                        np.clip(
+                            log_resample_np(compute(s, e), texels, frac_min)
+                            * np.float32(kg),
+                            0.0,
+                            255.0,
+                        )
+                    )
+                )
+            ]
         else:
             self._rgb = _rgb_device
         self._cache = LruCache(config.max_ranges)
@@ -272,11 +289,12 @@ class TileServer:
             for off in range(0, n_req, CHUNK):
                 s = starts[off : off + CHUNK]
                 e = ends[off : off + CHUNK]
-                if len(s) < CHUNK:
-                    pad = CHUNK - len(s)
+                n_this = len(s)
+                if n_this < CHUNK:
+                    pad = CHUNK - n_this
                     s = np.concatenate([s, np.repeat(s[-1:], pad)])
                     e = np.concatenate([e, np.repeat(e[-1:], pad)])
-                outs.append(self._rgb(s, e, k))
+                outs.append(self._rgb(s, e, k, n_this)[:n_this])
             rgb = np.concatenate(outs)[:n_req]
         registry("tiles.computed").inc(n_req)
         registry("tiles.rate", RateMeter).tick(n_req)
@@ -287,5 +305,16 @@ class TileServer:
 
     def _run(self) -> None:
         while self._running:
-            if not self._drain_once():
+            try:
+                busy = self._drain_once()
+            except Exception:  # fail-soft: a bad batch must not kill the worker
+                import sys
+                import traceback
+
+                from ..utils import registry
+
+                traceback.print_exc(file=sys.stderr)
+                registry("tiles.worker_errors").inc(1)
+                busy = False
+            if not busy:
                 time.sleep(self._poll)

@@ -29,6 +29,19 @@ def colormap_np(mags: np.ndarray, k: float) -> np.ndarray:
     return out.astype(np.uint8)  # C-cast truncation parity
 
 
+def colormap_lut() -> np.ndarray:
+    """(256, 3) uint8 LUT: ``LUT[v] = colormap(v)`` at integer v.
+
+    The tile pipeline downloads the uint8 VALUE plane (1 byte/texel) and
+    colormaps on the host through this table — 3x fewer bytes over the
+    device->host link than RGB for the same picture (v is quantized to
+    256 levels before the arcs; <= 3/255 per-component deviation from the
+    float-v reference formula, the same class of documented display
+    deviation as the log-texel grid, PARITY.md).
+    """
+    return colormap_np(np.arange(256, dtype=np.float32), 1.0)
+
+
 def colormap_jax(mags: jnp.ndarray, k) -> jnp.ndarray:
     v = jnp.clip(mags.astype(jnp.float32) * jnp.float32(k), 0.0, 255.0)
     a = (v - 85.0) / 85.0 * (_PI / 2.0)

@@ -136,8 +136,16 @@ def test_log_resample_device_matches_np(chirp):
     mags = oracle.spec_column(x, 100, 500, spectr_size=512)[None, :]
     from melonix_tpu.runtime.tiles import log_resample_np
 
-    want = colormap_np(
-        log_resample_np(mags, cfg.tile_texels, cfg.tile_frac_min), k
-    )[0]
+    from melonix_tpu.ui.colormap import colormap_lut
+
+    # The tile contract: uint8 VALUE plane on device, LUT colormap on host
+    # (1 byte/texel over the link).  Same quantization here.
+    v = np.uint8(np.round(np.clip(
+        log_resample_np(mags, cfg.tile_texels, cfg.tile_frac_min) * np.float32(k),
+        0.0, 255.0,
+    )))[0]
+    want = colormap_lut()[v]
+    # Device float mags can land v one level off; adjacent LUT rows differ
+    # by <= 3 per component (the w = (v-170)*3 arm).
     diff = np.abs(tile_dev.astype(int) - want.astype(int))
-    assert diff.max() <= 1
+    assert diff.max() <= 3
