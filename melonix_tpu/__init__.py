@@ -25,7 +25,7 @@ from .engine.session import render_session
 from .engine.pitch import PitchCurve, pitch_curve
 from .engine.autotune import autotune, suggest_markers
 from .io import (
-    load_audio, read_wav, write_wav, write_flac,
+    load_audio, write_audio, read_wav, write_wav, write_flac,
     Project, load_project, save_project,
 )
 from .io.audio import DecodeError
@@ -56,6 +56,7 @@ __all__ = [
     "suggest_markers",
     "DecodeError",
     "load_audio",
+    "write_audio",
     "read_wav",
     "write_wav",
     "write_flac",

@@ -2,10 +2,11 @@
 
 The reference decodes via FFmpeg's libav* + libswresample to mono float at
 the file's own sample rate — no rate conversion (app.cpp:624-741,
-``out_sample_rate = codec->sample_rate``).  Here WAV and FLAC decode
-natively (native/melonix_native.cpp, native/flac_decode.cpp); anything else
-shells out to the ``ffmpeg`` binary when present (same capability surface,
-process isolation instead of linking libav).
+``out_sample_rate = codec->sample_rate``).  Here WAV, FLAC, MP3, and Ogg
+Vorbis decode natively (native/*.cpp); the long tail (AAC/M4A, Opus, ...)
+goes through the libav shim (native/libav_decode.cpp — the same libraries
+the reference links) when the system has them, else the ``ffmpeg`` binary
+when present.
 Failure is soft: a DecodeError is raised and callers keep their prior state,
 matching the reference's log-and-return contract (app.cpp:628-694).
 """
@@ -32,6 +33,14 @@ def downmix_mono(x: np.ndarray) -> np.ndarray:
     if x.ndim == 2:
         return x.mean(axis=1).astype(np.float32)
     return x
+
+
+def _have_fallback() -> bool:
+    """True when a long-tail decode path (libav shim or ffmpeg binary)
+    exists to retry a file the native decoders rejected."""
+    from . import libav
+
+    return libav.try_load() is not None or shutil.which("ffmpeg") is not None
 
 
 def _ffprobe_rate(path: str) -> int:
@@ -87,8 +96,8 @@ def load_audio(path: str, *, mono: bool = True) -> tuple[np.ndarray, int]:
             except ValueError as e:
                 # Non-Vorbis Ogg payloads (Opus, FLAC-in-Ogg, chained
                 # streams) are out of the native decoder's scope: fall
-                # through to ffmpeg when present.
-                if shutil.which("ffmpeg") is None:
+                # through to the libav/ffmpeg tail.
+                if not _have_fallback():
                     raise DecodeError(str(e)) from e
 
     if lower.endswith(".mp3"):
@@ -100,13 +109,26 @@ def load_audio(path: str, *, mono: bool = True) -> tuple[np.ndarray, int]:
                 return native.decode_mp3(lib, path, mono=mono)
             except ValueError as e:
                 # Layer I/II and free-format are out of the native
-                # decoder's scope: fall through to ffmpeg when present.
-                if shutil.which("ffmpeg") is None:
+                # decoder's scope: fall through to the libav/ffmpeg tail.
+                if not _have_fallback():
                     raise DecodeError(str(e)) from e
+
+    # Long-tail codecs (AAC/M4A, Opus, WMA, ...): the system FFmpeg
+    # *libraries* when present — the reference links these directly
+    # (app.cpp:12-17) — else the ffmpeg binary, else fail soft.
+    from . import libav
+
+    if libav.try_load() is not None:
+        try:
+            return libav.decode(path, mono=mono)
+        except ValueError as e:
+            if shutil.which("ffmpeg") is None:
+                raise DecodeError(f"cannot decode {path!r}: {e}") from e
 
     if shutil.which("ffmpeg") is None:
         raise DecodeError(
-            f"cannot decode {path!r}: not WAV/FLAC and no ffmpeg binary available"
+            f"cannot decode {path!r}: no native decoder, libav shim, or "
+            "ffmpeg binary available"
         )
     try:
         rate = _ffprobe_rate(path)
@@ -122,3 +144,30 @@ def load_audio(path: str, *, mono: bool = True) -> tuple[np.ndarray, int]:
         raise DecodeError(f"ffmpeg failed for {path!r}: {e.stderr.decode()[:500]}") from e
     x = np.frombuffer(out.stdout, "<f4").astype(np.float32)
     return x, rate
+
+
+def write_audio(path: str, x: np.ndarray, rate: int) -> None:
+    """Encode by extension: WAV/FLAC natively, anything else (M4A/AAC,
+    Opus, Ogg, MP3, ...) through the libav shim.  The reference exports
+    WAV only (save-wav.cpp); the rest is an added capability."""
+    lower = path.lower()
+    if lower.endswith(".wav"):
+        from .wav import write_wav
+
+        write_wav(path, x, rate)
+        return
+    if lower.endswith(".flac"):
+        from .flac import write_flac
+
+        write_flac(path, x, rate)
+        return
+    from . import libav
+
+    if libav.try_load() is None:
+        raise DecodeError(
+            f"cannot encode {path!r}: libav shim unavailable (use .wav/.flac)"
+        )
+    try:
+        libav.encode(path, x, rate)
+    except ValueError as e:
+        raise DecodeError(str(e)) from e
