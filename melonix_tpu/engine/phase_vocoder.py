@@ -306,6 +306,22 @@ def _stretch_chunk_core(
         mag = mag * _formant_gain(mag, rho_c, size, n_bins, n_ceps,
                                   scrambled=fused)
 
+    if fused:
+        # The whole per-bin phase pipeline below (princarg residual, MXU
+        # blocked cumsum, int32 ramp, live masking) runs as a prologue
+        # inside the synthesis kernel: psis and mag_live never exist in
+        # HBM (~3.4 ms of XLA copies/fusions per render iteration on
+        # v5e for a 3-minute track).  Semantics identical to the XLA
+        # path below, measure-zero princarg boundary ties aside.
+        y_flat, resid_last, phi0_eff = pallas_pv.synth_ola_phase(
+            mag, phi, da_c, window, m0, f_real, phi0, resid_in, phi_prev,
+            size, hop,
+        )
+        out_len_c = (n_frames_c - 1) * hop + size
+        y_c = y_flat[:out_len_c]
+        last = jnp.clip(f_real - 1, 0, n_frames_c - 1)
+        return y_c, resid_last, phi[last], phi0_eff
+
     da = jnp.maximum(da_c, 1e-3)[:, None]
     phi_full_prev = jnp.concatenate([phi_prev[None, :], phi[:-1]], axis=0)
     dphi = _princarg(phi - phi_full_prev - omega[None, :] * da)

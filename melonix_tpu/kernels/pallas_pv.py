@@ -534,3 +534,249 @@ def synth_ola(
         *[jnp.asarray(m) for m in mats],
     )
     return out.reshape(nb * G * hop)
+
+
+# ----------------------------------------------------------------------
+# Phase propagation fused into synthesis: mag/phi -> OLA signal directly
+# ----------------------------------------------------------------------
+
+
+def _syn_ola_phase_kernel(
+    scal, mag_ref, phi_ref, da_ref, win_ref, om_ref, kx_ref,
+    phi0_ref, res_ref, pprev_ref, tri_ref,
+    c1h, c1l, s1h, s1l, cth, sth, c2h, c2l, s2h, s2l,
+    out_ref, rout_ref, p0out_ref,
+    acc, cphi, ccum, p0eff, *, hop_rows, carry_rows, size, hop, exact,
+):
+    i = pl.program_id(0)
+    nb = pl.num_programs(0)
+    out_rows = G * hop_rows
+    m0 = scal[0]
+    f_real = scal[1]
+    last = scal[2]
+
+    @pl.when(i == 0)
+    def _():
+        acc[...] = jnp.zeros((out_rows + carry_rows, 128), jnp.float32)
+        cphi[...] = pprev_ref[...]
+        ccum[...] = jnp.zeros((N2, N1), jnp.float32)
+        rout_ref[...] = jnp.zeros((N2, N1), jnp.float32)
+
+    @pl.when(i != 0)
+    def _():
+        acc[0:carry_rows] = acc[pl.ds(out_rows, carry_rows)]
+        acc[pl.ds(carry_rows, out_rows)] = jnp.zeros(
+            (out_rows, 128), jnp.float32
+        )
+
+    @pl.when(i + 1 < nb)  # the last step only flushes the OLA carry
+    def _():
+        phi_blk = phi_ref[...]  # (G, N2, N1)
+        mag_blk = mag_ref[...]
+        g3 = jax.lax.broadcasted_iota(jnp.int32, (G, N2, N1), 0)
+
+        # Previous-frame phase: shift the (G*N2, N1) view down one frame
+        # (N2 sublanes, tile-aligned) and patch frame 0 with the carried
+        # last frame of the previous block (phi_prev before block 0).
+        prev3 = pltpu.roll(phi_blk.reshape(G * N2, N1), N2, 0).reshape(
+            G, N2, N1
+        )
+        m0th = (g3 == 0).astype(jnp.float32)
+        prev3 = prev3 * (1.0 - m0th) + cphi[...][None] * m0th
+
+        # dphi = princarg(phi - prev - omega*da); incr = hop*dphi/da with
+        # the global frame 0 forced to zero (it has no predecessor).
+        da_b = da_ref[...][:, None, :] * jnp.ones_like(phi_blk)
+        x = phi_blk - prev3 - om_ref[...][None] * da_b
+        pi_f = jnp.float32(np.pi)
+        dphi = jnp.mod(x + pi_f, jnp.float32(2.0 * np.pi)) - pi_f
+        glob = g3 + i * G
+        incr = jnp.float32(hop) * dphi / da_b
+        incr = jnp.where(jnp.logical_and(m0 == 0, glob == 0), 0.0, incr)
+
+        # Frame-axis prefix sum: lower-triangular matmul per block (the
+        # Precision.HIGH class of engine.phase_vocoder._cumsum_frames_mxu
+        # — tri is exact in bf16, so split only the operand) + a (N2, N1)
+        # running carry across the sequential grid.
+        xs = incr.swapaxes(0, 1)  # (N2, G, N1)
+        tri = tri_ref[...]
+        if exact:
+            xh = xs.astype(jnp.float32)
+            cum_s = jnp.einsum(
+                "ij,bjl->bil", tri, xh,
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            xh, xl = bf16x3.split(xs)
+            trib = tri.astype(jnp.bfloat16)
+            cum_s = jnp.einsum(
+                "ij,bjl->bil", trib, xh,
+                preferred_element_type=jnp.float32,
+            ) + jnp.einsum(
+                "ij,bjl->bil", trib, xl,
+                preferred_element_type=jnp.float32,
+            )
+        cum = cum_s.swapaxes(0, 1)  # (G, N2, N1)
+        resid3 = res_ref[...][None] + ccum[...][None] + cum
+        ccum[...] = ccum[...] + cum[G - 1]
+        cphi[...] = phi_blk[G - 1]
+
+        @pl.when(i == 0)
+        def _():
+            p0eff[...] = jnp.where(m0 == 0, phi_blk[0], phi0_ref[...])
+            p0out_ref[...] = p0eff[...]
+
+        # psi_m = phi0 + (m*hop*omega mod 2pi) + resid, the ramp in exact
+        # int32 arithmetic (f32 running phases hit ~1-ulp = 2 rad at
+        # hour scale; size is a power of two so mod == mask).
+        hm = jnp.bitwise_and((m0 + glob) * hop, size - 1)
+        prod = jnp.bitwise_and(hm * kx_ref[...][None], size - 1)
+        ramp = jnp.float32(2.0 * np.pi / size) * prod.astype(jnp.float32)
+        psis = p0eff[...][None] + ramp + resid3
+
+        # Padded frames contribute silence (their OLA tails would reach
+        # back into the real span).
+        mag_live = jnp.where(glob < f_real, mag_blk, 0.0)
+
+        # Carry out the resid row of the chunk's last real frame.
+        lmask = (glob == last).astype(jnp.float32)
+        @pl.when(jnp.logical_and(last >= i * G, last < (i + 1) * G))
+        def _():
+            rout_ref[...] = jnp.sum(lmask * resid3, axis=0)
+
+        mats = tuple(
+            r[...] for r in (c1h, c1l, s1h, s1l, cth, sth, c2h, c2l, s2h, s2l)
+        )
+        x_t = _syn_body(mag_live, psis, win_ref[...], mats, exact)
+        for g in range(G):
+            r0 = g * hop_rows
+            acc[r0 : r0 + N2] = acc[r0 : r0 + N2] + x_t[g]
+
+    out_ref[...] = acc[0:out_rows][None]
+
+
+@partial(jax.jit, static_argnames=("size", "hop", "interpret"))
+def synth_ola_phase(
+    mag: jnp.ndarray,
+    phi: jnp.ndarray,
+    da: jnp.ndarray,
+    window: jnp.ndarray,
+    m0: jnp.ndarray,
+    f_real: jnp.ndarray,
+    phi0: jnp.ndarray,
+    resid_in: jnp.ndarray,
+    phi_prev: jnp.ndarray,
+    size: int,
+    hop: int,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """OLA synthesis straight from the scrambled analysis (mag, phi).
+
+    Fuses the whole per-bin phase pipeline of
+    ``engine.phase_vocoder._stretch_chunk_core`` — princarg residual,
+    frame-axis prefix sum (blocked-triangle MXU matmul + sequential-grid
+    carry), int32 mod-2pi ramp, live-frame masking — into
+    :func:`synth_ola`'s streaming kernel, so neither ``psis`` nor
+    ``mag_live`` (127 MB each for a 3-minute track) ever exists in HBM.
+    Measured v5e: the replaced XLA glue (concat copies, fusions, the
+    separate cumsum) was ~3.4 ms of a 13.7 ms render iteration.
+
+    Returns ``(y_flat, resid_last, phi0_eff)``: the unnormalized OLA
+    signal (as :func:`synth_ola`), the carried phase-residual row of the
+    chunk's last real frame, and the effective anchor phase.  Semantics
+    are unchanged from the XLA pipeline (same formulas, same Precision
+    class for the cumsum).
+    """
+    f = mag.shape[0]
+    assert supported(size, f), (size, f)
+    assert size & (size - 1) == 0, size  # int32 ramp uses mod-as-mask
+    assert hop % 128 == 0 and size % hop == 0 and hop < size, (size, hop)
+    hop_rows = hop // 128
+    carry_rows = (size - hop) // 128
+    (c1, s1, ct, st, c2, s2) = _inv_consts(size)
+    mats = (*c1, *s1, ct, st, *c2, *s2)
+    win2d = jnp.asarray(window, jnp.float32).reshape(N2, N1)
+    om2d = jnp.asarray(scrambled_omega(size)).reshape(N2, N1)
+    kx2d = jnp.asarray(scrambled_bins(size)).reshape(N2, N1)
+    tri = jnp.asarray(np.tril(np.ones((G, G), np.float32)))
+    da128 = jnp.broadcast_to(
+        jnp.maximum(da.astype(jnp.float32), 1e-3)[:, None], (f, 128)
+    )
+    f_real = jnp.asarray(f_real, jnp.int32)
+    scal = jnp.stack(
+        [jnp.asarray(m0, jnp.int32), f_real,
+         jnp.clip(f_real - 1, 0, f - 1)]
+    )
+    const_spec = lambda shape: pl.BlockSpec(
+        shape, lambda *_: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    mat_specs = [
+        const_spec((N1, N1)), const_spec((N1, N1)),
+        const_spec((N1, N1)), const_spec((N1, N1)),
+        const_spec((N2, N1)), const_spec((N2, N1)),
+        const_spec((N2, N2)), const_spec((N2, N2)),
+        const_spec((N2, N2)), const_spec((N2, N2)),
+    ]
+    nb = f // G + 1  # one flush-only step drains the final carry
+    clamp = lambda b: jnp.minimum(b, nb - 2)  # flush step re-reads block
+    out, resid_last, phi0_eff = pl.pallas_call(
+        partial(_syn_ola_phase_kernel, hop_rows=hop_rows,
+                carry_rows=carry_rows, size=size, hop=hop, exact=interpret),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((G, N2, N1), lambda b, s: (clamp(b), 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, N2, N1), lambda b, s: (clamp(b), 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, 128), lambda b, s: (clamp(b), 0),
+                             memory_space=pltpu.VMEM),
+                const_spec((N2, N1)),  # window
+                const_spec((N2, N1)),  # omega
+                const_spec((N2, N1)),  # bin index
+                const_spec((N2, N1)),  # phi0
+                const_spec((N2, N1)),  # resid_in
+                const_spec((N2, N1)),  # phi_prev
+                const_spec((G, G)),    # ones triangle
+                *mat_specs,
+            ],
+            out_specs=[
+                pl.BlockSpec((1, G * hop_rows, 128), lambda b, s: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                const_spec((N2, N1)),
+                const_spec((N2, N1)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((G * hop_rows + carry_rows, 128), jnp.float32),
+                pltpu.VMEM((N2, N1), jnp.float32),  # phi carry
+                pltpu.VMEM((N2, N1), jnp.float32),  # cumsum carry
+                pltpu.VMEM((N2, N1), jnp.float32),  # phi0_eff
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, G * hop_rows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((N2, N1), jnp.float32),
+            jax.ShapeDtypeStruct((N2, N1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=f * (4 * N2 * N1 * N1 + 2 * N2 * N2 * N1) * 2 * 3
+            + f * G * size * 2 * 2,
+            bytes_accessed=f * 4 * (2 * size + 128 + hop),
+            transcendentals=f * 2 * size,
+        ),
+        interpret=interpret,
+    )(
+        scal,
+        mag.reshape(f, N2, N1), phi.reshape(f, N2, N1), da128, win2d,
+        om2d, kx2d,
+        jnp.asarray(phi0, jnp.float32).reshape(N2, N1),
+        jnp.asarray(resid_in, jnp.float32).reshape(N2, N1),
+        jnp.asarray(phi_prev, jnp.float32).reshape(N2, N1),
+        tri, *[jnp.asarray(m) for m in mats],
+    )
+    return (
+        out.reshape(nb * G * hop),
+        resid_last.reshape(size),
+        phi0_eff.reshape(size),
+    )

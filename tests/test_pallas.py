@@ -504,6 +504,9 @@ def test_pv_fused_kernels_match_natural_core(rng):
         pallas_pv, "analysis", partial(pallas_pv.analysis, interpret=True)
     ), mock.patch.object(
         pallas_pv, "synth_ola", partial(pallas_pv.synth_ola, interpret=True)
+    ), mock.patch.object(
+        pallas_pv, "synth_ola_phase",
+        partial(pallas_pv.synth_ola_phase, interpret=True),
     ):
         fused = np.asarray(
             _stretch_chunk_core(*args, zf, zf, zf, **kw, fused=True)[0]
@@ -621,6 +624,9 @@ def test_pv_fused_formant_matches_natural(rng):
         pallas_pv, "analysis", partial(pallas_pv.analysis, interpret=True)
     ), mock.patch.object(
         pallas_pv, "synth_ola", partial(pallas_pv.synth_ola, interpret=True)
+    ), mock.patch.object(
+        pallas_pv, "synth_ola_phase",
+        partial(pallas_pv.synth_ola_phase, interpret=True),
     ):
         fused = np.asarray(
             _stretch_chunk_core(*args, zf, zf, zf, **kw, fused=True)[0]
@@ -652,6 +658,9 @@ def test_pv_fused_chunked_carry(rng, monkeypatch):
         pallas_pv, "analysis", partial(pallas_pv.analysis, interpret=True)
     ), mock.patch.object(
         pallas_pv, "synth_ola", partial(pallas_pv.synth_ola, interpret=True)
+    ), mock.patch.object(
+        pallas_pv, "synth_ola_phase",
+        partial(pallas_pv.synth_ola_phase, interpret=True),
     ), mock.patch.object(
         pv, "_pv_fused_ok", lambda *a: True
     ), mock.patch.object(
@@ -752,3 +761,84 @@ def test_stft_mag_fourstep_matches_xla(hop):
     assert got.shape == (nf, size // 2)
     snr = 10 * np.log10(np.sum((got - want) ** 2) / np.sum(want**2))
     assert snr < -80.0, snr
+
+
+def test_pv_synth_ola_phase_matches_xla_pipeline():
+    """The in-kernel phase prologue (synth_ola_phase, interpret) against
+    the XLA pipeline formulas of _stretch_chunk_core on the same scrambled
+    spectrum: same princarg residual, same blocked-triangle cumsum class,
+    same int32 mod-2pi ramp, same carries.
+
+    princarg inputs within ~1 ulp of the +-pi wrap are genuinely ambiguous
+    (the unwrap decision flips under any FMA/op-order difference — the
+    natural path has the same cliff), so bins whose dphi grazes the
+    boundary are excluded from the tight comparison and counted instead.
+    """
+    from melonix_tpu.engine import phase_vocoder as pv
+    from melonix_tpu.kernels import pallas_pv
+
+    size, hop = 2048, 512
+    F, Gk = 192, pallas_pv.G
+    rng = np.random.default_rng(0)
+    mag = np.abs(rng.normal(size=(F, size))).astype(np.float32)
+    phi = rng.uniform(-np.pi, np.pi, size=(F, size)).astype(np.float32)
+    da = (hop * rng.uniform(0.5, 2.0, F)).astype(np.float32)
+    win = np.hanning(size).astype(np.float32)
+    phi0 = rng.uniform(-1, 1, size).astype(np.float32)
+    resid_in = rng.uniform(-1, 1, size).astype(np.float32)
+    phi_prev = rng.uniform(-np.pi, np.pi, size).astype(np.float32)
+
+    for m0, f_real in [(0, F), (3 * F, F - 17)]:
+        omega = jnp.asarray(pallas_pv.scrambled_omega(size))
+        k_idx = jnp.asarray(pallas_pv.scrambled_bins(size))
+        da_c = jnp.maximum(jnp.asarray(da), 1e-3)[:, None]
+        phij = jnp.asarray(phi)
+        prev = jnp.concatenate([jnp.asarray(phi_prev)[None], phij[:-1]], 0)
+        dphi = pv._princarg(phij - prev - omega[None] * da_c)
+        incr = hop * dphi / da_c
+        incr = incr.at[0].set(
+            jnp.where(m0 == 0, jnp.zeros_like(incr[0]), incr[0])
+        )
+        # blocked f32 cumsum in the kernel's carry structure
+        xb = incr.reshape(F // Gk, Gk, size)
+        tri = jnp.asarray(np.tril(np.ones((Gk, Gk), np.float32)))
+        within = jnp.einsum(
+            "ij,bjk->bik", tri, xb, preferred_element_type=jnp.float32
+        )
+        tots = within[:, -1]
+        offs = jnp.cumsum(tots, axis=0) - tots
+        cum = (within + offs[:, None]).reshape(F, size)
+        resid = jnp.asarray(resid_in)[None] + cum
+        m_g = m0 + jnp.arange(F, dtype=jnp.int32)
+        hm = jnp.mod(m_g * hop, size)
+        ramp = (2 * jnp.pi / size) * jnp.mod(
+            hm[:, None] * k_idx[None], size
+        ).astype(jnp.float32)
+        phi0_eff_t = jnp.where(m0 == 0, phij[0], jnp.asarray(phi0))
+        psis = (phi0_eff_t[None] + ramp + resid).astype(jnp.float32)
+        live = (jnp.arange(F) < f_real)[:, None]
+        mag_live = jnp.where(live, jnp.asarray(mag), 0.0)
+        y_t = np.asarray(pallas_pv.synth_ola(
+            mag_live, psis, jnp.asarray(win), size, hop, interpret=True
+        ))
+        last = int(np.clip(f_real - 1, 0, F - 1))
+
+        y_k, r_k, p0_k = pallas_pv.synth_ola_phase(
+            jnp.asarray(mag), phij, jnp.asarray(da), jnp.asarray(win),
+            m0, f_real, jnp.asarray(phi0), jnp.asarray(resid_in),
+            jnp.asarray(phi_prev), size, hop, interpret=True,
+        )
+        y_k, r_k, p0_k = map(np.asarray, (y_k, r_k, p0_k))
+
+        assert np.array_equal(p0_k, np.asarray(phi0_eff_t))
+        # Exclude the boundary-ambiguous bins from the tight check.
+        near = np.abs(np.abs(np.asarray(dphi)) - np.pi) < 1e-3
+        safe = ~near.any(axis=0)
+        assert safe.mean() > 0.8, safe.mean()  # ~12% graze with uniform phases
+        r_t = np.asarray(resid[last])
+        assert np.abs((r_k - r_t)[safe]).max() < 1e-2
+        # With uniform-random phases ~12% of bins flip at the ambiguous
+        # boundary, so the waveform bound is looser than the
+        # coherent-signal tests (which cover the real-audio case).
+        rms = float(np.sqrt(np.mean((y_k - y_t) ** 2)))
+        assert rms < 2e-2 * float(np.abs(y_t).max()), rms
