@@ -240,7 +240,10 @@ class Player:
                     + self._backlog.avail() / self.sample_rate,
                 )
             while not self._exhausted and self._backlog.avail() < n + pgs:
-                self._backlog.write(self._pv_stream.read(max(n, 2048)))
+                # One read for the whole deficit: the stream satisfies it
+                # in a single resample dispatch (a tunnel RTT each).
+                deficit = n + pgs - self._backlog.avail()
+                self._backlog.write(self._pv_stream.read(max(deficit, 2048)))
                 if self._pv_stream.exhausted:
                     self._exhausted = True
             got = self._backlog.read(n)

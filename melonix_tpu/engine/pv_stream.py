@@ -109,12 +109,17 @@ def _advance_fused(wav, starts_c, da_c, rho_c, win, m0_local, f_real,
     return y, y_norm, resid, phi_prev, phi0
 
 
-@partial(jax.jit, static_argnames=("q", "blk", "stretch_len"))
-def _read_quantum(y_norm, src_rel, base, b0, q: int, blk: int, stretch_len: int):
-    """Resample output samples [b0*blk, b0*blk + q) from the stretched buffer."""
+@partial(jax.jit, static_argnames=("q", "blk", "stretch_len", "out_n"))
+def _read_quantum(y_norm, src_rel, base, b0, lo, q: int, blk: int,
+                  stretch_len: int, out_n: int):
+    """Resample output samples [b0*blk, b0*blk + q) from the stretched
+    buffer and return only ``[lo, lo + out_n)`` of them — the download is
+    the latency floor on a remote-dispatch tunnel (0.4-100 MB/s), so the
+    consumer's actual window leaves the device, not the whole quantum."""
     sr_seg = jax.lax.dynamic_slice(src_rel, (b0 * blk,), (q,))
     b_seg = jax.lax.dynamic_slice(base, (b0,), (q // blk,))
-    return pv._lerp_resample_rel_xla(y_norm, sr_seg, b_seg, stretch_len, blk)
+    res = pv._lerp_resample_rel_xla(y_norm, sr_seg, b_seg, stretch_len, blk)
+    return jax.lax.dynamic_slice(res, (lo,), (out_n,))
 
 
 class PvStream:
@@ -216,6 +221,7 @@ class PvStream:
         self._phi0 = jnp.zeros(n_state, jnp.float32)
         self._wav_dev = jnp.asarray(wav) if wav_dev is None else wav_dev
         n_out_pad_b = _bucket(plan.n_out_pad, OUT_BUCKET)
+        self._n_out_pad_b = n_out_pad_b
         self._src_rel = pv._positions_rel_device(*plan.anc_args, n_out_pad_b, sr)
         nb_b = n_out_pad_b // self._blk
         self._base_dev = jnp.asarray(
@@ -274,23 +280,40 @@ class PvStream:
             return out
         plan, sr = self.plan, self.plan.sr
         while len(self._buf) < n and self._j + len(self._buf) < self.n_out:
-            j_hi = min((self._bq * self._blk) + self._q, plan.n_out_pad) - 1
+            # Cover the whole request in ONE resample dispatch: each
+            # _read_quantum round trip costs a full tunnel RTT (~25-45 ms
+            # measured), and an edit restart lands mid-quantum, which
+            # used to force two.  Quantum count buckets to powers of two
+            # (a small executable set), capped at the padded curve end.
+            q_start = self._bq * self._blk
+            covered = max(self._j + len(self._buf) - q_start, 0)
+            k = -(-(covered + n - len(self._buf)) // self._q)
+            k = 1 << max(k - 1, 0).bit_length()
+            k = min(k, (self._n_out_pad_b - q_start) // self._q)
+            k = max(k, 1)
+            q_eff = k * self._q
+            j_hi = min(q_start + q_eff, plan.n_out_pad) - 1
             # Gate: the lerp touches floor(src)+1; +2 covers the safety clip.
             s_hi = float(
                 pv._src_eval64(self._table, np.asarray([(j_hi + 1.0) / sr]), sr)[0][0]
             ) + 2.0
             self._advance_to(s_hi)
+            lo = max(self._j + len(self._buf) - q_start, 0)
+            hi = min(q_eff, self.n_out - q_start)
+            # Download bucket: smallest power of two covering the window
+            # (floor 2048 keeps the executable set tiny); the slice start
+            # backs off so the window never runs past the quantum.
+            out_n = min(max(2048, 1 << (hi - lo - 1).bit_length()), q_eff)
+            lo_c = min(lo, q_eff - out_n)
             got = np.asarray(
                 _read_quantum(
                     self._y_norm, self._src_rel, self._base_dev,
-                    jnp.int32(self._bq), self._q, self._blk, self._buf_len,
+                    jnp.int32(self._bq), jnp.int32(lo_c), q_eff, self._blk,
+                    self._buf_len, out_n,
                 )
             )
-            q_start = self._bq * self._blk
-            lo = max(self._j + len(self._buf) - q_start, 0)
-            hi = min(self._q, self.n_out - q_start)
-            self._buf = np.concatenate([self._buf, got[lo:hi]])
-            self._bq += READ_BLOCKS
+            self._buf = np.concatenate([self._buf, got[lo - lo_c : lo - lo_c + (hi - lo)]])
+            self._bq += k * READ_BLOCKS
         take = min(n, len(self._buf))
         out[:take] = self._buf[:take]
         self._buf = self._buf[take:]
