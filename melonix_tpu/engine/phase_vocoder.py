@@ -118,33 +118,6 @@ def _princarg(x):
     return jnp.mod(x + jnp.pi, 2.0 * jnp.pi) - jnp.pi
 
 
-def _cumsum_frames_mxu(incr):
-    """Frame-axis prefix sum as blocked lower-triangular MXU matmuls.
-
-    ``jnp.cumsum`` over axis 0 of a (15.5k, 2048) array lowers to a
-    log-depth reduce-window (~2.9 ms of pure HBM traffic on v5e); one
-    (B, B) ones-triangle matmul per B-frame block + a tiny cross-block
-    scan is ~0.5 ms on the MXU.  Precision.HIGH (bf16x3) keeps the
-    phase-residual error ~1e-5 relative — far below the PV path's
-    intrinsic f32 chaos (see test_pv_fused_kernels_match_natural_core).
-    """
-    f = incr.shape[0]
-    for b in (128, 64):
-        if f % b == 0:
-            break
-    else:
-        return jnp.cumsum(incr, axis=0)
-    xb = incr.reshape(f // b, b, incr.shape[1])
-    tri = jnp.asarray(np.tril(np.ones((b, b), np.float32)))
-    within = jnp.einsum(
-        "ij,bjk->bik", tri, xb, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGH,
-    )
-    tots = within[:, -1]
-    offs = jnp.cumsum(tots, axis=0) - tots  # exclusive block offsets
-    return (within + offs[:, None, :]).reshape(incr.shape)
-
-
 def _bits(x: np.ndarray) -> np.ndarray:
     return np.asarray(x, np.float32).view(np.int32).copy()
 
@@ -287,40 +260,47 @@ def _stretch_chunk_core(
         # Hermitian pairs stay exact mirrors through the sign-symmetric
         # phase math (kernels/pallas_pv.py).
         re_s, im_s = pallas_pv.analysis(wav, starts_c, window, size)
+        out_len_c = (n_frames_c - 1) * hop + size
+        last = jnp.clip(f_real - 1, 0, n_frames_c - 1)
+        if not formant:
+            # Straight re/im -> synthesis: the phase pipeline AND the
+            # sqrt/atan2 both run inside the kernel — no (F, size)
+            # intermediate of any kind exists in HBM.
+            y_flat, resid_last, phi_last, phi0_eff = pallas_pv.synth_ola_phase(
+                re_s, im_s, da_c, window, m0, f_real, phi0, resid_in,
+                phi_prev, size, hop, cart=True,
+            )
+            return y_flat[:out_len_c], resid_last, phi_last, phi0_eff
+        # Formant path: the cepstral envelope warp needs mag in XLA first.
         mag = jnp.sqrt(re_s * re_s + im_s * im_s)
         phi = jnp.arctan2(im_s, re_s)
-        omega = jnp.asarray(pallas_pv.scrambled_omega(size))
-        k_idx = jnp.asarray(pallas_pv.scrambled_bins(size))
-    else:
-        if use_pallas:
-            frames = pallas_frames.extract_frames_pallas(wav, starts_c, size)
-        else:
-            idx = starts_c[:, None] + jnp.arange(size, dtype=jnp.int32)[None, :]
-            frames = jnp.where(idx < n, wav[jnp.clip(idx, 0, n - 1)], 0.0)
-        spec = jnp.fft.rfft(frames * window[None, :])
-        mag = jnp.abs(spec)
-        phi = jnp.angle(spec)
-        omega = (2.0 * jnp.pi / size) * jnp.arange(n_bins, dtype=jnp.float32)
-        k_idx = jnp.arange(n_bins, dtype=jnp.int32)
-    if formant:
         mag = mag * _formant_gain(mag, rho_c, size, n_bins, n_ceps,
-                                  scrambled=fused)
-
-    if fused:
-        # The whole per-bin phase pipeline below (princarg residual, MXU
-        # blocked cumsum, int32 ramp, live masking) runs as a prologue
-        # inside the synthesis kernel: psis and mag_live never exist in
-        # HBM (~3.4 ms of XLA copies/fusions per render iteration on
-        # v5e for a 3-minute track).  Semantics identical to the XLA
-        # path below, measure-zero princarg boundary ties aside.
-        y_flat, resid_last, phi0_eff = pallas_pv.synth_ola_phase(
+                                  scrambled=True)
+        # The per-bin phase pipeline (princarg residual, MXU blocked
+        # cumsum, int32 ramp, live masking) runs as a prologue inside
+        # the synthesis kernel: psis and mag_live never exist in HBM
+        # (~3.4 ms of XLA copies/fusions per render iteration on v5e for
+        # a 3-minute track).  Semantics identical to the XLA path below,
+        # measure-zero princarg boundary ties aside.
+        y_flat, resid_last, phi_last, phi0_eff = pallas_pv.synth_ola_phase(
             mag, phi, da_c, window, m0, f_real, phi0, resid_in, phi_prev,
             size, hop,
         )
-        out_len_c = (n_frames_c - 1) * hop + size
-        y_c = y_flat[:out_len_c]
-        last = jnp.clip(f_real - 1, 0, n_frames_c - 1)
-        return y_c, resid_last, phi[last], phi0_eff
+        return y_flat[:out_len_c], resid_last, phi_last, phi0_eff
+
+    if use_pallas:
+        frames = pallas_frames.extract_frames_pallas(wav, starts_c, size)
+    else:
+        idx = starts_c[:, None] + jnp.arange(size, dtype=jnp.int32)[None, :]
+        frames = jnp.where(idx < n, wav[jnp.clip(idx, 0, n - 1)], 0.0)
+    spec = jnp.fft.rfft(frames * window[None, :])
+    mag = jnp.abs(spec)
+    phi = jnp.angle(spec)
+    omega = (2.0 * jnp.pi / size) * jnp.arange(n_bins, dtype=jnp.float32)
+    k_idx = jnp.arange(n_bins, dtype=jnp.int32)
+    if formant:
+        mag = mag * _formant_gain(mag, rho_c, size, n_bins, n_ceps,
+                                  scrambled=False)
 
     da = jnp.maximum(da_c, 1e-3)[:, None]
     phi_full_prev = jnp.concatenate([phi_prev[None, :], phi[:-1]], axis=0)
@@ -329,7 +309,7 @@ def _stretch_chunk_core(
     incr = hop * dphi / da
     # Global frame 0 has no predecessor: psi_0 = phi_0 exactly.
     incr = incr.at[0].set(jnp.where(m0 == 0, jnp.zeros_like(incr[0]), incr[0]))
-    cum = _cumsum_frames_mxu(incr) if fused else jnp.cumsum(incr, axis=0)
+    cum = jnp.cumsum(incr, axis=0)
     resid = resid_in[None, :] + cum
 
     # psi_m = phi0 + m*hop*omega + resid.  The linear ramp is evaluated
@@ -351,16 +331,10 @@ def _stretch_chunk_core(
     mag_live = jnp.where(live, mag, 0.0)
     psis = psis.astype(jnp.float32)
     out_len_c = (n_frames_c - 1) * hop + size
-    if fused:
-        # Fused sincos + inverse DFT + window + streaming OLA kernel —
-        # the (F, size) synthesis frame matrix never exists in HBM.
-        y_flat = pallas_pv.synth_ola(mag_live, psis, window, size, hop)
-        y_c = y_flat[:out_len_c]
-    else:
-        # istft_device picks the half-size packed c2r inverse on TPU
-        # (kernels/packfft.py, ~1.5x the native c2r there).
-        synth = mag_live * jnp.exp(1j * psis)
-        y_c = istft_device(synth, window, size, hop, out_len_c, normalize=False)
+    # istft_device picks the half-size packed c2r inverse on TPU
+    # (kernels/packfft.py, ~1.5x the native c2r there).
+    synth = mag_live * jnp.exp(1j * psis)
+    y_c = istft_device(synth, window, size, hop, out_len_c, normalize=False)
     last = jnp.clip(f_real - 1, 0, n_frames_c - 1)
     return y_c, resid[last], phi[last], phi0_eff
 

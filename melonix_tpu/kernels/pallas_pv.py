@@ -541,12 +541,40 @@ def synth_ola(
 # ----------------------------------------------------------------------
 
 
+def _atan2(y, x):
+    """Elementwise atan2 for Mosaic (KernelType.TC atan2 is unimplemented
+    as of this jax) — Cephes atanf's octant reduction + degree-9 odd
+    minimax, ~1-2 f32 ulp.  atan2(0, 0) returns 0 (silent bins)."""
+    ax, ay = jnp.abs(x), jnp.abs(y)
+    # t = tan(theta) folded into [0, 1] by swapping the legs.
+    swap = ay > ax
+    num = jnp.where(swap, ax, ay)
+    den = jnp.where(swap, ay, ax)
+    # Floor must be a NORMAL f32: subnormals flush to zero (0/0 = NaN
+    # at silent bins); ratios of <1e-30 magnitudes carry no phase.
+    t = num / jnp.maximum(den, 1e-30)
+    # Cephes: fold [tan(pi/8), 1] down via t -> (t-1)/(t+1) + pi/4.
+    fold = t > jnp.float32(0.4142135623730950)
+    t2 = jnp.where(fold, (t - 1.0) / (t + 1.0), t)
+    z = t2 * t2
+    p = jnp.float32(8.05374449538e-2)
+    p = p * z - jnp.float32(1.38776856032e-1)
+    p = p * z + jnp.float32(1.99777106478e-1)
+    p = p * z - jnp.float32(3.33329491539e-1)
+    r = p * z * t2 + t2
+    r = jnp.where(fold, r + jnp.float32(np.pi / 4), r)
+    r = jnp.where(swap, jnp.float32(np.pi / 2) - r, r)
+    r = jnp.where(x < 0.0, jnp.float32(np.pi) - r, r)
+    return jnp.where(y < 0.0, -r, r)
+
+
 def _syn_ola_phase_kernel(
-    scal, mag_ref, phi_ref, da_ref, win_ref, om_ref, kx_ref,
+    scal, a_ref, b_ref, da_ref, win_ref, om_ref, kx_ref,
     phi0_ref, res_ref, pprev_ref, tri_ref,
     c1h, c1l, s1h, s1l, cth, sth, c2h, c2l, s2h, s2l,
-    out_ref, rout_ref, p0out_ref,
-    acc, cphi, ccum, p0eff, *, hop_rows, carry_rows, size, hop, exact,
+    out_ref, rout_ref, plast_ref, p0out_ref,
+    acc, cphi, ccum, p0eff, *, hop_rows, carry_rows, size, hop, cart,
+    exact,
 ):
     i = pl.program_id(0)
     nb = pl.num_programs(0)
@@ -561,6 +589,7 @@ def _syn_ola_phase_kernel(
         cphi[...] = pprev_ref[...]
         ccum[...] = jnp.zeros((N2, N1), jnp.float32)
         rout_ref[...] = jnp.zeros((N2, N1), jnp.float32)
+        plast_ref[...] = jnp.zeros((N2, N1), jnp.float32)
 
     @pl.when(i != 0)
     def _():
@@ -571,8 +600,18 @@ def _syn_ola_phase_kernel(
 
     @pl.when(i + 1 < nb)  # the last step only flushes the OLA carry
     def _():
-        phi_blk = phi_ref[...]  # (G, N2, N1)
-        mag_blk = mag_ref[...]
+        if cart:
+            # Straight from the analysis DFT: magnitude and phase never
+            # exist in HBM either (the separate XLA sqrt/atan2 pass over
+            # re/im was 0.75 ms for a 3-minute track); the VPU atan chain
+            # hides under this kernel's MXU matmuls.
+            re_blk = a_ref[...]
+            im_blk = b_ref[...]
+            mag_blk = jnp.sqrt(re_blk * re_blk + im_blk * im_blk)
+            phi_blk = _atan2(im_blk, re_blk)
+        else:  # formant path: XLA warps mag before the kernel
+            mag_blk = a_ref[...]
+            phi_blk = b_ref[...]
         g3 = jax.lax.broadcasted_iota(jnp.int32, (G, N2, N1), 0)
 
         # Previous-frame phase: shift the (G*N2, N1) view down one frame
@@ -638,11 +677,13 @@ def _syn_ola_phase_kernel(
         # back into the real span).
         mag_live = jnp.where(glob < f_real, mag_blk, 0.0)
 
-        # Carry out the resid row of the chunk's last real frame.
+        # Carry out the resid and analysis-phase rows of the chunk's
+        # last real frame.
         lmask = (glob == last).astype(jnp.float32)
         @pl.when(jnp.logical_and(last >= i * G, last < (i + 1) * G))
         def _():
             rout_ref[...] = jnp.sum(lmask * resid3, axis=0)
+            plast_ref[...] = jnp.sum(lmask * phi_blk, axis=0)
 
         mats = tuple(
             r[...] for r in (c1h, c1l, s1h, s1l, cth, sth, c2h, c2l, s2h, s2l)
@@ -655,10 +696,10 @@ def _syn_ola_phase_kernel(
     out_ref[...] = acc[0:out_rows][None]
 
 
-@partial(jax.jit, static_argnames=("size", "hop", "interpret"))
+@partial(jax.jit, static_argnames=("size", "hop", "cart", "interpret"))
 def synth_ola_phase(
-    mag: jnp.ndarray,
-    phi: jnp.ndarray,
+    a: jnp.ndarray,
+    b: jnp.ndarray,
     da: jnp.ndarray,
     window: jnp.ndarray,
     m0: jnp.ndarray,
@@ -668,9 +709,16 @@ def synth_ola_phase(
     phi_prev: jnp.ndarray,
     size: int,
     hop: int,
+    cart: bool = False,
     interpret: bool = False,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """OLA synthesis straight from the scrambled analysis (mag, phi).
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """OLA synthesis straight from the scrambled analysis spectrum.
+
+    ``(a, b)`` are ``(mag, phi)`` — or, with ``cart=True``, the raw
+    ``(re, im)`` DFT output, in which case magnitude and phase are
+    derived in-kernel (polynomial atan2; the separate XLA sqrt/atan2
+    pass over the (F, size) spectrum was 0.75 ms for a 3-minute track
+    and its output never needs to exist in HBM).
 
     Fuses the whole per-bin phase pipeline of
     ``engine.phase_vocoder._stretch_chunk_core`` — princarg residual,
@@ -681,13 +729,14 @@ def synth_ola_phase(
     Measured v5e: the replaced XLA glue (concat copies, fusions, the
     separate cumsum) was ~3.4 ms of a 13.7 ms render iteration.
 
-    Returns ``(y_flat, resid_last, phi0_eff)``: the unnormalized OLA
-    signal (as :func:`synth_ola`), the carried phase-residual row of the
-    chunk's last real frame, and the effective anchor phase.  Semantics
-    are unchanged from the XLA pipeline (same formulas, same Precision
-    class for the cumsum).
+    Returns ``(y_flat, resid_last, phi_last, phi0_eff)``: the
+    unnormalized OLA signal (as :func:`synth_ola`), the carried
+    phase-residual and analysis-phase rows of the chunk's last real
+    frame, and the effective anchor phase.  Semantics are unchanged from
+    the XLA pipeline (same formulas, same Precision class for the
+    cumsum).
     """
-    f = mag.shape[0]
+    f = a.shape[0]
     assert supported(size, f), (size, f)
     assert size & (size - 1) == 0, size  # int32 ramp uses mod-as-mask
     assert hop % 128 == 0 and size % hop == 0 and hop < size, (size, hop)
@@ -719,9 +768,10 @@ def synth_ola_phase(
     ]
     nb = f // G + 1  # one flush-only step drains the final carry
     clamp = lambda b: jnp.minimum(b, nb - 2)  # flush step re-reads block
-    out, resid_last, phi0_eff = pl.pallas_call(
+    out, resid_last, phi_last, phi0_eff = pl.pallas_call(
         partial(_syn_ola_phase_kernel, hop_rows=hop_rows,
-                carry_rows=carry_rows, size=size, hop=hop, exact=interpret),
+                carry_rows=carry_rows, size=size, hop=hop, cart=cart,
+                exact=interpret),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nb,),
@@ -746,6 +796,7 @@ def synth_ola_phase(
                              memory_space=pltpu.VMEM),
                 const_spec((N2, N1)),
                 const_spec((N2, N1)),
+                const_spec((N2, N1)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((G * hop_rows + carry_rows, 128), jnp.float32),
@@ -758,6 +809,7 @@ def synth_ola_phase(
             jax.ShapeDtypeStruct((nb, G * hop_rows, 128), jnp.float32),
             jax.ShapeDtypeStruct((N2, N1), jnp.float32),
             jax.ShapeDtypeStruct((N2, N1), jnp.float32),
+            jax.ShapeDtypeStruct((N2, N1), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=f * (4 * N2 * N1 * N1 + 2 * N2 * N2 * N1) * 2 * 3
@@ -768,7 +820,7 @@ def synth_ola_phase(
         interpret=interpret,
     )(
         scal,
-        mag.reshape(f, N2, N1), phi.reshape(f, N2, N1), da128, win2d,
+        a.reshape(f, N2, N1), b.reshape(f, N2, N1), da128, win2d,
         om2d, kx2d,
         jnp.asarray(phi0, jnp.float32).reshape(N2, N1),
         jnp.asarray(resid_in, jnp.float32).reshape(N2, N1),
@@ -778,5 +830,6 @@ def synth_ola_phase(
     return (
         out.reshape(nb * G * hop),
         resid_last.reshape(size),
+        phi_last.reshape(size),
         phi0_eff.reshape(size),
     )

@@ -823,14 +823,15 @@ def test_pv_synth_ola_phase_matches_xla_pipeline():
         ))
         last = int(np.clip(f_real - 1, 0, F - 1))
 
-        y_k, r_k, p0_k = pallas_pv.synth_ola_phase(
+        y_k, r_k, pl_k, p0_k = pallas_pv.synth_ola_phase(
             jnp.asarray(mag), phij, jnp.asarray(da), jnp.asarray(win),
             m0, f_real, jnp.asarray(phi0), jnp.asarray(resid_in),
             jnp.asarray(phi_prev), size, hop, interpret=True,
         )
-        y_k, r_k, p0_k = map(np.asarray, (y_k, r_k, p0_k))
+        y_k, r_k, pl_k, p0_k = map(np.asarray, (y_k, r_k, pl_k, p0_k))
 
         assert np.array_equal(p0_k, np.asarray(phi0_eff_t))
+        assert np.array_equal(pl_k, phi[last])
         # Exclude the boundary-ambiguous bins from the tight check.
         near = np.abs(np.abs(np.asarray(dphi)) - np.pi) < 1e-3
         safe = ~near.any(axis=0)
@@ -842,3 +843,39 @@ def test_pv_synth_ola_phase_matches_xla_pipeline():
         # coherent-signal tests (which cover the real-audio case).
         rms = float(np.sqrt(np.mean((y_k - y_t) ** 2)))
         assert rms < 2e-2 * float(np.abs(y_t).max()), rms
+
+
+def test_pv_synth_ola_phase_cartesian_mode():
+    """cart=True (raw re/im in, polynomial atan2 in-kernel) against the
+    mag/phi mode on the same spectrum.  The poly atan2 is ~1-2 ulp from
+    libm, which the chaotic pipeline amplifies at princarg boundaries —
+    compare per the rms convention, and check the phase carries directly
+    (phi_last comes straight from the in-kernel atan2)."""
+    from melonix_tpu.kernels import pallas_pv
+
+    size, hop = 2048, 512
+    F = 128
+    rng = np.random.default_rng(3)
+    re = rng.normal(size=(F, size)).astype(np.float32)
+    im = rng.normal(size=(F, size)).astype(np.float32)
+    re[:, 100] = 0.0
+    im[:, 100] = 0.0  # silent bin: atan2(0, 0) must not NaN
+    da = (hop * rng.uniform(0.8, 1.25, F)).astype(np.float32)
+    win = np.hanning(size).astype(np.float32)
+    zs = np.zeros(size, np.float32)
+    mag = np.sqrt(re * re + im * im)
+    phi = np.arctan2(im, re).astype(np.float32)
+
+    y_m, r_m, pl_m, p0_m = map(np.asarray, pallas_pv.synth_ola_phase(
+        jnp.asarray(mag), jnp.asarray(phi), jnp.asarray(da),
+        jnp.asarray(win), 0, F, jnp.asarray(zs), jnp.asarray(zs),
+        jnp.asarray(zs), size, hop, interpret=True))
+    y_c, r_c, pl_c, p0_c = map(np.asarray, pallas_pv.synth_ola_phase(
+        jnp.asarray(re), jnp.asarray(im), jnp.asarray(da),
+        jnp.asarray(win), 0, F, jnp.asarray(zs), jnp.asarray(zs),
+        jnp.asarray(zs), size, hop, cart=True, interpret=True))
+    assert np.isfinite(y_c).all() and np.isfinite(r_c).all()
+    assert np.abs(pl_c - np.arctan2(im, re)[F - 1]).max() < 1e-5
+    assert np.abs(p0_c - np.arctan2(im, re)[0]).max() < 1e-5
+    rms = float(np.sqrt(np.mean((y_c - y_m) ** 2)))
+    assert rms < 5e-3 * float(np.abs(y_m).max()), rms
