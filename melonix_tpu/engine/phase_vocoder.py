@@ -688,8 +688,6 @@ def _render_with_plan(
             size, hop, ch, formant=preserve_formants, fused=fused,
         )
         y = y_c if one_chunk else _accum_at(y, y_c, jnp.int32(m0 * hop))
-    wsum = _ola_wsum(win_dev, size, hop, n_frames, stretch_len)
-    y = y[:stretch_len] / wsum
 
     if on_tpu:
         # Fused positions+resample kernel: per-sample positions evaluate
@@ -701,8 +699,13 @@ def _render_with_plan(
         rows = pallas_resample.rows_for(
             max(plan.rho_max, float(rho_m.max()), 1.0)
         )
-        out = _resample_pv_fused(plan, y, rows)
+        # Normalize + slice + pad in ONE program (each was a separate
+        # full-HBM pass + dispatch: ~0.35 ms of a 10.7 ms render).
+        y2d = _norm_pad(y, win_dev, size, hop, n_frames, stretch_len, rows)
+        out = _resample_pv_fused(plan, y2d, rows)
     else:
+        wsum = _ola_wsum(win_dev, size, hop, n_frames, stretch_len)
+        y = y[:stretch_len] / wsum
         src_rel = _positions_rel_device(*anc_args, n_out_pad, sr)
         out = _lerp_resample_rel_xla(
             y, src_rel, jnp.asarray(base), stretch_len, pallas_resample.BLK
@@ -711,6 +714,21 @@ def _render_with_plan(
 
 
 RESAMPLE_SEG_BLOCKS = 8192  # blocks (16.8M samples) per fused-resample call
+
+
+@partial(jax.jit, static_argnames=("size", "hop", "n_frames", "stretch_len",
+                                   "rows"))
+def _norm_pad(y, window, size, hop, n_frames, stretch_len, rows):
+    """OLA-normalize + zero-pad + (rows, 128)-view, fused into one XLA
+    program (the separate wsum / divide / pad passes each re-walked the
+    whole stretched buffer through HBM)."""
+    from ..kernels import pallas_resample
+
+    wsum = _ola_wsum(window, size, hop, n_frames, stretch_len)
+    total = 128 * -(-(stretch_len + (rows + 2) * 128) // 128)
+    yp = jnp.zeros((total,), jnp.float32)
+    yp = jax.lax.dynamic_update_slice(yp, y[:stretch_len] / wsum, (0,))
+    return yp.reshape(total // 128, 128)
 
 
 def _resample_pv_fused(plan: PVPlan, y, rows: int, interpret: bool = False):
@@ -731,7 +749,7 @@ def _resample_pv_fused(plan: PVPlan, y, rows: int, interpret: bool = False):
     anc_j = anc_j_p[:n_real].astype(np.int64)
     nb = plan.n_out_pad // blk
     base_np = np.asarray(plan.base)
-    y2d = pallas_resample.pad_src(y, rows)  # shared across segments
+    y2d = y if y.ndim == 2 else pallas_resample.pad_src(y, rows)
     outs = []
     for b0 in range(0, nb, RESAMPLE_SEG_BLOCKS):
         b1 = min(b0 + RESAMPLE_SEG_BLOCKS, nb)
@@ -841,17 +859,24 @@ def render_channels_pv(
             size, hop, ch, formant=preserve_formants,
         )
         y = _accum_at_b(y, y_c, jnp.int32(m0 * hop))
-    wsum = _ola_wsum(win_dev, size, hop, plan.n_frames, plan.stretch_len)
-    y = y[:, : plan.stretch_len] / wsum[None, :]
-
     if on_tpu and mesh is None:
         # Single-chip: per-channel fused positions+lerp kernels (one
         # shared compile; positions never materialize in HBM).
         rows = pallas_resample.rows_for(
             max(plan.rho_max, float(plan.rho_m.max()), 1.0)
         )
-        out = jnp.stack([_resample_pv_fused(plan, y[c], rows) for c in range(B)])
+        out = jnp.stack([
+            _resample_pv_fused(
+                plan,
+                _norm_pad(y[c], win_dev, size, hop, plan.n_frames,
+                          plan.stretch_len, rows),
+                rows,
+            )
+            for c in range(B)
+        ])
     else:
+        wsum = _ola_wsum(win_dev, size, hop, plan.n_frames, plan.stretch_len)
+        y = y[:, : plan.stretch_len] / wsum[None, :]
         src_rel = _positions_rel_device(*plan.anc_args, plan.n_out_pad, sr)
         out = _lerp_resample_rel_xla_b(
             y, src_rel, jnp.asarray(plan.base), plan.stretch_len,
