@@ -261,7 +261,6 @@ def _stretch_chunk_core(
         # phase math (kernels/pallas_pv.py).
         re_s, im_s = pallas_pv.analysis(wav, starts_c, window, size)
         out_len_c = (n_frames_c - 1) * hop + size
-        last = jnp.clip(f_real - 1, 0, n_frames_c - 1)
         if not formant:
             # Straight re/im -> synthesis: the phase pipeline AND the
             # sqrt/atan2 both run inside the kernel — no (F, size)
@@ -859,27 +858,13 @@ def render_channels_pv(
             size, hop, ch, formant=preserve_formants,
         )
         y = _accum_at_b(y, y_c, jnp.int32(m0 * hop))
-    if on_tpu and mesh is None:
-        # Single-chip: per-channel fused positions+lerp kernels (one
-        # shared compile; positions never materialize in HBM).
-        rows = pallas_resample.rows_for(
-            max(plan.rho_max, float(plan.rho_m.max()), 1.0)
-        )
-        out = jnp.stack([
-            _resample_pv_fused(
-                plan,
-                _norm_pad(y[c], win_dev, size, hop, plan.n_frames,
-                          plan.stretch_len, rows),
-                rows,
-            )
-            for c in range(B)
-        ])
-    else:
-        wsum = _ola_wsum(win_dev, size, hop, plan.n_frames, plan.stretch_len)
-        y = y[:, : plan.stretch_len] / wsum[None, :]
-        src_rel = _positions_rel_device(*plan.anc_args, plan.n_out_pad, sr)
-        out = _lerp_resample_rel_xla_b(
-            y, src_rel, jnp.asarray(plan.base), plan.stretch_len,
-            pallas_resample.BLK,
-        )
+    # (mesh / CPU path: the single-chip TPU case early-returned above
+    # through the per-channel fused pipeline.)
+    wsum = _ola_wsum(win_dev, size, hop, plan.n_frames, plan.stretch_len)
+    y = y[:, : plan.stretch_len] / wsum[None, :]
+    src_rel = _positions_rel_device(*plan.anc_args, plan.n_out_pad, sr)
+    out = _lerp_resample_rel_xla_b(
+        y, src_rel, jnp.asarray(plan.base), plan.stretch_len,
+        pallas_resample.BLK,
+    )
     return np.asarray(out[:C, : plan.n_out])

@@ -220,7 +220,11 @@ class PvStream:
         self._phi_prev = jnp.zeros(n_state, jnp.float32)
         self._phi0 = jnp.zeros(n_state, jnp.float32)
         self._wav_dev = jnp.asarray(wav) if wav_dev is None else wav_dev
-        n_out_pad_b = _bucket(plan.n_out_pad, OUT_BUCKET)
+        # One quantum of slack before bucketing: read() caps its batched
+        # fetch at this length, and without slack a seek landing in the
+        # final odd block would overrun (dynamic_slice clamps silently,
+        # returning a shifted window).
+        n_out_pad_b = _bucket(plan.n_out_pad + self._q, OUT_BUCKET)
         self._n_out_pad_b = n_out_pad_b
         self._src_rel = pv._positions_rel_device(*plan.anc_args, n_out_pad_b, sr)
         nb_b = n_out_pad_b // self._blk
@@ -289,8 +293,9 @@ class PvStream:
             covered = max(self._j + len(self._buf) - q_start, 0)
             k = -(-(covered + n - len(self._buf)) // self._q)
             k = 1 << max(k - 1, 0).bit_length()
-            k = min(k, (self._n_out_pad_b - q_start) // self._q)
-            k = max(k, 1)
+            cap = max((self._n_out_pad_b - q_start) // self._q, 1)
+            if k > cap:  # stay a power of two: one executable per bucket
+                k = 1 << (cap.bit_length() - 1)
             q_eff = k * self._q
             j_hi = min(q_start + q_eff, plan.n_out_pad) - 1
             # Gate: the lerp touches floor(src)+1; +2 covers the safety clip.

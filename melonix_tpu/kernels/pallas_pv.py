@@ -633,10 +633,14 @@ def _syn_ola_phase_kernel(
         incr = jnp.float32(hop) * dphi / da_b
         incr = jnp.where(jnp.logical_and(m0 == 0, glob == 0), 0.0, incr)
 
-        # Frame-axis prefix sum: lower-triangular matmul per block (the
-        # Precision.HIGH class of engine.phase_vocoder._cumsum_frames_mxu
-        # — tri is exact in bf16, so split only the operand) + a (N2, N1)
-        # running carry across the sequential grid.
+        # Frame-axis prefix sum: lower-triangular matmul per block + a
+        # (N2, N1) running carry across the sequential grid.  The ones
+        # triangle is exact in bf16, so only the operand is bf16x3-split
+        # (two MXU passes ~= Precision.HIGH, ~16 mantissa bits — ~1e-5
+        # relative on the phase residual, far below the PV path's
+        # intrinsic f32 chaos; a plain jnp.cumsum lowers to a log-depth
+        # reduce-window costing ~2.9 ms of pure HBM traffic at this
+        # size).
         xs = incr.swapaxes(0, 1)  # (N2, G, N1)
         tri = tri_ref[...]
         if exact:

@@ -259,7 +259,7 @@ int mlxav_encode(const char* path, const float* pcm, long long frames,
   SwrContext* swr = nullptr;
   AVPacket* pkt = nullptr;
   AVFrame* frame = nullptr;
-  std::vector<float> padded;
+  uint8_t** conv = nullptr;  // whole-track converted sample planes
   do {
     const AVCodec* codec =
         avcodec_find_encoder(fmt->oformat->audio_codec);
@@ -273,14 +273,27 @@ int mlxav_encode(const char* path, const float* pcm, long long frames,
       set_err("alloc stream");
       break;
     }
-    enc->sample_rate = rate;
-    // Stick to the encoder's supported rate if it is restricted (Opus
-    // only does 48k & divisors; the caller should pass one of those).
+    // Restricted-rate encoders (Opus: the 48k family only) get the
+    // nearest supported rate; swr below resamples to it.
+    int enc_rate = rate;
+    if (codec->supported_samplerates) {
+      int best = 0;
+      for (const int* p = codec->supported_samplerates; *p; ++p) {
+        if (*p == rate) { best = rate; break; }
+        if (best == 0 || llabs((long long)*p - rate) <
+                             llabs((long long)best - rate))
+          best = *p;
+      }
+      if (best) enc_rate = best;
+    }
+    enc->sample_rate = enc_rate;
     av_channel_layout_default(&enc->ch_layout, channels);
     enc->sample_fmt = codec->sample_fmts ? codec->sample_fmts[0]
                                          : AV_SAMPLE_FMT_FLTP;
     enc->bit_rate = 128000LL * channels;
-    enc->time_base = {1, rate};
+    enc->time_base = {1, enc_rate};
+    // FFmpeg's native Opus/Vorbis encoders are gated as experimental.
+    enc->strict_std_compliance = FF_COMPLIANCE_EXPERIMENTAL;
     if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
       enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
     if ((ret = avcodec_open2(enc, codec, nullptr)) < 0) {
@@ -301,13 +314,45 @@ int mlxav_encode(const char* path, const float* pcm, long long frames,
       set_err("write_header", ret);
       break;
     }
+    // Pre-convert the whole track (format + rate) into encoder-native
+    // planes, then slice fixed frames out of it — keeps the frame loop
+    // trivial even when swr resamples.
     AVChannelLayout lay;
     av_channel_layout_default(&lay, channels);
-    ret = swr_alloc_set_opts2(&swr, &lay, enc->sample_fmt, rate, &lay,
+    ret = swr_alloc_set_opts2(&swr, &lay, enc->sample_fmt, enc_rate, &lay,
                               AV_SAMPLE_FMT_FLT, rate, 0, nullptr);
     av_channel_layout_uninit(&lay);
     if (ret < 0 || (ret = swr_init(swr)) < 0) {
       set_err("swr_init(enc)", ret);
+      break;
+    }
+    const int64_t max_out =
+        av_rescale_rnd(frames + 4096, enc_rate, rate, AV_ROUND_UP);
+    int linesize = 0;
+    if ((ret = av_samples_alloc_array_and_samples(
+             &conv, &linesize, channels, (int)max_out, enc->sample_fmt,
+             0)) < 0) {
+      set_err("samples_alloc", ret);
+      break;
+    }
+    const uint8_t* in_planes[1] = {
+        reinterpret_cast<const uint8_t*>(pcm)};
+    int got = swr_convert(swr, conv, (int)max_out, in_planes, (int)frames);
+    if (got >= 0) {
+      // Drain swr's resampler delay.
+      uint8_t* tail[AV_NUM_DATA_POINTERS] = {nullptr};
+      const int nplanes =
+          av_sample_fmt_is_planar(enc->sample_fmt) ? channels : 1;
+      for (int c = 0; c < nplanes; ++c)
+        tail[c] = conv[c] + (size_t)got * av_get_bytes_per_sample(
+                                              enc->sample_fmt) *
+                                (nplanes == 1 ? channels : 1);
+      const int extra =
+          swr_convert(swr, tail, (int)(max_out - got), nullptr, 0);
+      if (extra > 0) got += extra;
+    }
+    if (got < 0) {
+      set_err("swr_convert(enc)", got);
       break;
     }
     pkt = av_packet_alloc();
@@ -317,11 +362,27 @@ int mlxav_encode(const char* path, const float* pcm, long long frames,
       break;
     }
     const int fsz = enc->frame_size > 0 ? enc->frame_size : 1024;
-    long long pos = 0;
     int64_t pts = 0;
     bool failed = false;
-    while (pos < frames || pos == 0) {
-      const int n = int(frames - pos < fsz ? frames - pos : fsz);
+    auto drain_packets = [&](const char* what) -> bool {
+      int r2;
+      while ((r2 = avcodec_receive_packet(enc, pkt)) == 0) {
+        av_packet_rescale_ts(pkt, enc->time_base, st->time_base);
+        pkt->stream_index = st->index;
+        const int wr = av_interleaved_write_frame(fmt, pkt);
+        if (wr < 0) {
+          set_err(what, wr);
+          return false;
+        }
+      }
+      if (r2 != AVERROR(EAGAIN) && r2 != AVERROR_EOF) {
+        set_err("receive_packet", r2);
+        return false;
+      }
+      return true;
+    };
+    for (int64_t pos = 0; pos < got || pos == 0; pos += fsz) {
+      const int n = (int)(got - pos < fsz ? got - pos : fsz);
       frame->nb_samples = fsz;
       frame->format = enc->sample_fmt;
       av_channel_layout_copy(&frame->ch_layout, &enc->ch_layout);
@@ -330,15 +391,12 @@ int mlxav_encode(const char* path, const float* pcm, long long frames,
         failed = true;
         break;
       }
-      // Zero-pad the final partial frame.
-      padded.assign(size_t(fsz) * channels, 0.0f);
-      std::memcpy(padded.data(), pcm + pos * channels,
-                  size_t(n) * channels * sizeof(float));
-      const uint8_t* in_planes[1] = {
-          reinterpret_cast<const uint8_t*>(padded.data())};
-      if ((ret = swr_convert(swr, frame->extended_data, fsz, in_planes,
-                             fsz)) < 0) {
-        set_err("swr_convert(enc)", ret);
+      if ((ret = av_samples_set_silence(frame->extended_data, 0, fsz,
+                                        channels, enc->sample_fmt)) < 0 ||
+          (n > 0 &&
+           (ret = av_samples_copy(frame->extended_data, conv, 0, (int)pos,
+                                  n, channels, enc->sample_fmt)) < 0)) {
+        set_err("samples_copy", ret);
         failed = true;
         break;
       }
@@ -349,25 +407,29 @@ int mlxav_encode(const char* path, const float* pcm, long long frames,
         failed = true;
         break;
       }
-      while ((ret = avcodec_receive_packet(enc, pkt)) == 0) {
-        av_packet_rescale_ts(pkt, enc->time_base, st->time_base);
-        pkt->stream_index = st->index;
-        av_interleaved_write_frame(fmt, pkt);
+      if (!drain_packets("write_frame")) {
+        failed = true;
+        break;
       }
       av_frame_unref(frame);
-      pos += n;
-      if (n == 0) break;
     }
     if (failed) break;
-    avcodec_send_frame(enc, nullptr);  // flush
-    while (avcodec_receive_packet(enc, pkt) == 0) {
-      av_packet_rescale_ts(pkt, enc->time_base, st->time_base);
-      pkt->stream_index = st->index;
-      av_interleaved_write_frame(fmt, pkt);
+    if ((ret = avcodec_send_frame(enc, nullptr)) < 0 &&
+        ret != AVERROR_EOF) {
+      set_err("send_frame(flush)", ret);
+      break;
     }
-    av_write_trailer(fmt);
+    if (!drain_packets("write_frame(flush)")) break;
+    if ((ret = av_write_trailer(fmt)) < 0) {
+      set_err("write_trailer", ret);
+      break;
+    }
     rc = 0;
   } while (false);
+  if (conv) {
+    if (conv[0]) av_freep(&conv[0]);
+    av_freep(&conv);
+  }
   if (swr) swr_free(&swr);
   if (enc) avcodec_free_context(&enc);
   if (pkt) av_packet_free(&pkt);

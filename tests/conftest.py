@@ -28,10 +28,18 @@ import numpy as np
 import pytest
 
 # Build the native runtime once if the toolchain is present (best effort —
-# tests that need it skip when absent).
+# tests that need it skip when absent).  Gate on EVERY target: a checkout
+# with a stale libmelonix_native.so would otherwise never build the libav
+# shim, silently skipping the whole long-tail import path (the Makefile
+# itself skips libmelonix_av.so cleanly where libav headers are absent).
 _repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-_so = os.path.join(_repo, "native", "libmelonix_native.so")
-if not os.path.exists(_so):
+_have_av_headers = os.path.exists(
+    "/usr/include/x86_64-linux-gnu/libavformat/avformat.h"
+) or os.path.exists("/usr/include/libavformat/avformat.h")
+_targets = [os.path.join(_repo, "native", "libmelonix_native.so")] + (
+    [os.path.join(_repo, "native", "libmelonix_av.so")] if _have_av_headers else []
+)
+if not all(os.path.exists(t) for t in _targets):
     try:
         subprocess.run(
             ["make", "-C", os.path.join(_repo, "native")],

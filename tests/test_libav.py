@@ -130,3 +130,22 @@ def test_write_audio_dispatcher(tmp_path):
         mlx.write_audio(p, tone, SR)
         x, rate = mlx.load_audio(p)
         assert rate == SR and len(x) > 0
+
+
+def test_opus_rate_adaptation(tmp_path):
+    """Opus only encodes the 48k family: a 44.1 kHz export must adapt the
+    encoder rate (resampling via swr) instead of failing (review finding:
+    enc->sample_rate was copied through unchecked)."""
+    sr_in = 44100
+    t = np.arange(sr_in * 2) / sr_in
+    tone = (0.5 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+    path = os.path.join(tmp_path, "t44.opus")
+    libav.encode(path, tone, sr_in)
+    x, rate = load_audio(path)
+    assert rate != sr_in and rate >= 8000  # a supported Opus rate
+    assert abs(len(x) / rate - 2.0) < 0.25  # duration preserved
+    # Dominant frequency survives the resample + codec.
+    n = min(len(x), rate)
+    spec = np.abs(np.fft.rfft(x[:n] * np.hanning(n)))
+    f_peak = np.argmax(spec) * rate / n
+    assert abs(f_peak - 440.0) < 5.0
