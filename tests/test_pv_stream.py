@@ -110,3 +110,39 @@ def test_empty_and_degenerate_tracks():
     s = PvStream(np.zeros(100, np.float32), knots)  # shorter than one frame
     assert s.read(64).shape == (64,)
     assert s.exhausted
+
+
+def test_tail_read_near_bucket_boundary(monkeypatch):
+    """Seek into the final odd resample block of a track whose padded
+    curve length sits within one quantum of the OUT_BUCKET boundary.
+    Regression: the batched read's quantum cap could floor to zero there,
+    and jax.lax.dynamic_slice clamps silently — the tail buffer then came
+    from a window ~BLK samples earlier (review round 3).  OUT_BUCKET is
+    shrunk so the boundary is reachable with a sub-second track."""
+    from melonix_tpu.engine import pv_stream as ps
+
+    monkeypatch.setattr(ps, "OUT_BUCKET", 1 << 14)
+    from melonix_tpu.kernels import pallas_resample
+
+    blk = pallas_resample.BLK
+    q = ps.READ_BLOCKS * blk
+    # n_out_pad = 8192-bucketed n_out; park it within one quantum below
+    # the (shrunk) OUT_BUCKET so the pre-fix cap would hit zero.
+    n_out_target = (1 << 14) - q // 2
+    x = _sine(330.0, (n_out_target - 4096) / SR)
+    knots = _knots(len(x), [])
+    ref = render_track_pv(x, knots)
+
+    st = ps.PvStream(x, knots)
+    assert st._n_out_pad_b >= st.plan.n_out_pad + q  # slack present
+    # Seek to an ODD block near the end, then drain.
+    j_seek = (st.n_out // blk - 1) * blk + 7
+    if (j_seek // blk) % 2 == 0:
+        j_seek -= blk
+    st2 = ps.PvStream(x, knots, start_sec=j_seek / SR)
+    got = _read_all(st2, 1024)
+    want = ref[j_seek:]
+    m = min(len(got), len(want))
+    assert m > 0
+    err = np.sqrt(np.mean((got[:m] - want[:m]) ** 2))
+    assert err < 5e-3 * max(np.abs(want).max(), 1e-6), err
