@@ -47,18 +47,25 @@ def make_song(sr: int, seconds: float) -> np.ndarray:
 
 def _device_ms_per_iter(trace_dir: str, iters: int) -> float | None:
     """Sum per-iteration device time of jit_* programs from a profiler trace."""
+    per = _device_ms_by_program(trace_dir, iters)
+    if not per:
+        return None
+    return sum(per.values())
+
+
+def _device_ms_by_program(trace_dir: str, iters: int) -> dict:
+    """Per-program device ms/iter from a profiler trace (MELONIX_BENCH_BREAKDOWN
+    prints this — the first place to look when the headline moves)."""
     files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
     if not files:
-        return None
+        return {}
     events = json.load(gzip.open(sorted(files)[-1]))["traceEvents"]
-    total = 0.0
+    per: dict = {}
     for e in events:
         name = e.get("name", "")
         if e.get("ph") == "X" and "dur" in e and name.startswith("jit_"):
-            total += e["dur"]
-    if total <= 0:
-        return None
-    return total / iters / 1000.0
+            per[name] = per.get(name, 0.0) + e["dur"] / iters / 1000.0
+    return per
 
 
 def _oracle_column_f64(x: np.ndarray, start: int, end: int, size: int) -> np.ndarray:
@@ -399,6 +406,12 @@ def main() -> None:
                 mags, out = pipeline()
             _ = float(out[123]) + float(mags[1, 1])  # drain the pipe
         dev_ms = _device_ms_per_iter(trace_dir, iters)
+        if os.environ.get("MELONIX_BENCH_BREAKDOWN"):
+            for name, ms in sorted(
+                _device_ms_by_program(trace_dir, iters).items(),
+                key=lambda kv: -kv[1],
+            ):
+                print(f"# {ms:8.2f} ms  {name}")
     except Exception:
         dev_ms = None
     t_wall = (time.perf_counter() - t_wall0) / iters
