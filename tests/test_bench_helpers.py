@@ -1,0 +1,27 @@
+"""The official metric's trace parser (bench.py) — the headline number is
+a sum of jit_* complete-event durations; a parser regression would
+silently misreport performance, so pin its arithmetic here."""
+
+import gzip
+import json
+import os
+
+
+def test_device_ms_parser(tmp_path):
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    with gzip.open(os.path.join(tmp_path, "t.trace.json.gz"), "wt") as f:
+        json.dump({"traceEvents": [
+            {"ph": "X", "name": "jit_foo(1)", "dur": 2000},
+            {"ph": "X", "name": "jit_foo(1)", "dur": 2000},
+            {"ph": "X", "name": "jit_bar(2)", "dur": 1000},
+            {"ph": "X", "name": "fusion.1", "dur": 500},  # op-level: excluded
+            {"ph": "M", "name": "jit_meta(9)"},           # no dur: excluded
+        ]}, f)
+    per = bench._device_ms_by_program(str(tmp_path), 2)
+    assert per == {"jit_foo(1)": 2.0, "jit_bar(2)": 0.5}
+    assert abs(bench._device_ms_per_iter(str(tmp_path), 2) - 2.5) < 1e-12
+    assert bench._device_ms_per_iter(str(tmp_path) + "/nope", 1) is None
