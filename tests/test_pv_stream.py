@@ -146,3 +146,16 @@ def test_tail_read_near_bucket_boundary(monkeypatch):
     assert m > 0
     err = np.sqrt(np.mean((got[:m] - want[:m]) ** 2))
     assert err < 5e-3 * max(np.abs(want).max(), 1e-6), err
+
+
+def test_formant_stream_matches_offline(bent_track):
+    """preserve_formants through the pull API == the offline formant
+    render (rms convention) — the streaming advance threads the flag into
+    the same _stretch_chunk the offline chunk loop uses."""
+    x, knots = bent_track
+    ref = render_track_pv(x, knots, preserve_formants=True)
+    st = PvStream(x, knots, preserve_formants=True)
+    got = _read_all(st, 4096)
+    m = min(len(got), len(ref))
+    err = np.sqrt(np.mean((got[:m] - ref[:m]) ** 2))
+    assert err < 5e-3 * np.abs(ref).max(), err
