@@ -160,6 +160,7 @@ class Player:
         self.cursor_sec = 0.0
         self.is_playing = False
         self.engine = engine  # "granular" | "pv"
+        self.formant = False  # PV formant preservation (added capability)
         self._pv_stream = None  # lazy; dropped on any edit/seek/switch
         self._wav_dev = None  # device-resident samples, uploaded once
         self._backlog = _make_backlog()
@@ -182,6 +183,16 @@ class Player:
             raise ValueError(f"unknown engine: {engine}")
         if engine != self.engine:
             self.engine = engine
+            self._backlog.clear()
+            self._exhausted = False
+            self._pv_stream = None
+
+    def set_formant(self, on: bool) -> None:
+        """PV formant preservation, applied live (stream restarts at the
+        cursor like an edit); a no-op for the granular engine."""
+        on = bool(on)
+        if on != self.formant:
+            self.formant = on
             self._backlog.clear()
             self._exhausted = False
             self._pv_stream = None
@@ -236,6 +247,7 @@ class Player:
                     self._wav_dev = jnp.asarray(self.wav)
                 self._pv_stream = PvStream(
                     self._wav_dev, self.knots, config=self.config,
+                    preserve_formants=self.formant,
                     start_sec=self.cursor_sec
                     + self._backlog.avail() / self.sample_rate,
                 )

@@ -68,6 +68,7 @@ class EditorState:
         self.tempo = config.tempo
         self.save_name = ""
         self.engine = "granular"  # live render engine: "granular" | "pv"
+        self.formant = False  # PV formant preservation (pv engine only)
 
         # Derived state (rebuilt by _preproc / invalidated on edits)
         self.grains: GrainTable | None = None
@@ -125,6 +126,7 @@ class EditorState:
             self.wav, self.grains, self.knots, config=self.config,
             engine=self.engine,
         )
+        self.player.set_formant(self.formant)
         self.invalidate()
         # Warm the standard shape buckets in the background so first
         # play/zoom hits compiled executables — the reference's
@@ -243,7 +245,8 @@ class EditorState:
         if engine == "pv":
             from ..engine.phase_vocoder import render_track_pv
 
-            out = render_track_pv(self.wav, self.knots, config=self.config)
+            out = render_track_pv(self.wav, self.knots, config=self.config,
+                                  preserve_formants=self.formant)
         else:
             from ..engine.render import render_track
 
@@ -266,6 +269,13 @@ class EditorState:
         self.engine = engine
         if self.player is not None:
             self.player.set_engine(engine)
+
+    def set_formant(self, on: bool) -> None:
+        """Formant-preservation toggle for the PV engine (added
+        capability; applies live and to export)."""
+        self.formant = bool(on)
+        if self.player is not None:
+            self.player.set_formant(self.formant)
 
     def set_brightness(self, b: float) -> None:
         """Brightness slider → k = 2^(b/10 + 9); rebuilds tiles when it

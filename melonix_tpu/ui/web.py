@@ -71,6 +71,8 @@ body { margin:0; background:#111; color:#ddd; font:13px sans-serif; }
  <label>Tempo <input id="tempo" type="range" min="30" max="250" value="130"
    oninput="ctl('tempo', this.value)"></label>
  <label><input id="follow" type="checkbox" onchange="ctl('follow', this.checked?1:0)">Follow</label>
+ <label><input type="checkbox" id="formant" onchange="ctl('formant', this.checked ? 1 : 0)"
+   title="keep vocal timbre in place while pitch moves (pv engine)"> Formant</label>
  <label>Engine <select id="engine" onchange="ctl('engine', this.value)"
    title="granular = reference-parity splicer; pv = phase-vocoder quality engine">
   <option value="granular">granular</option><option value="pv">pv</option>
@@ -317,6 +319,7 @@ class EditorServer:
             "playing": st.is_playing,
             "follow": st.follow_mode,
             "engine": st.engine,
+            "formant": st.formant,
             "brightness": st.brightness,
             "tempo": st.tempo,
             "save_name": st.save_name,
@@ -402,6 +405,10 @@ class EditorServer:
             # subsequent export) comes from the selected engine.
             st.set_engine(str(value))
             self._audio_epoch += 1  # offline /audio.wav must re-render too
+        elif action == "formant":
+            # PV formant preservation, live + export (added capability).
+            st.set_formant(bool(int(value)))
+            self._audio_epoch += 1
         elif action == "open":  # direct path open (tests / CLI arg)
             st.open_file(str(value))
         elif action == "autotune" and st.loaded:
@@ -449,7 +456,8 @@ class EditorServer:
         if st.engine == "pv":
             from ..engine.phase_vocoder import render_track_pv
 
-            out = np.asarray(render_track_pv(st.wav, st.knots, config=st.config))
+            out = np.asarray(render_track_pv(st.wav, st.knots, config=st.config,
+                                             preserve_formants=st.formant))
         else:
             from ..engine.render import render_track
 

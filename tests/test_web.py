@@ -503,3 +503,25 @@ def test_autotune_action(tmp_path):
     finally:
         conn.close()
         srv.stop()
+
+
+def test_formant_toggle_changes_pv_audio(server):
+    """/control formant re-routes the PV render through formant
+    preservation, live state and offline export alike (added capability;
+    the cepstral warp audibly changes pitch-bent material)."""
+    srv, conn, wav = server
+    _post(conn, "/control", {"action": "open", "value": wav})
+    _post(conn, "/control", {"action": "engine", "value": "pv"})
+    # A bend is needed for the formant warp to differ from identity.
+    _post(conn, "/event", {"type": "dblclick", "x": 550, "y": 310})
+    _, st = _get_state(conn)
+    assert st["engine"] == "pv" and st["formant"] is False
+    _, body_plain, _ = _get(conn, "/audio.wav")
+    _post(conn, "/control", {"action": "formant", "value": 1})
+    _, st = _get_state(conn)
+    assert st["formant"] is True
+    _, body_formant, _ = _get(conn, "/audio.wav")
+    assert body_formant != body_plain
+    _post(conn, "/control", {"action": "formant", "value": 0})
+    _, body_back, _ = _get(conn, "/audio.wav")
+    assert body_back == body_plain
