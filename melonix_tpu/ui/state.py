@@ -69,6 +69,8 @@ class EditorState:
         self.save_name = ""
         self.engine = "granular"  # live render engine: "granular" | "pv"
         self.formant = False  # PV formant preservation (pv engine only)
+        self.show_pitch = False  # detected-pitch overlay in the scene
+        self.pitch = None  # cached engine.pitch.PitchCurve (per import)
 
         # Derived state (rebuilt by _preproc / invalidated on edits)
         self.grains: GrainTable | None = None
@@ -148,6 +150,7 @@ class EditorState:
         self.range_time = 10.0
         self.cursor_sec = 0.0
         self.is_playing = False
+        self.pitch = None  # new samples -> recompute the pitch overlay
 
     @property
     def tile_server(self):
@@ -269,6 +272,16 @@ class EditorState:
         self.engine = engine
         if self.player is not None:
             self.player.set_engine(engine)
+
+    def set_show_pitch(self, on: bool) -> None:
+        """Detected-pitch overlay (added capability: the batched NSDF
+        curve, engine/pitch.py) — computed once per import, on demand."""
+        self.show_pitch = bool(on)
+        if self.show_pitch and self.pitch is None and self.loaded:
+            from ..engine.pitch import pitch_curve
+
+            self.pitch = pitch_curve(self.wav, self.sample_rate,
+                                     config=self.config)
 
     def set_formant(self, on: bool) -> None:
         """Formant-preservation toggle for the PV engine (added

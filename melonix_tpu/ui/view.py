@@ -48,6 +48,7 @@ def render_scene(state: EditorState, *, synchronous_tiles: bool = False) -> np.n
     _draw_piano(state, img, spec_top, lane_h)
     _draw_beat_grid(state, img, spec_top, lane_h)
     _draw_markers(state, img, spec_top, lane_h)
+    _draw_pitch_curve(state, img, spec_top, lane_h)
     _draw_waveform(state, img, wave_top, wave_h)
     _draw_scrubber(state, img)
     return img
@@ -214,6 +215,34 @@ def _line(img, p0, p1, color) -> None:
     H, W, _ = img.shape
     ok = (xs >= 0) & (xs < W) & (ys >= 0) & (ys < H)
     img[ys[ok], xs[ok]] = color
+
+
+def _draw_pitch_curve(state, img, spec_top: int, lane_h: int) -> None:
+    """Detected-pitch overlay (added capability): the NSDF curve
+    (engine/pitch.py) drawn in orange over the spectrogram, shifted by
+    the local bend exactly like the spectrogram rows so the overlay
+    previews the edit too.  Unvoiced frames draw nothing."""
+    if not getattr(state, "show_pitch", False) or state.pitch is None:
+        return
+    curve = state.pitch
+    W = state.viewport.width
+    ts = state.start_time + (np.arange(W) + 0.5) * state.range_time / W
+    # The curve indexes SOURCE samples; map warped view time -> source.
+    src = np.asarray(state.knots.time_to_sample(ts), np.float64)
+    idx = np.clip((src / curve.hop).astype(np.int64), 0, len(curve.note) - 1)
+    voiced = np.asarray(curve.voiced)[idx]
+    note = np.asarray(curve.note, np.float64)[idx]
+    bends = np.asarray(state.knots.time_to_pitch_bend(ts), np.float64)
+    # Drawn position = source note + bend (the preview convention,
+    # app.cpp:497: rows shift by the local pitch bend).
+    yf = (note + bends - state.start_note) / state.range_note
+    rows = spec_top + ((1.0 - yf) * (lane_h - 1)).round().astype(np.int64)
+    ok = voiced & (rows >= spec_top) & (rows < spec_top + lane_h)
+    cols = np.arange(W)[ok]
+    rr = rows[ok]
+    for d in (-1, 0, 1):  # 3-px line for visibility
+        r2 = np.clip(rr + d, spec_top, spec_top + lane_h - 1)
+        img[r2, cols] = (255, 160, 40)
 
 
 def _draw_scrubber(state, img) -> None:

@@ -73,6 +73,8 @@ body { margin:0; background:#111; color:#ddd; font:13px sans-serif; }
  <label><input id="follow" type="checkbox" onchange="ctl('follow', this.checked?1:0)">Follow</label>
  <label><input type="checkbox" id="formant" onchange="ctl('formant', this.checked ? 1 : 0)"
    title="keep vocal timbre in place while pitch moves (pv engine)"> Formant</label>
+ <label><input type="checkbox" id="pitchcurve" onchange="ctl('pitchcurve', this.checked ? 1 : 0)"
+   title="overlay the detected pitch curve (NSDF analysis)"> Pitch</label>
  <label>Engine <select id="engine" onchange="ctl('engine', this.value)"
    title="granular = reference-parity splicer; pv = phase-vocoder quality engine">
   <option value="granular">granular</option><option value="pv">pv</option>
@@ -320,6 +322,7 @@ class EditorServer:
             "follow": st.follow_mode,
             "engine": st.engine,
             "formant": st.formant,
+            "show_pitch": st.show_pitch,
             "brightness": st.brightness,
             "tempo": st.tempo,
             "save_name": st.save_name,
@@ -409,6 +412,9 @@ class EditorServer:
             # PV formant preservation, live + export (added capability).
             st.set_formant(bool(int(value)))
             self._audio_epoch += 1
+        elif action == "pitchcurve":
+            # Detected-pitch overlay (display only; no audio change).
+            st.set_show_pitch(bool(int(value)))
         elif action == "open":  # direct path open (tests / CLI arg)
             st.open_file(str(value))
         elif action == "autotune" and st.loaded:

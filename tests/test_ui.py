@@ -261,3 +261,44 @@ def test_render_async_black_until_ready(editor):
     img1 = render_scene(editor, synchronous_tiles=False)
     # First frame: spectrogram mostly black (pending), but renders fine
     assert img1.shape[0] == editor.viewport.height
+
+
+def test_pitch_overlay_draws_on_curve(tmp_path):
+    """The detected-pitch overlay (added capability) paints orange pixels
+    at the tone's note row, shifted by the local bend like the
+    spectrogram preview; off by default."""
+    import numpy as np
+
+    from melonix_tpu.ui.state import EditorState, Viewport
+    from melonix_tpu.ui.view import render_scene
+    from melonix_tpu.io.wav import write_wav
+
+    sr = 8000
+    t = np.arange(4 * sr) / sr
+    x = (0.5 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
+    p = str(tmp_path / "tone.wav")
+    write_wav(p, x, sr, dtype="float32")
+    st = EditorState(viewport=Viewport(320, 240))
+    st.open_file(p)
+    base = render_scene(st, synchronous_tiles=True)
+    st.set_show_pitch(True)
+    assert st.pitch is not None
+    over = render_scene(st, synchronous_tiles=True)
+    orange = ((over[:, :, 0] == 255) & (over[:, :, 1] == 160) &
+              (over[:, :, 2] == 40))
+    assert orange.sum() > 100  # the curve line is visible
+    assert not ((base[:, :, 0] == 255) & (base[:, :, 1] == 160) &
+                (base[:, :, 2] == 40)).any()
+    # Rows should sit near note 48 (220 Hz = 55*2^2 on the 55 Hz = 24
+    # scale), using the scene's real lane geometry.
+    from melonix_tpu.ui.view import _lane_geometry
+
+    _, _, lane_h, spec_top, _, _ = _lane_geometry(st)
+    rows, _ = np.where(orange)
+    yf = 1.0 - (rows.mean() - spec_top) / (lane_h - 1)
+    note = st.start_note + yf * st.range_note
+    assert abs(note - 48.0) < 2.0, note
+    st.set_show_pitch(False)
+    off = render_scene(st, synchronous_tiles=True)
+    assert not ((off[:, :, 0] == 255) & (off[:, :, 1] == 160) &
+                (off[:, :, 2] == 40)).any()
