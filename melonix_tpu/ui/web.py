@@ -195,6 +195,9 @@ setInterval(() => {
       s.loaded ? (s.cursor.toFixed(2)+'s / '+s.duration.toFixed(2)+'s · '+
                   s.markers+' markers · '+s.fps.toFixed(0)+' fps') : 'no file';
     document.getElementById('follow').checked = s.follow;
+    document.getElementById('formant').checked = s.formant;
+    document.getElementById('pitchcurve').checked = s.show_pitch;
+    document.getElementById('engine').value = s.engine;
     const mk = document.getElementById('marker');
     mk.style.display = s.marker ? 'inline' : 'none';
     if (s.marker) {
