@@ -149,3 +149,42 @@ def test_log_resample_device_matches_np(chirp):
     # by <= 3 per component (the w = (v-170)*3 arm).
     diff = np.abs(tile_dev.astype(int) - want.astype(int))
     assert diff.max() <= 3
+
+
+def test_worker_survives_bad_batch():
+    """A failing compute batch must not kill the worker thread (fail-soft):
+    the error is counted in tiles.worker_errors and later requests are
+    still served."""
+    import time as _time
+
+    from melonix_tpu.config import DEFAULT_CONFIG
+    from melonix_tpu.runtime.tiles import TileServer
+    from melonix_tpu.utils import registry
+
+    calls = {"n": 0}
+
+    def compute(starts, ends):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected batch failure")
+        return np.ones((len(starts), DEFAULT_CONFIG.spectr_size // 2), np.float32)
+
+    srv = TileServer(np.zeros(4096, np.float32), k=512.0,
+                     config=DEFAULT_CONFIG, compute=compute,
+                     poll_interval=0.005)
+    try:
+        before = registry("tiles.worker_errors").value
+        assert srv.get_tile(1, 0, 2048) is None  # queued; worker will fail
+        deadline = _time.time() + 5.0
+        while registry("tiles.worker_errors").value == before:
+            assert _time.time() < deadline, "worker error never recorded"
+            _time.sleep(0.01)
+        # Second request computes on the recovered worker.
+        deadline = _time.time() + 5.0
+        tile = None
+        while tile is None and _time.time() < deadline:
+            tile = srv.get_tile(2, 0, 2048)
+            _time.sleep(0.01)
+        assert tile is not None and tile.shape[1] == 3
+    finally:
+        srv.close()
