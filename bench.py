@@ -29,11 +29,50 @@ import glob
 import gzip
 import json
 import os
+import subprocess
 import sys
 import tempfile
 import time
 
 import numpy as np
+
+
+def _probe_service(deadline_s: float, attempt_timeout_s: float = 120.0) -> bool:
+    """Gate the on-chip measurements behind a trivial-jit probe.
+
+    The remote compile/execute service has stall episodes from minutes to
+    hours (CLAUDE.md); a bench launched mid-stall would hang in the first
+    pipeline dispatch and the round would record nothing.  Probe with a
+    tiny matmul in a SUBPROCESS (a blocked JAX call in-process is not
+    interruptible) and retry until it answers or ``deadline_s`` passes.
+    Returns True when the service answered; the caller proceeds either
+    way — a False just means the numbers may stall, and says so."""
+    code = (
+        # MELONIX_PROBE_PLATFORM lets the CPU test suite probe its own
+        # backend (env JAX_PLATFORMS is too late here: the container
+        # pre-registers the TPU platform via sitecustomize).
+        "import os, jax, jax.numpy as jnp;"
+        "p = os.environ.get('MELONIX_PROBE_PLATFORM');"
+        "p and jax.config.update('jax_platforms', p);"
+        "x = jax.jit(lambda a: a @ a)(jnp.ones((128, 128)));"
+        "assert float(x[0, 0]) == 128.0"
+    )
+    t0 = time.monotonic()
+    while True:
+        attempt_t0 = time.monotonic()
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code],
+                timeout=attempt_timeout_s, capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() - t0 >= deadline_s:
+            return False
+        # Pace retries: a fast failure (import error) should not spin.
+        time.sleep(max(0.0, 30.0 - (time.monotonic() - attempt_t0)))
 
 
 def make_song(sr: int, seconds: float) -> np.ndarray:
@@ -367,6 +406,15 @@ def _hour_scale_x_realtime() -> float:
 
 
 def main() -> None:
+    probe_deadline = float(os.environ.get("MELONIX_BENCH_PROBE_S", "1800"))
+    if probe_deadline > 0 and not _probe_service(probe_deadline):
+        print(
+            "# WARNING: trivial-jit probe never answered within "
+            f"{probe_deadline:.0f}s — the compile/execute service looks "
+            "stalled; proceeding anyway, numbers may hang or be meaningless.",
+            file=sys.stderr,
+        )
+
     import jax
     import jax.numpy as jnp
 

@@ -25,3 +25,30 @@ def test_device_ms_parser(tmp_path):
     assert per == {"jit_foo(1)": 2.0, "jit_bar(2)": 0.5}
     assert abs(bench._device_ms_per_iter(str(tmp_path), 2) - 2.5) < 1e-12
     assert bench._device_ms_per_iter(str(tmp_path) + "/nope", 1) is None
+
+
+def test_probe_service_answers_on_cpu(monkeypatch):
+    """The stall-gate probe: forced onto the CPU backend (the real TPU may
+    be mid-stall during a test run) the subprocess jit answers within one
+    attempt."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    monkeypatch.setenv("MELONIX_PROBE_PLATFORM", "cpu")
+    assert bench._probe_service(deadline_s=240.0, attempt_timeout_s=240.0)
+
+
+def test_probe_service_fails_closed(monkeypatch):
+    import subprocess
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    def boom(*a, **k):
+        raise subprocess.TimeoutExpired(cmd="x", timeout=0.01)
+
+    monkeypatch.setattr(bench.subprocess, "run", boom)
+    assert not bench._probe_service(deadline_s=0.0)
