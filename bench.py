@@ -87,9 +87,10 @@ def make_song(sr: int, seconds: float) -> np.ndarray:
 def _device_ms_per_iter(trace_dir: str, iters: int) -> float | None:
     """Sum per-iteration device time of jit_* programs from a profiler trace."""
     per = _device_ms_by_program(trace_dir, iters)
-    if not per:
-        return None
-    return sum(per.values())
+    total = sum(per.values())
+    # <= 0 (no events, or all zero-duration) -> None: main() then falls
+    # back to wall clock instead of dividing by zero.
+    return total if total > 0.0 else None
 
 
 def _device_ms_by_program(trace_dir: str, iters: int) -> dict:
@@ -465,7 +466,8 @@ def main() -> None:
                 _device_ms_by_program(trace_dir, iters).items(),
                 key=lambda kv: -kv[1],
             ):
-                print(f"# {ms:8.2f} ms  {name}")
+                # stderr: stdout is the one-JSON-line contract.
+                print(f"# {ms:8.2f} ms  {name}", file=sys.stderr)
     except Exception:
         dev_ms = None
     t_wall = (time.perf_counter() - t_wall0) / iters

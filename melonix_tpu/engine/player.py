@@ -188,14 +188,17 @@ class Player:
             self._pv_stream = None
 
     def set_formant(self, on: bool) -> None:
-        """PV formant preservation, applied live (stream restarts at the
-        cursor like an edit); a no-op for the granular engine."""
+        """PV formant preservation, applied live (the PV stream restarts
+        at the cursor like an edit).  Granular audio is unaffected, so
+        only the value is stored there — no backlog flush (a switch to
+        the PV engine replans anyway, set_engine)."""
         on = bool(on)
         if on != self.formant:
             self.formant = on
-            self._backlog.clear()
-            self._exhausted = False
-            self._pv_stream = None
+            if self.engine == "pv":
+                self._backlog.clear()
+                self._exhausted = False
+                self._pv_stream = None
 
     def toggle(self) -> None:
         if not self.is_playing:

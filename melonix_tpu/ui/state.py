@@ -71,6 +71,8 @@ class EditorState:
         self.formant = False  # PV formant preservation (pv engine only)
         self.show_pitch = False  # detected-pitch overlay in the scene
         self.pitch = None  # cached engine.pitch.PitchCurve (per import)
+        self._pitch_thread = None  # background NSDF analysis (TPU only)
+        self._pitch_wav = None  # samples the running analysis is for
 
         # Derived state (rebuilt by _preproc / invalidated on edits)
         self.grains: GrainTable | None = None
@@ -140,6 +142,9 @@ class EditorState:
             from ..runtime.compile_cache import warmup_session_async
 
             warmup_session_async(len(self.wav), self.sample_rate)
+        # A new file with the overlay enabled recomputes its curve
+        # (cleanup cleared self.pitch; the checkbox stays checked).
+        self._ensure_pitch()
 
     def _cleanup(self) -> None:
         """Reset caches and view on file change (app.cpp:1156-1164)."""
@@ -277,11 +282,46 @@ class EditorState:
         """Detected-pitch overlay (added capability: the batched NSDF
         curve, engine/pitch.py) — computed once per import, on demand."""
         self.show_pitch = bool(on)
-        if self.show_pitch and self.pitch is None and self.loaded:
+        self._ensure_pitch()
+
+    def _ensure_pitch(self) -> None:
+        """Compute the overlay curve when the overlay wants one.
+
+        On the TPU backend the first NSDF analysis includes a remote
+        compile (seconds to minutes), and this is reached from the HTTP
+        ``/control`` handler under the server lock — blocking there would
+        starve the live audio stream and the frame poll, so compute in a
+        background thread and let the page poll pick the overlay up when
+        it lands.  CPU (tests) computes synchronously for determinism."""
+        if not (self.show_pitch and self.loaded) or self.pitch is not None:
+            return
+        wav, sr = self.wav, self.sample_rate
+
+        def work() -> None:
             from ..engine.pitch import pitch_curve
 
-            self.pitch = pitch_curve(self.wav, self.sample_rate,
-                                     config=self.config)
+            try:
+                curve = pitch_curve(wav, sr, config=self.config)
+            except Exception:
+                return  # fail-soft: the overlay just stays absent
+            if self.wav is wav:  # discard if the file changed meanwhile
+                self.pitch = curve
+
+        import jax
+
+        if jax.default_backend() == "cpu":
+            work()
+            return
+        if (self._pitch_thread is not None and self._pitch_thread.is_alive()
+                and self._pitch_wav is wav):
+            return  # an analysis for THESE samples is already running
+        import threading
+
+        self._pitch_wav = wav
+        self._pitch_thread = threading.Thread(
+            target=work, name="pitch-overlay", daemon=True
+        )
+        self._pitch_thread.start()
 
     def set_formant(self, on: bool) -> None:
         """Formant-preservation toggle for the PV engine (added

@@ -44,11 +44,11 @@ def render_scene(state: EditorState, *, synchronous_tiles: bool = False) -> np.n
     if not state.loaded:
         return img
 
-    _draw_spectrogram(state, img, spec_top, lane_h, synchronous_tiles)
+    col_maps = _draw_spectrogram(state, img, spec_top, lane_h, synchronous_tiles)
     _draw_piano(state, img, spec_top, lane_h)
     _draw_beat_grid(state, img, spec_top, lane_h)
     _draw_markers(state, img, spec_top, lane_h)
-    _draw_pitch_curve(state, img, spec_top, lane_h)
+    _draw_pitch_curve(state, img, spec_top, lane_h, col_maps)
     _draw_waveform(state, img, wave_top, wave_h)
     _draw_scrubber(state, img)
     return img
@@ -73,7 +73,10 @@ def _waveform_cache(state: EditorState, width: int):
     )
 
 
-def _draw_spectrogram(state, img, spec_top: int, lane_h: int, synchronous: bool) -> None:
+def _draw_spectrogram(state, img, spec_top: int, lane_h: int, synchronous: bool):
+    """Draws the lane and returns the per-column (ts, src_samples, bends)
+    map evaluations so overlays reuse them instead of re-walking the
+    piecewise maps for the same frame."""
     W = state.viewport.width
     sr = state.sample_rate
     texels = state.config.tile_texels
@@ -142,6 +145,7 @@ def _draw_spectrogram(state, img, spec_top: int, lane_h: int, synchronous: bool)
     rgb = tiles[cols, tex_idx]  # (laneH, W, 3)
     rgb[~valid] = 0
     img[spec_top : spec_top + lane_h] = rgb
+    return ts[:-1], samples[:-1], bends
 
 
 def _draw_piano(state, img, spec_top: int, lane_h: int) -> None:
@@ -217,7 +221,8 @@ def _line(img, p0, p1, color) -> None:
     img[ys[ok], xs[ok]] = color
 
 
-def _draw_pitch_curve(state, img, spec_top: int, lane_h: int) -> None:
+def _draw_pitch_curve(state, img, spec_top: int, lane_h: int,
+                      col_maps=None) -> None:
     """Detected-pitch overlay (added capability): the NSDF curve
     (engine/pitch.py) drawn in orange over the spectrogram, shifted by
     the local bend exactly like the spectrogram rows so the overlay
@@ -226,13 +231,20 @@ def _draw_pitch_curve(state, img, spec_top: int, lane_h: int) -> None:
         return
     curve = state.pitch
     W = state.viewport.width
-    ts = state.start_time + (np.arange(W) + 0.5) * state.range_time / W
-    # The curve indexes SOURCE samples; map warped view time -> source.
-    src = np.asarray(state.knots.time_to_sample(ts), np.float64)
+    if col_maps is not None:
+        # Reuse the spectrogram pass's per-column map evaluations (pixel
+        # left edges — within half a pixel of the old center convention).
+        _ts, src, bends = col_maps
+        src = np.asarray(src, np.float64)
+        bends = np.asarray(bends, np.float64)
+    else:
+        ts = state.start_time + (np.arange(W) + 0.5) * state.range_time / W
+        # The curve indexes SOURCE samples; map warped view time -> source.
+        src = np.asarray(state.knots.time_to_sample(ts), np.float64)
+        bends = np.asarray(state.knots.time_to_pitch_bend(ts), np.float64)
     idx = np.clip((src / curve.hop).astype(np.int64), 0, len(curve.note) - 1)
     voiced = np.asarray(curve.voiced)[idx]
     note = np.asarray(curve.note, np.float64)[idx]
-    bends = np.asarray(state.knots.time_to_pitch_bend(ts), np.float64)
     # Drawn position = source note + bend (the preview convention,
     # app.cpp:497: rows shift by the local pitch bend).
     yf = (note + bends - state.start_note) / state.range_note

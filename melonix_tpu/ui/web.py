@@ -413,8 +413,11 @@ class EditorServer:
             self._audio_epoch += 1  # offline /audio.wav must re-render too
         elif action == "formant":
             # PV formant preservation, live + export (added capability).
+            # Granular audio is unchanged by it: bump the /audio.wav epoch
+            # only on the PV engine (an engine switch bumps it anyway).
             st.set_formant(bool(int(value)))
-            self._audio_epoch += 1
+            if st.engine == "pv":
+                self._audio_epoch += 1
         elif action == "pitchcurve":
             # Detected-pitch overlay (display only; no audio change).
             st.set_show_pitch(bool(int(value)))

@@ -144,3 +144,26 @@ def test_declick_ramp(chirp):
     buf = player.callback(1024)
     # First samples ramp from the last delivered value toward zero, rest silent
     assert np.abs(buf[100:]).max() == 0.0
+
+
+def test_formant_toggle_noop_on_granular(chirp):
+    """Formant preservation only affects the PV engine: toggling it while
+    the granular engine plays must not flush the backlog or replan (the
+    audio is byte-identical either way); on PV it restarts the stream."""
+    markers = [Marker(4000, 60.0, 0.02, 2.0)]
+    player, x, table, knots = make_player(chirp, markers)
+    player.toggle()
+    player.callback(1024)
+    backlog_before = player._backlog.avail()
+    player.set_formant(True)
+    assert player._backlog.avail() == backlog_before  # untouched
+    a = player.callback(1024)
+    player.set_formant(False)
+    b = player.callback(1024)
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+
+    player.set_engine("pv")
+    player.callback(1024)
+    player.set_formant(True)
+    assert player._backlog.avail() == 0  # PV: restart at the cursor
+    assert np.isfinite(player.callback(1024)).all()

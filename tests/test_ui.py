@@ -302,3 +302,34 @@ def test_pitch_overlay_draws_on_curve(tmp_path):
     off = render_scene(st, synchronous_tiles=True)
     assert not ((off[:, :, 0] == 255) & (off[:, :, 1] == 160) &
                 (off[:, :, 2] == 40)).any()
+
+
+def test_pitch_overlay_survives_reopen(tmp_path):
+    """Opening another file while the overlay is enabled recomputes the
+    curve for the new samples (the checkbox stays checked; a cleared
+    cache must not silently blank the overlay forever)."""
+    import numpy as np
+
+    from melonix_tpu.io.wav import write_wav
+    from melonix_tpu.ui.state import EditorState, Viewport
+    from melonix_tpu.ui.view import render_scene
+
+    sr = 8000
+    t = np.arange(2 * sr) / sr
+    a = str(tmp_path / "a.wav")
+    b = str(tmp_path / "b.wav")
+    write_wav(a, (0.5 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32),
+              sr, dtype="float32")
+    write_wav(b, (0.5 * np.sin(2 * np.pi * 330.0 * t)).astype(np.float32),
+              sr, dtype="float32")
+    st = EditorState(viewport=Viewport(320, 240))
+    st.open_file(a)
+    st.set_show_pitch(True)
+    first = st.pitch
+    assert first is not None
+    st.open_file(b)
+    assert st.show_pitch and st.pitch is not None and st.pitch is not first
+    over = render_scene(st, synchronous_tiles=True)
+    orange = ((over[:, :, 0] == 255) & (over[:, :, 1] == 160) &
+              (over[:, :, 2] == 40))
+    assert orange.sum() > 100  # overlay visible on the NEW file
