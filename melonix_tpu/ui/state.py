@@ -55,6 +55,11 @@ class EditorState:
         self.sample_rate: int = 0
         self.markers: list[Marker] = []
         self.selected: Optional[int] = None  # index into markers
+        # Edit history (added capability — the reference has no undo).
+        # Each entry is a full marker snapshot: edits are tiny host-side
+        # structures (SURVEY §7), so snapshots beat command objects.
+        self._undo: list[list[Marker]] = []
+        self._redo: list[list[Marker]] = []
 
         # View state (app.hpp:43-46 defaults)
         self.start_time = config.start_time
@@ -113,6 +118,55 @@ class EditorState:
     def on_invalidate(self, fn) -> None:
         self._dirty_listeners.append(fn)
 
+    # ------------------------------------------------------------------
+    # Edit history (undo/redo — added capability, no reference analogue)
+    # ------------------------------------------------------------------
+
+    _HISTORY_CAP = 200
+
+    def _marker_snapshot(self) -> list[Marker]:
+        return [Marker(m.sample, m.note, m.d_time, m.pitch_bend)
+                for m in self.markers]
+
+    def push_history(self) -> None:
+        """Record the marker state BEFORE a discrete edit gesture (add,
+        delete, drag start, numeric edit, autotune).  Select-only clicks
+        push too and are deduped here; a new edit clears the redo branch."""
+        snap = self._marker_snapshot()
+        if self._undo and self._undo[-1] == snap:
+            return
+        self._undo.append(snap)
+        if len(self._undo) > self._HISTORY_CAP:
+            del self._undo[0]
+        self._redo.clear()
+
+    def undo(self) -> bool:
+        """Restore the state before the last edit gesture.  Returns
+        whether anything changed."""
+        cur = self._marker_snapshot()
+        while self._undo:
+            snap = self._undo.pop()
+            if snap != cur:  # skip select-only no-op entries
+                self._redo.append(cur)
+                self._apply_history(snap)
+                return True
+        return False
+
+    def redo(self) -> bool:
+        cur = self._marker_snapshot()
+        while self._redo:
+            snap = self._redo.pop()
+            if snap != cur:
+                self._undo.append(cur)
+                self._apply_history(snap)
+                return True
+        return False
+
+    def _apply_history(self, snap: list[Marker]) -> None:
+        self.markers = snap
+        self.selected = None
+        self.invalidate()
+
     def _preproc(self) -> None:
         """Rebuild all derived state after (re)loading samples
         (App::preproc, app.cpp:153-252)."""
@@ -156,6 +210,8 @@ class EditorState:
         self.cursor_sec = 0.0
         self.is_playing = False
         self.pitch = None  # new samples -> recompute the pitch overlay
+        self._undo.clear()
+        self._redo.clear()
 
     @property
     def tile_server(self):
@@ -450,6 +506,10 @@ class EditorState:
                 self.seek(x * self.range_time / width + self.start_time)
             else:
                 hit = self._hit_test(x, y)
+                # One history entry per gesture: covers both the add below
+                # and the drag that may follow a selection (select-only
+                # entries dedupe in push_history/undo).
+                self.push_history()
                 if hit is None:
                     # Add marker at {sample, note - bend, 0, bend}
                     # (app.cpp:932-945): the *source* note is the clicked
@@ -471,6 +531,7 @@ class EditorState:
                 return
             hit = self._hit_test(x, y)
             if hit is not None:
+                self.push_history()
                 del self.markers[hit]
                 self.selected = None
                 self.invalidate()

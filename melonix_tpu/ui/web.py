@@ -89,7 +89,7 @@ body { margin:0; background:#111; color:#ddd; font:13px sans-serif; }
  </span>
  <span id="readout"></span>
  <span class="hint">drag=pan &middot; ctrl+drag=zoom t &middot; alt+drag=note axis &middot;
-  click=marker &middot; rclick=delete &middot; space/&larr;/&rarr;</span>
+  click=marker &middot; rclick=delete &middot; space/&larr;/&rarr; &middot; ctrl+z/y=undo/redo</span>
 </div>
 <img id="frame" draggable="false">
 <div id="dlg"></div>
@@ -124,6 +124,10 @@ window.addEventListener('keydown', e => {
   if (e.code==='Space') { e.preventDefault(); key('space'); }
   else if (e.code==='ArrowLeft') key('left');
   else if (e.code==='ArrowRight') key('right');
+  else if ((e.ctrlKey||e.metaKey) && e.code==='KeyZ') {
+    e.preventDefault(); key(e.shiftKey ? 'redo' : 'undo');
+  }
+  else if ((e.ctrlKey||e.metaKey) && e.code==='KeyY') { e.preventDefault(); key('redo'); }
 });
 function openDlg(mode) {
   dlgMode = mode;
@@ -429,6 +433,7 @@ class EditorServer:
             from ..engine.autotune import suggest_markers
             from ..markers import sort_markers
 
+            st.push_history()  # one gesture: the whole suggestion batch
             opts = value if isinstance(value, dict) else {}
             st.markers = sort_markers(
                 st.markers
@@ -443,9 +448,14 @@ class EditorServer:
             )
             st.selected = None
             st.invalidate()
+        elif action == "undo":
+            st.undo()
+        elif action == "redo":
+            st.redo()
         elif action in ("marker_dtime", "marker_bend") and st.selected is not None:
             # Marker window numeric edit (app.cpp:87-107); value None = the
             # zero button.
+            st.push_history()
             m = st.markers[st.selected]
             v = 0.0 if value is None else float(value)
             if action == "marker_dtime":
@@ -616,6 +626,10 @@ class EditorServer:
                                 st.cursor_left()
                             elif k == "right":
                                 st.cursor_right()
+                            elif k == "undo":
+                                st.undo()
+                            elif k == "redo":
+                                st.redo()
                             self._json(server._state_json())
                         elif self.path == "/control":
                             server._control(body.get("action", ""), body.get("value"))

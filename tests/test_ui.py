@@ -333,3 +333,68 @@ def test_pitch_overlay_survives_reopen(tmp_path):
     orange = ((over[:, :, 0] == 255) & (over[:, :, 1] == 160) &
               (over[:, :, 2] == 40))
     assert orange.sum() > 100  # overlay visible on the NEW file
+
+
+def test_undo_redo_gestures(editor):
+    """Undo/redo (added capability): add, drag, delete are each one
+    gesture; undo walks back through them and redo replays, with the redo
+    branch cleared by a fresh edit."""
+    W = editor.viewport.width
+    lane_h = editor.viewport.lane_height
+    x, y = 100, MENU_BAR_PX + int(lane_h * 0.4)
+
+    assert not editor.undo()  # empty history is a no-op
+    editor.mouse_button(x, y, True, BUTTON_LEFT)  # gesture 1: add
+    assert len(editor.markers) == 1
+    m = editor.markers[0]
+
+    # gesture 2: select + drag (history captured at the selection click)
+    bent_y = MENU_BAR_PX + int(
+        (1.0 - (m.note - editor.start_note + m.pitch_bend) / editor.range_note) * lane_h
+    )
+    bent_x = int(
+        (editor.knots.sample_to_time(m.sample) - editor.start_time)
+        / editor.range_time * W
+    )
+    editor.mouse_button(bent_x, bent_y, True, BUTTON_LEFT)
+    editor.mouse_motion(bent_x + 8, bent_y - 6, 8, -6,
+                        buttons=1 << (BUTTON_LEFT - 1))
+    dragged = (editor.markers[0].d_time, editor.markers[0].pitch_bend)
+    assert dragged[0] > 0 and dragged[1] > 0
+
+    # undo the drag -> pre-drag values; undo the add -> empty
+    assert editor.undo()
+    assert len(editor.markers) == 1
+    assert editor.markers[0].d_time == 0.0 and editor.markers[0].pitch_bend == 0.0
+    assert editor.undo()
+    assert editor.markers == []
+    assert not editor.undo()
+
+    # redo replays both gestures in order
+    assert editor.redo()
+    assert len(editor.markers) == 1 and editor.markers[0].d_time == 0.0
+    assert editor.redo()
+    assert (editor.markers[0].d_time, editor.markers[0].pitch_bend) == dragged
+    assert not editor.redo()
+
+    # gesture 3: delete, then undo restores the dragged marker
+    m = editor.markers[0]
+    bent_y = MENU_BAR_PX + int(
+        (1.0 - (m.note - editor.start_note + m.pitch_bend) / editor.range_note) * lane_h
+    )
+    bent_x = int(
+        (editor.knots.sample_to_time(m.sample) - editor.start_time)
+        / editor.range_time * W
+    )
+    editor.mouse_button(bent_x, bent_y, True, BUTTON_RIGHT)
+    assert editor.markers == []
+    assert editor.undo()
+    assert (editor.markers[0].d_time, editor.markers[0].pitch_bend) == dragged
+
+    # a fresh edit clears the redo branch
+    editor.mouse_button(30, MENU_BAR_PX + int(lane_h * 0.7), True, BUTTON_LEFT)
+    assert not editor.redo()
+
+    # opening a file clears history
+    editor._cleanup()
+    assert editor._undo == [] and editor._redo == []

@@ -525,3 +525,33 @@ def test_formant_toggle_changes_pv_audio(server):
     _post(conn, "/control", {"action": "formant", "value": 0})
     _, body_back, _ = _get(conn, "/audio.wav")
     assert body_back == body_plain
+
+
+def test_undo_redo_over_http(server):
+    """Ctrl+Z in the page posts /key undo; numeric marker edits and
+    autotune are single history gestures too."""
+    srv, conn, wav = server
+    _post(conn, "/control", {"action": "open", "value": wav})
+    st = srv.state
+    lane_h = st.viewport.lane_height
+
+    # Add a marker by click (one gesture)
+    from melonix_tpu.ui.state import MENU_BAR_PX
+
+    _post(conn, "/event", {"kind": "button", "x": 100,
+                           "y": MENU_BAR_PX + int(lane_h * 0.4),
+                           "pressed": True, "button": 1})
+    assert len(st.markers) == 1 and st.selected == 0
+
+    # Numeric marker-window edit (one gesture)
+    _post(conn, "/control", {"action": "marker_dtime", "value": 0.25})
+    assert st.markers[0].d_time == 0.25
+
+    status, s = _post(conn, "/key", {"key": "undo"})
+    assert status == 200 and st.markers[0].d_time == 0.0
+    _post(conn, "/key", {"key": "undo"})
+    assert st.markers == []
+    _post(conn, "/key", {"key": "redo"})
+    assert len(st.markers) == 1 and st.markers[0].d_time == 0.0
+    status, s = _post(conn, "/control", {"action": "redo"})
+    assert status == 200 and st.markers[0].d_time == 0.25
