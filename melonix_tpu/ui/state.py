@@ -72,6 +72,7 @@ class EditorState:
         self.brightness = config.brightness
         self.tempo = config.tempo
         self.save_name = ""
+        self.source_path = ""  # what was opened (autosave identity)
         self.engine = "granular"  # live render engine: "granular" | "pv"
         self.formant = False  # PV formant preservation (pv engine only)
         self.show_pitch = False  # detected-pitch overlay in the scene
@@ -255,6 +256,7 @@ class EditorState:
         self.wav, self.sample_rate = wav, rate
         self.markers = []
         self.save_name = ""
+        self.source_path = os.path.abspath(path)
         self._preproc()
 
     def load_project_file(self, path: str) -> None:
@@ -265,6 +267,7 @@ class EditorState:
         self.brightness = p.brightness
         self.tempo = p.tempo
         self.save_name = os.path.abspath(path)
+        self.source_path = os.path.abspath(path)
         self._preproc()
 
     def load_melonix_file(self, path: str) -> None:
@@ -278,6 +281,7 @@ class EditorState:
         self.brightness = p.brightness
         self.tempo = p.tempo
         self.save_name = os.path.abspath(path)
+        self.source_path = os.path.abspath(path)
         self._preproc()
 
     def save_project_file(self, path: str | None = None) -> str:

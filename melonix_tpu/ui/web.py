@@ -34,6 +34,7 @@ state access holds it; the stream loop holds it only per-buffer.
 from __future__ import annotations
 
 import json
+import os
 import struct
 import threading
 import time
@@ -90,6 +91,11 @@ body { margin:0; background:#111; color:#ddd; font:13px sans-serif; }
  <span id="readout"></span>
  <span class="hint">drag=pan &middot; ctrl+drag=zoom t &middot; alt+drag=note axis &middot;
   click=marker &middot; rclick=delete &middot; space/&larr;/&rarr; &middot; ctrl+z/y=undo/redo</span>
+</div>
+<div id="recover" style="display:none;background:#5a3b00;padding:4px 8px">
+ A newer unsaved session for this file was found (autosave).
+ <button onclick="ctl('recover')">Recover</button>
+ <button onclick="ctl('discard_autosave')">Discard</button>
 </div>
 <img id="frame" draggable="false">
 <div id="dlg"></div>
@@ -202,6 +208,8 @@ setInterval(() => {
     document.getElementById('formant').checked = s.formant;
     document.getElementById('pitchcurve').checked = s.show_pitch;
     document.getElementById('engine').value = s.engine;
+    document.getElementById('recover').style.display =
+      s.autosave_available ? '' : 'none';
     const mk = document.getElementById('marker');
     mk.style.display = s.marker ? 'inline' : 'none';
     if (s.marker) {
@@ -247,7 +255,8 @@ class EditorServer:
     ``_lock`` brackets every state access — the reference's audio-device
     lock discipline (app.cpp:110-112)."""
 
-    def __init__(self, state: EditorState | None = None, host: str = "127.0.0.1", port: int = 0):
+    def __init__(self, state: EditorState | None = None, host: str = "127.0.0.1", port: int = 0,
+                 autosave_interval: float = 30.0):
         self.state = state or EditorState()
         self.host, self._port = host, port
         self._open_dlg = FileOpenDialog()
@@ -260,6 +269,15 @@ class EditorServer:
         self._audio_epoch = 0  # bumped on any edit/open (cache key)
         self._audio_cache: tuple[int, bytes] | None = None
         self._audio_renders = 0  # offline renders actually performed
+        # Autosave / crash recovery (added capability — the reference
+        # loses everything on a crash).  A leftover autosave found when a
+        # source is opened is offered for recovery in /state.
+        self._autosave_interval = autosave_interval
+        self._autosave_stop = threading.Event()
+        self._autosave_thread: threading.Thread | None = None
+        self._edits_pending = False  # unsaved edits since last (auto)save
+        self._watched_source = ""  # source_path the flags below refer to
+        self._recovery: str | None = None  # leftover autosave, if any
         self.state.on_invalidate(self._on_edit)
         self._frames = 0
         self._fps = 0.0
@@ -272,6 +290,75 @@ class EditorServer:
     def _on_edit(self) -> None:
         """Edit/open invalidation: stale renders must never be served."""
         self._audio_epoch += 1
+        if self.state.source_path != self._watched_source:
+            # A (re)open, not an edit: look for a leftover autosave from a
+            # crashed session and offer it instead of counting this as an
+            # unsaved change.
+            self._watched_source = self.state.source_path
+            p = self._autosave_path()
+            self._recovery = p if (p and os.path.exists(p)) else None
+            self._edits_pending = False
+        else:
+            self._edits_pending = True
+
+    # -- autosave / crash recovery ---------------------------------------
+
+    def _autosave_path(self) -> str | None:
+        """Per-source snapshot path under the cache dir (never next to the
+        user's files)."""
+        src = self.state.source_path
+        if not src:
+            return None
+        import hashlib
+
+        d = os.path.expanduser(
+            os.environ.get("MELONIX_AUTOSAVE_DIR", "~/.cache/melonix_tpu/autosave")
+        )
+        h = hashlib.sha1(os.path.abspath(src).encode()).hexdigest()[:16]
+        base = os.path.splitext(os.path.basename(src))[0]
+        return os.path.join(d, f"{base}.{h}.mlx")
+
+    def autosave_now(self) -> str | None:
+        """Write a crash-recovery snapshot when there are unsaved edits.
+        Snapshot under the lock, serialize outside it (the wav can be
+        tens of MB — the live stream must not wait on a disk write)."""
+        from ..io.project import Project, save_project
+
+        with self._lock:
+            if not (self._edits_pending and self.state.loaded):
+                return None
+            path = self._autosave_path()
+            if path is None:
+                return None
+            st = self.state
+            proj = Project(
+                wav=st.wav, sample_rate=st.sample_rate,
+                markers=st._marker_snapshot(),
+                brightness=st.brightness, tempo=st.tempo,
+            )
+            self._edits_pending = False
+        try:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = save_project(path + ".tmp", proj)
+            os.replace(tmp, path)
+            return path
+        except Exception:
+            return None  # fail-soft: autosave must never break the session
+
+    def _autosave_loop(self) -> None:
+        while not self._autosave_stop.wait(self._autosave_interval):
+            self.autosave_now()
+
+    def _drop_autosave(self) -> None:
+        """An explicit save supersedes the recovery snapshot."""
+        p = self._autosave_path()
+        try:
+            if p and os.path.exists(p):
+                os.remove(p)
+        except OSError:
+            pass
+        self._recovery = None
+        self._edits_pending = False
 
     def _advance_playback(self) -> None:
         """Cursor progression for headless use (no live stream attached).
@@ -333,6 +420,7 @@ class EditorServer:
             "brightness": st.brightness,
             "tempo": st.tempo,
             "save_name": st.save_name,
+            "autosave_available": bool(self._recovery),
             "fps": self._fps,
             "epoch": self._audio_epoch,
             "audio_renders": self._audio_renders,
@@ -392,6 +480,7 @@ class EditorServer:
             if not path.endswith(".mlx"):
                 path += ".mlx"  # appended extension (app.cpp:1168-1170)
             st.save_project_file(path)
+            self._drop_autosave()
         elif mode == "export":
             if not path.endswith(".wav"):
                 path += ".wav"
@@ -404,6 +493,22 @@ class EditorServer:
         if action == "save":
             if st.save_name:
                 st.save_project_file()
+                self._drop_autosave()
+        elif action == "recover":
+            # Load the crashed session's autosave; it belongs to the
+            # source that was open, so keep that identity (and require an
+            # explicit Save As for the recovered state).
+            p = self._recovery
+            if p and os.path.exists(p):
+                src = st.source_path
+                st.load_project_file(p)
+                st.source_path = src
+                st.save_name = ""
+                self._watched_source = src
+                self._recovery = None
+                self._edits_pending = True  # recovered ≠ saved
+        elif action == "discard_autosave":
+            self._drop_autosave()
         elif action == "brightness":
             st.set_brightness(float(value))
         elif action == "tempo":
@@ -652,6 +757,11 @@ class EditorServer:
         self._port = self._httpd.server_port
         self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
         self._thread.start()
+        if self._autosave_interval > 0:
+            self._autosave_thread = threading.Thread(
+                target=self._autosave_loop, name="autosave", daemon=True
+            )
+            self._autosave_thread.start()
         return self._port
 
     @property
@@ -659,6 +769,7 @@ class EditorServer:
         return self._port
 
     def stop(self) -> None:
+        self._autosave_stop.set()
         with self._lock:
             self._stream_id += 1  # detach any live stream loops
             self.state.is_playing = False

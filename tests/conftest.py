@@ -16,6 +16,13 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 ).strip()
 
+# Keep autosave snapshots out of the user's real cache dir.
+import tempfile as _tempfile
+
+os.environ.setdefault(
+    "MELONIX_AUTOSAVE_DIR", _tempfile.mkdtemp(prefix="mlx_test_autosave_")
+)
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")

@@ -555,3 +555,59 @@ def test_undo_redo_over_http(server):
     assert len(st.markers) == 1 and st.markers[0].d_time == 0.0
     status, s = _post(conn, "/control", {"action": "redo"})
     assert status == 200 and st.markers[0].d_time == 0.25
+
+
+def test_autosave_recovery_cycle(server, tmp_path, monkeypatch):
+    """Autosave (added capability): periodic snapshots of unsaved edits;
+    a fresh open of the same source offers recovery; an explicit save
+    drops the snapshot."""
+    monkeypatch.setenv("MELONIX_AUTOSAVE_DIR", str(tmp_path / "as"))
+    srv, conn, wav = server
+    _post(conn, "/control", {"action": "open", "value": wav})
+    st = srv.state
+
+    assert srv.autosave_now() is None  # a fresh open has no unsaved edits
+    assert not srv._state_json()["autosave_available"]
+
+    from melonix_tpu.ui.state import MENU_BAR_PX
+
+    lane_h = st.viewport.lane_height
+    _post(conn, "/event", {"kind": "button", "x": 100,
+                           "y": MENU_BAR_PX + int(lane_h * 0.4),
+                           "pressed": True, "button": 1})
+    _post(conn, "/control", {"action": "marker_bend", "value": 3.0})
+    p = srv.autosave_now()
+    assert p and os.path.exists(p)
+    assert srv.autosave_now() is None  # nothing new since the snapshot
+
+    # Crash simulation: a brand-new server opening the same source sees
+    # the leftover snapshot and offers it (the session itself never does).
+    srv2 = EditorServer(autosave_interval=0)
+    srv2.state.open_file(wav)
+    assert srv2._state_json()["autosave_available"]
+    srv2._control("recover", None)
+    assert len(srv2.state.markers) == 1
+    assert srv2.state.markers[0].pitch_bend == 3.0
+    assert srv2.state.save_name == ""  # recovered state needs Save As
+    assert srv2.state.source_path == os.path.abspath(wav)
+    assert not srv2._state_json()["autosave_available"]
+
+    # Explicit save supersedes the snapshot: the next open offers nothing.
+    srv2.state.save_name = str(tmp_path / "saved.mlx")
+    srv2._control("save", None)
+    assert not os.path.exists(p)
+    srv3 = EditorServer(autosave_interval=0)
+    srv3.state.open_file(wav)
+    assert not srv3._state_json()["autosave_available"]
+
+    # Discard path: leftover snapshot deleted without loading it.
+    srv3.state.markers.append(srv2.state.markers[0])
+    srv3.state.invalidate()
+    p3 = srv3.autosave_now()
+    assert p3 and os.path.exists(p3)
+    srv4 = EditorServer(autosave_interval=0)
+    srv4.state.open_file(wav)
+    assert srv4._state_json()["autosave_available"]
+    srv4._control("discard_autosave", None)
+    assert not os.path.exists(p3)
+    assert not srv4._state_json()["autosave_available"]
