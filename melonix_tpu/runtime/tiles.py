@@ -210,6 +210,7 @@ class TileServer:
             self._rgb = _rgb_device
         self._cache = LruCache(config.max_ranges)
         self._pending: dict = {}
+        self._busy_since: float | None = None  # device batch in flight
         self._lock = threading.Lock()
         self._poll = poll_interval
         self._synchronous = synchronous
@@ -259,7 +260,15 @@ class TileServer:
 
     def stats(self) -> dict:
         with self._lock:
-            return {"cached": len(self._cache), "pending": len(self._pending)}
+            busy = self._busy_since
+            return {
+                "cached": len(self._cache),
+                "pending": len(self._pending),
+                # How long the current device batch has been in flight —
+                # the UI's only signal during a remote-service stall
+                # (multi-minute episodes are documented for this platform).
+                "busy_s": 0.0 if busy is None else round(time.monotonic() - busy, 1),
+            }
 
     def close(self) -> None:
         self._running = False
@@ -275,6 +284,14 @@ class TileServer:
             batch = list(self._pending.items())
             self._pending.clear()
             k = self._k
+            self._busy_since = time.monotonic()
+        try:
+            return self._drain_batch(batch, k)
+        finally:
+            with self._lock:
+                self._busy_since = None
+
+    def _drain_batch(self, batch, k) -> bool:
         keys = [b[0] for b in batch]
         starts = np.asarray([b[1][0] for b in batch], np.int64)
         ends = np.asarray([b[1][1] for b in batch], np.int64)

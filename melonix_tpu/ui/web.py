@@ -201,9 +201,13 @@ function refresh() {
 }
 setInterval(() => {
   fetch('/state').then(r=>r.json()).then(s => {
+    let extra = '';
+    if (s.tiles && s.tiles.pending > 0) extra += ' · '+s.tiles.pending+' tiles pending';
+    if (s.tiles && s.tiles.busy_s > 2)
+      extra += ' · device busy '+s.tiles.busy_s.toFixed(0)+'s';
     document.getElementById('readout').textContent =
       s.loaded ? (s.cursor.toFixed(2)+'s / '+s.duration.toFixed(2)+'s · '+
-                  s.markers+' markers · '+s.fps.toFixed(0)+' fps') : 'no file';
+                  s.markers+' markers · '+s.fps.toFixed(0)+' fps'+extra) : 'no file';
     document.getElementById('follow').checked = s.follow;
     document.getElementById('formant').checked = s.formant;
     document.getElementById('pitchcurve').checked = s.show_pitch;

@@ -188,3 +188,45 @@ def test_worker_survives_bad_batch():
         assert tile is not None and tile.shape[1] == 3
     finally:
         srv.close()
+
+
+def test_busy_signal_during_stalled_batch():
+    """stats()['busy_s'] exposes an in-flight device batch — the UI's only
+    feedback during a remote-service stall — and returns to 0 when the
+    batch lands (or fails)."""
+    import threading
+    import time as _time
+
+    import numpy as np
+
+    from melonix_tpu.config import Config
+    from melonix_tpu.runtime.tiles import TileServer
+
+    release = threading.Event()
+    texels = Config().tile_texels
+
+    def slow_compute(starts, ends):
+        release.wait(10.0)
+        return np.zeros((len(starts), 64), np.float32)
+
+    x = np.zeros(4096, np.float32)
+    srv = TileServer(x, k=1.0, config=Config(max_ranges=8), compute=slow_compute,
+                     poll_interval=0.01)
+    try:
+        assert srv.stats()["busy_s"] == 0.0
+        srv.get_tile(0, 0, 256)
+        t0 = _time.monotonic()
+        while srv.stats()["busy_s"] == 0.0:  # worker picked the batch up
+            assert _time.monotonic() - t0 < 5.0, "worker never went busy"
+            _time.sleep(0.005)
+        _time.sleep(0.05)
+        assert srv.stats()["busy_s"] > 0.0
+        release.set()
+        t0 = _time.monotonic()
+        while srv.get_tile(0, 0, 256) is None:
+            assert _time.monotonic() - t0 < 5.0, "tile never arrived"
+            _time.sleep(0.005)
+        assert srv.stats()["busy_s"] == 0.0
+    finally:
+        release.set()
+        srv.close()
