@@ -266,6 +266,111 @@ def data_parallel_render(
 
 
 # ----------------------------------------------------------------------
+# Sequence-parallel granular render: ONE track's output axis over `seq`.
+# ----------------------------------------------------------------------
+
+
+def seq_parallel_render(
+    mesh: Mesh,
+    wav: jnp.ndarray,  # (n,) replicated source samples
+    offsets: jnp.ndarray,  # int32 (S,) global step output starts (out_offset[:-1])
+    gstart: jnp.ndarray,  # int32 (S,)
+    rate_bits: jnp.ndarray,  # int32 (S,) f32 bit patterns
+    base_off: jnp.ndarray,  # int32 (n_seq,) active-step values at shard starts
+    base_gs: jnp.ndarray,
+    base_rb: jnp.ndarray,
+    n_valid_out,
+    out_len: int,  # padded to a multiple of mesh.shape["seq"]
+    fix_idx: jnp.ndarray,  # int32 (K,) global seam-fix positions (out_len = drop)
+    fix_val: jnp.ndarray,  # float32 (K,)
+) -> jnp.ndarray:
+    """Seq-sharded single-track granular render.
+
+    The per-step plan state (offsets/grain starts/rate bits) is int32
+    segmented broadcasts — bit-exact under sharding; the float lerp can
+    differ from the single-device program by ~1 ulp (XLA fuses the
+    interpolation differently per compilation), so parity tests compare
+    with the granular tolerance (2e-6), not bit equality.
+
+    The render is two gathers from the replicated track plus segmented
+    broadcasts of per-step constants; the broadcast is a prefix sum over
+    the OUTPUT axis, so sharding that axis only needs each shard's
+    starting value.  Those come precomputed from the host control plane
+    (``seq_render_args`` — the plan lives there anyway, SURVEY §7), so
+    unlike the PV phase carry there is NO collective here: each shard
+    scatters the step diffs that land strictly inside it on top of its
+    host-supplied base and cumsums locally.  Seam fixes arrive as global
+    positions and drop to the owning shard."""
+    n_seq = mesh.shape["seq"]
+    assert out_len % n_seq == 0, (out_len, n_seq)
+    L = out_len // n_seq
+
+    def body(w, offs, gs_s, rb_s, b_off, b_gs, b_rb, nv, fidx, fval):
+        idx = jax.lax.axis_index("seq")
+        shard0 = (idx * L).astype(jnp.int32)
+        j_local = jnp.arange(L, dtype=jnp.int32)
+        j = shard0 + j_local
+        n = w.shape[0]
+
+        # Steps starting at or before shard0 are folded into the base
+        # value; only strictly-interior step starts scatter here (a start
+        # exactly AT shard0 is the base itself — push it out of range).
+        p = offs[1:] - shard0
+        pos = jnp.where(p >= 1, p, L)
+
+        def seg(vals, base):
+            d = jnp.zeros(L, jnp.int32).at[pos].add(jnp.diff(vals), mode="drop")
+            return base + jnp.cumsum(d)
+
+        off = seg(offs, b_off[0])
+        gs = seg(gs_s, b_gs[0])
+        r = jax.lax.bitcast_convert_type(seg(rb_s, b_rb[0]), jnp.float32)
+        i = (j - off).astype(jnp.float32)
+        x = i * r  # float32, matches the reference's f32(i) * rate
+        idx_f = jnp.floor(x)
+        frac = x - idx_f
+        src = gs + idx_f.astype(jnp.int32)
+        lo = w[jnp.clip(src, 0, n - 1)]
+        hi = w[jnp.clip(src + 1, 0, n - 1)]
+        out = (1.0 - frac) * lo + frac * hi
+        out = jnp.where(j < nv, out, 0.0)
+        fpos = fidx - shard0
+        fpos = jnp.where((fpos >= 0) & (fpos < L), fpos, L)
+        return out.at[fpos].set(fval, mode="drop")
+
+    f = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P("seq"), P("seq"), P("seq"), P(), P(), P()),
+        out_specs=P("seq"),
+    )
+    return f(wav, offsets, gstart, rate_bits, base_off, base_gs, base_rb,
+             jnp.int32(n_valid_out), fix_idx, fix_val)
+
+
+def seq_render_args(plan, wav, out_len: int, n_seq: int):
+    """Host operands for seq_parallel_render: the single-track device args
+    (engine/render.render_device_args) plus each shard's active-step base
+    values, read straight off the host plan."""
+    from ..engine.render import render_device_args
+
+    offsets, gstart, rate_bits, n_valid, _out_len, fix_idx, fix_val = (
+        render_device_args(plan, wav, out_len)
+    )
+    assert out_len % n_seq == 0, (out_len, n_seq)
+    shard0 = np.arange(n_seq, dtype=np.int64) * (out_len // n_seq)
+    sa = np.clip(
+        np.searchsorted(offsets.astype(np.int64), shard0, side="right") - 1,
+        0, len(offsets) - 1,
+    ).astype(np.int64)
+    return (
+        offsets, gstart, rate_bits,
+        offsets[sa].copy(), gstart[sa].copy(), rate_bits[sa].copy(),
+        n_valid, fix_idx, fix_val,
+    )
+
+
+# ----------------------------------------------------------------------
 # Data-parallel phase-vocoder render: tracks/channels over `data`.
 # ----------------------------------------------------------------------
 

@@ -328,3 +328,48 @@ def test_sharded_pitch_matches_single_device(chirp, mesh):
     np.testing.assert_allclose(np.asarray(lag_s)[:k], np.asarray(lag_1)[:k], rtol=1e-5)
     np.testing.assert_allclose(np.asarray(cl_s)[:k], np.asarray(cl_1)[:k], rtol=1e-4)
     np.testing.assert_allclose(np.asarray(en_s)[:k], np.asarray(en_1)[:k], rtol=1e-5)
+
+
+def test_seq_parallel_render_matches_single(chirp, mesh):
+    """ONE track's granular render with the OUTPUT axis sharded over
+    ``seq``.  The per-step segmented broadcasts are int32 prefix sums
+    (bit-exact under sharding); the float lerp may differ by ~1 ulp from
+    the single-device program (per-compilation XLA fusion), so the bar is
+    the granular render tolerance."""
+    from melonix_tpu.engine.render import render_device, render_device_args
+    from melonix_tpu.parallel import seq_parallel_render, seq_render_args
+
+    x, sr = chirp
+    table = build_grain_table(x)
+    n_seq = mesh.shape["seq"]
+    for markers in (
+        [],
+        [Marker(4000, 60.0, 0.05, 2.0)],
+        [Marker(2000, 60.0, 0.1, -1.0), Marker(6000, 60.0, -0.02, 5.0)],
+    ):
+        knots = MapKnots.from_markers(markers, sr, len(x))
+        plan = build_render_plan(table, knots)
+        blk = n_seq * 1024
+        out_len = blk * -(-int(plan.out_offset[-1]) // blk)
+        offsets, gstart, rbits, n_valid, _, fix_idx, fix_val = (
+            render_device_args(plan, x, out_len)
+        )
+        want = np.asarray(
+            render_device(
+                jnp.asarray(x), jnp.asarray(offsets), jnp.asarray(gstart),
+                jnp.asarray(rbits), n_valid, out_len,
+                jnp.asarray(fix_idx), jnp.asarray(fix_val),
+            )
+        )
+        sargs = seq_render_args(plan, x, out_len, n_seq)
+        got = np.asarray(
+            seq_parallel_render(
+                mesh, jnp.asarray(x),
+                *[jnp.asarray(a) for a in sargs[:6]],
+                sargs[6], out_len,
+                jnp.asarray(sargs[7]), jnp.asarray(sargs[8]),
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=2e-6, err_msg=str(markers))
+        # The integer plan state must shard exactly: zero tails identical.
+        assert np.array_equal(got == 0.0, want == 0.0)
