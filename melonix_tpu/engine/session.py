@@ -13,6 +13,12 @@ ONE batched device program sharded over the mesh's ``data`` axis
 ``render_channels_pv`` for the phase vocoder) — the batched-session path of
 BASELINE config #5.  On a single chip the per-channel kernels (Pallas
 granular / lane-gather PV resample) are the fast path and are kept.
+
+A MONO track with an EXPLICIT mesh routes through the sequence-parallel
+renderers instead (``seq_parallel_render`` / ``seq_parallel_pv`` — the
+long-track scaling story, SURVEY §5): opt-in rather than "auto" because
+the distributed PV phase carry reorders float sums (rms-level PV
+convention, not bit equality) and single-chip defaults must stay stable.
 """
 
 from __future__ import annotations
@@ -69,6 +75,71 @@ def _render_channels_granular(wav_ch: np.ndarray, plan, mesh) -> np.ndarray:
     return np.asarray(out)[:C, :total]
 
 
+def _mono_seq_mesh(mesh):
+    """An EXPLICIT mesh with a seq axis > 1 enables the sequence-parallel
+    mono paths; "auto"/None keep the stable single-chip renderers."""
+    if mesh is None or (isinstance(mesh, str) and mesh == "auto"):
+        return None
+    try:
+        return mesh if mesh.shape.get("seq", 1) > 1 else None
+    except AttributeError:
+        return None
+
+
+def _render_mono_granular_seq(mono, plan, mesh) -> np.ndarray:
+    """ONE track's granular render, output axis sharded over ``seq``
+    (parallel.sharded.seq_parallel_render; host plan supplies the
+    per-shard bases)."""
+    import jax.numpy as jnp
+
+    from ..parallel.sharded import seq_parallel_render, seq_render_args
+
+    n_grain_out = int(plan.out_offset[-1]) if len(plan.out_offset) else 0
+    total = plan.total_out
+    if n_grain_out == 0 or plan.n_steps == 0:
+        return np.zeros(total, np.float32)
+    n_seq = mesh.shape["seq"]
+    blk = n_seq * 1024
+    out_len = blk * -(-n_grain_out // blk)
+    args = seq_render_args(plan, mono, out_len, n_seq)
+    out = seq_parallel_render(
+        mesh, jnp.asarray(mono),
+        *[jnp.asarray(a) for a in args[:6]],
+        args[6], out_len,
+        jnp.asarray(args[7]), jnp.asarray(args[8]),
+    )
+    res = np.zeros(total, np.float32)
+    res[:n_grain_out] = np.asarray(out)[:n_grain_out]
+    return res  # 1500-zero reference tail included via total_out
+
+
+def _render_mono_pv_seq(mono, knots, mesh, config, preserve_formants):
+    """ONE track's PV render with stretch frames sharded over ``seq``.
+    Returns None when the track is too short for the shard count (each
+    shard must cover the OLA spill) so the caller falls back."""
+    import jax.numpy as jnp
+
+    from ..parallel.sharded import seq_parallel_pv, seq_pv_args
+    from .phase_vocoder import build_pv_plan
+    from .spectral import hann_window
+
+    plan = build_pv_plan(knots, len(mono), config=config)
+    if plan is None:
+        return None  # empty/degenerate: the single-chip path handles it
+    n_seq = mesh.shape["seq"]
+    n_frames = n_seq * -(-plan.n_frames // n_seq)
+    if (n_frames // n_seq) * plan.hop < plan.size - plan.hop:
+        return None  # shard span shorter than the OLA spill: fall back
+    kw, ops = seq_pv_args(plan, n_seq)
+    f = seq_parallel_pv(mesh, **kw, formant=bool(preserve_formants))
+    win = jnp.asarray(hann_window(kw["size"]))
+    out = f(
+        jnp.asarray(mono), *[jnp.asarray(o) for o in ops[:4]],
+        win, *[jnp.asarray(o) for o in ops[4:]],
+    )
+    return np.asarray(out)[: plan.n_out]
+
+
 def render_session(
     wav,
     markers,
@@ -91,9 +162,16 @@ def render_session(
     mono = downmix_mono(wav) if multi else wav
     knots = MapKnots.from_markers(markers, sample_rate, len(mono))
     use_mesh = _session_mesh(mesh) if multi else None
+    seq_mesh = _mono_seq_mesh(mesh) if not multi else None
 
     if engine == "pv":
         if not multi:
+            if seq_mesh is not None:
+                out = _render_mono_pv_seq(
+                    mono, knots, seq_mesh, config, preserve_formants
+                )
+                if out is not None:
+                    return out
             return render_track_pv(
                 mono, knots, config=config, preserve_formants=preserve_formants
             )
@@ -106,6 +184,8 @@ def render_session(
     table = build_grain_table(mono, config)
     plan = build_render_plan(table, knots, config=config)
     if not multi:
+        if seq_mesh is not None:
+            return _render_mono_granular_seq(mono, plan, seq_mesh)
         return render(mono, plan)
     if use_mesh is not None:
         return np.ascontiguousarray(

@@ -175,3 +175,39 @@ def test_formant_preserving_shift():
     f0_band = _band_energy(formant[mid], SR, 190, 250)
     f0_orig = _band_energy(formant[mid], SR, 90, 130)
     assert f0_band > f0_orig
+
+
+def test_mono_explicit_mesh_routes_seq_parallel():
+    """A MONO track with an EXPLICIT mesh renders through the
+    sequence-parallel paths (long-track scaling, SURVEY §5): granular at
+    the render tolerance with the identical zero tail; PV at the PV
+    comparison convention (the distributed phase carry reorders float
+    sums)."""
+    import jax
+
+    from melonix_tpu.engine.session import render_session
+    from melonix_tpu.parallel import make_audio_mesh
+
+    mesh = make_audio_mesh(len(jax.devices()), data=1)
+    t = np.arange(int(SR * 1.5)) / SR
+    x = (0.5 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
+    markers = [Marker(len(x) // 2, 57.0, 0.05, 3.0)]
+
+    got = render_session(x, markers, SR, engine="granular", mesh=mesh)
+    want = render_session(x, markers, SR, engine="granular", mesh=None)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-6)
+    assert np.array_equal(got == 0.0, want == 0.0)  # tail + step layout
+
+    got = render_session(x, markers, SR, engine="pv", mesh=mesh)
+    want = render_session(x, markers, SR, engine="pv", mesh=None)
+    assert got.shape == want.shape
+    err = np.sqrt(np.mean((got - want) ** 2)) / (np.sqrt(np.mean(want**2)) + 1e-12)
+    assert err < 2e-3, err
+
+    # Too short for the shard count -> clean fallback, same output shape.
+    xs = x[: SR // 4]
+    ms = [Marker(len(xs) // 2, 57.0, 0.0, 2.0)]
+    got = render_session(xs, ms, SR, engine="pv", mesh=mesh)
+    want = render_session(xs, ms, SR, engine="pv", mesh=None)
+    assert got.shape == want.shape
