@@ -88,28 +88,13 @@ def _mono_seq_mesh(mesh):
 
 def _render_mono_granular_seq(mono, plan, mesh) -> np.ndarray:
     """ONE track's granular render, output axis sharded over ``seq``
-    (parallel.sharded.seq_parallel_render; host plan supplies the
-    per-shard bases)."""
-    import jax.numpy as jnp
+    (parallel.sharded.seq_render; host plan supplies the per-shard
+    bases)."""
+    from ..parallel.sharded import seq_render
 
-    from ..parallel.sharded import seq_parallel_render, seq_render_args
-
-    n_grain_out = int(plan.out_offset[-1]) if len(plan.out_offset) else 0
-    total = plan.total_out
-    if n_grain_out == 0 or plan.n_steps == 0:
-        return np.zeros(total, np.float32)
-    n_seq = mesh.shape["seq"]
-    blk = n_seq * 1024
-    out_len = blk * -(-n_grain_out // blk)
-    args = seq_render_args(plan, mono, out_len, n_seq)
-    out = seq_parallel_render(
-        mesh, jnp.asarray(mono),
-        *[jnp.asarray(a) for a in args[:6]],
-        args[6], out_len,
-        jnp.asarray(args[7]), jnp.asarray(args[8]),
-    )
-    res = np.zeros(total, np.float32)
-    res[:n_grain_out] = np.asarray(out)[:n_grain_out]
+    out, n_grain_out = seq_render(mesh, plan, mono)
+    res = np.zeros(plan.total_out, np.float32)
+    res[:n_grain_out] = out[:n_grain_out]
     return res  # 1500-zero reference tail included via total_out
 
 

@@ -348,6 +348,28 @@ def seq_parallel_render(
              jnp.int32(n_valid_out), fix_idx, fix_val)
 
 
+def seq_render(mesh: Mesh, plan, wav) -> tuple[np.ndarray, int]:
+    """Pad, build operands, and dispatch ONE track's seq-sharded granular
+    render.  Returns (padded output as a host array, n_grain_out) —
+    callers slice/extend as they need.  The single place that knows the
+    (blk quantum, operand order) contract."""
+    n_grain_out = int(plan.out_offset[-1]) if len(plan.out_offset) else 0
+    if n_grain_out == 0 or plan.n_steps == 0:
+        return np.zeros(0, np.float32), 0
+    n_seq = mesh.shape["seq"]
+    blk = n_seq * 1024
+    out_len = blk * -(-n_grain_out // blk)
+    wav_np = np.asarray(wav, np.float32)
+    args = seq_render_args(plan, wav_np, out_len, n_seq)
+    out = seq_parallel_render(
+        mesh, jnp.asarray(wav_np),
+        *[jnp.asarray(a) for a in args[:6]],
+        args[6], out_len,
+        jnp.asarray(args[7]), jnp.asarray(args[8]),
+    )
+    return np.asarray(out), n_grain_out
+
+
 def seq_render_args(plan, wav, out_len: int, n_seq: int):
     """Host operands for seq_parallel_render: the single-track device args
     (engine/render.render_device_args) plus each shard's active-step base

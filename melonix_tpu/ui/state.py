@@ -60,6 +60,8 @@ class EditorState:
         # structures (SURVEY §7), so snapshots beat command objects.
         self._undo: list[list[Marker]] = []
         self._redo: list[list[Marker]] = []
+        self._history_nav = False  # True inside undo/redo application
+        self.open_count = 0  # bumped by every (re)load — see _preproc
 
         # View state (app.hpp:43-46 defaults)
         self.start_time = config.start_time
@@ -113,6 +115,11 @@ class EditorState:
             self.player.set_knots(self.knots)
         if self._tile_server is not None:
             self._tile_server.clear()
+        # A real edit orphans the redo branch.  Cleared here — not in
+        # push_history — so a select-only click (which pushes a history
+        # entry but never invalidates) cannot destroy a pending redo.
+        if not self._history_nav:
+            self._redo.clear()
         for fn in self._dirty_listeners:
             fn()
 
@@ -132,14 +139,14 @@ class EditorState:
     def push_history(self) -> None:
         """Record the marker state BEFORE a discrete edit gesture (add,
         delete, drag start, numeric edit, autotune).  Select-only clicks
-        push too and are deduped here; a new edit clears the redo branch."""
+        push too and are deduped here; the redo branch is cleared by the
+        edit itself (invalidate), never by a no-op selection."""
         snap = self._marker_snapshot()
         if self._undo and self._undo[-1] == snap:
             return
         self._undo.append(snap)
         if len(self._undo) > self._HISTORY_CAP:
             del self._undo[0]
-        self._redo.clear()
 
     def undo(self) -> bool:
         """Restore the state before the last edit gesture.  Returns
@@ -166,11 +173,16 @@ class EditorState:
     def _apply_history(self, snap: list[Marker]) -> None:
         self.markers = snap
         self.selected = None
-        self.invalidate()
+        self._history_nav = True
+        try:
+            self.invalidate()
+        finally:
+            self._history_nav = False
 
     def _preproc(self) -> None:
         """Rebuild all derived state after (re)loading samples
         (App::preproc, app.cpp:153-252)."""
+        self.open_count += 1  # lets listeners tell a (re)open from an edit
         self.selected = None
         self.grains = build_grain_table(self.wav, self.config)
         self.pyramid = build_pyramid(self.wav)

@@ -127,6 +127,8 @@ img.addEventListener('mousemove', e => {
     .then(refresh);
 });
 window.addEventListener('keydown', e => {
+  // Typing in a field keeps its native editing keys (text undo, spaces).
+  if (e.target && e.target.tagName === 'INPUT') return;
   if (e.code==='Space') { e.preventDefault(); key('space'); }
   else if (e.code==='ArrowLeft') key('left');
   else if (e.code==='ArrowRight') key('right');
@@ -279,9 +281,11 @@ class EditorServer:
         self._autosave_interval = autosave_interval
         self._autosave_stop = threading.Event()
         self._autosave_thread: threading.Thread | None = None
+        self._autosave_io = threading.Lock()  # serializes file write/delete
         self._edits_pending = False  # unsaved edits since last (auto)save
-        self._watched_source = ""  # source_path the flags below refer to
+        self._watched_open = 0  # state.open_count the flags below refer to
         self._recovery: str | None = None  # leftover autosave, if any
+        self._save_gen = 0  # bumped by _drop_autosave: stale snapshots die
         self.state.on_invalidate(self._on_edit)
         self._frames = 0
         self._fps = 0.0
@@ -294,11 +298,12 @@ class EditorServer:
     def _on_edit(self) -> None:
         """Edit/open invalidation: stale renders must never be served."""
         self._audio_epoch += 1
-        if self.state.source_path != self._watched_source:
-            # A (re)open, not an edit: look for a leftover autosave from a
-            # crashed session and offer it instead of counting this as an
-            # unsaved change.
-            self._watched_source = self.state.source_path
+        if self.state.open_count != self._watched_open:
+            # A (re)open — same path or not — is never an unsaved edit:
+            # look for a leftover autosave from a crashed session and
+            # offer it instead of marking edits pending (a pristine
+            # reopen must not snapshot over the crash evidence).
+            self._watched_open = self.state.open_count
             p = self._autosave_path()
             self._recovery = p if (p and os.path.exists(p)) else None
             self._edits_pending = False
@@ -325,10 +330,17 @@ class EditorServer:
     def autosave_now(self) -> str | None:
         """Write a crash-recovery snapshot when there are unsaved edits.
         Snapshot under the lock, serialize outside it (the wav can be
-        tens of MB — the live stream must not wait on a disk write)."""
+        tens of MB — the live stream must not wait on a disk write).
+
+        While a leftover snapshot is being OFFERED (``_recovery``),
+        autosaving is paused: writing would overwrite the crashed
+        session's edits at the very path the banner points to.  Resumes
+        after recover/discard/save resolves the offer."""
         from ..io.project import Project, save_project
 
         with self._lock:
+            if self._recovery is not None:
+                return None
             if not (self._edits_pending and self.state.loaded):
                 return None
             path = self._autosave_path()
@@ -340,13 +352,26 @@ class EditorServer:
                 markers=st._marker_snapshot(),
                 brightness=st.brightness, tempo=st.tempo,
             )
+            gen = self._save_gen
             self._edits_pending = False
         try:
             os.makedirs(os.path.dirname(path), exist_ok=True)
             tmp = save_project(path + ".tmp", proj)
-            os.replace(tmp, path)
+            # _autosave_io serializes against _drop_autosave so an
+            # explicit save can't be overtaken by an in-flight snapshot
+            # (the deleted file would be resurrected); a bumped _save_gen
+            # means this snapshot is stale — discard it.
+            with self._autosave_io:
+                if self._save_gen != gen:
+                    os.remove(tmp)
+                    return None
+                os.replace(tmp, path)
             return path
         except Exception:
+            # Snapshot failed (disk full, unwritable dir): the edits are
+            # NOT safely on disk — re-arm so the next tick retries.
+            with self._lock:
+                self._edits_pending = True
             return None  # fail-soft: autosave must never break the session
 
     def _autosave_loop(self) -> None:
@@ -355,12 +380,14 @@ class EditorServer:
 
     def _drop_autosave(self) -> None:
         """An explicit save supersedes the recovery snapshot."""
+        self._save_gen += 1  # kill any snapshot already being written
         p = self._autosave_path()
-        try:
-            if p and os.path.exists(p):
-                os.remove(p)
-        except OSError:
-            pass
+        with self._autosave_io:
+            try:
+                if p and os.path.exists(p):
+                    os.remove(p)
+            except OSError:
+                pass
         self._recovery = None
         self._edits_pending = False
 
@@ -505,11 +532,10 @@ class EditorServer:
             p = self._recovery
             if p and os.path.exists(p):
                 src = st.source_path
-                st.load_project_file(p)
+                st.load_project_file(p)  # bumps open_count → _on_edit resets
                 st.source_path = src
                 st.save_name = ""
-                self._watched_source = src
-                self._recovery = None
+                self._recovery = None  # offer resolved: autosaves resume
                 self._edits_pending = True  # recovered ≠ saved
         elif action == "discard_autosave":
             self._drop_autosave()

@@ -398,3 +398,27 @@ def test_undo_redo_gestures(editor):
     # opening a file clears history
     editor._cleanup()
     assert editor._undo == [] and editor._redo == []
+
+
+def test_select_click_preserves_redo(editor):
+    """A select-only click must not destroy the redo branch (review
+    finding: push_history cleared it even for no-op gestures); only a
+    real edit orphans redo."""
+    lane_h = editor.viewport.lane_height
+    editor.mouse_button(60, MENU_BAR_PX + int(lane_h * 0.3), True, BUTTON_LEFT)
+    editor.mouse_button(140, MENU_BAR_PX + int(lane_h * 0.6), True, BUTTON_LEFT)
+    assert len(editor.markers) == 2
+    assert editor.undo()  # removes the second marker
+    assert len(editor.markers) == 1
+    m = editor.markers[0]
+    bent_y = MENU_BAR_PX + int(
+        (1.0 - (m.note - editor.start_note + m.pitch_bend) / editor.range_note) * lane_h
+    )
+    bent_x = int(
+        (editor.knots.sample_to_time(m.sample) - editor.start_time)
+        / editor.range_time * editor.viewport.width
+    )
+    editor.mouse_button(bent_x, bent_y, True, BUTTON_LEFT)  # select only
+    assert len(editor.markers) == 1 and editor.selected == 0
+    assert editor.redo()  # the undone add survives the selection click
+    assert len(editor.markers) == 2

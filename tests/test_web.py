@@ -611,3 +611,63 @@ def test_autosave_recovery_cycle(server, tmp_path, monkeypatch):
     srv4._control("discard_autosave", None)
     assert not os.path.exists(p3)
     assert not srv4._state_json()["autosave_available"]
+
+
+def test_autosave_never_clobbers_offered_recovery(server, tmp_path, monkeypatch):
+    """While a leftover snapshot is OFFERED, autosaving pauses (review
+    finding: the loop would overwrite the crashed session's edits at the
+    exact path the banner points to) and a pristine same-source reopen is
+    not an unsaved edit."""
+    from melonix_tpu.io.project import load_project
+    from melonix_tpu.markers import Marker
+    from melonix_tpu.ui.state import MENU_BAR_PX
+
+    monkeypatch.setenv("MELONIX_AUTOSAVE_DIR", str(tmp_path / "as"))
+    srv, conn, wav = server
+    _post(conn, "/control", {"action": "open", "value": wav})
+    lane_h = srv.state.viewport.lane_height
+    _post(conn, "/event", {"kind": "button", "x": 100,
+                           "y": MENU_BAR_PX + int(lane_h * 0.4),
+                           "pressed": True, "button": 1})
+    _post(conn, "/control", {"action": "marker_bend", "value": 3.0})
+    p = srv.autosave_now()
+    assert p
+
+    srv2 = EditorServer(autosave_interval=0)
+    srv2.state.open_file(wav)
+    assert srv2._state_json()["autosave_available"]
+    # Pristine same-source reopen: still an offer, never a pending edit.
+    srv2.state.open_file(wav)
+    assert srv2._state_json()["autosave_available"]
+    assert srv2.autosave_now() is None
+    # Edit while the banner is up: autosave stays paused, snapshot intact.
+    srv2.state.push_history()
+    srv2.state.markers.append(Marker(100, 50.0, 0.0, 1.0))
+    srv2.state.invalidate()
+    assert srv2.autosave_now() is None
+    assert load_project(p).markers[0].pitch_bend == 3.0  # crash edits safe
+    # Resolving the offer (recover) resumes autosaving.
+    srv2._control("recover", None)
+    assert srv2.state.markers[0].pitch_bend == 3.0
+    assert srv2.autosave_now() == p  # recovered-but-unsaved state snapshots
+
+
+def test_autosave_failure_rearms(server, tmp_path, monkeypatch):
+    """A failed snapshot write must leave the edits marked pending so the
+    next tick retries (review finding: the flag was cleared pre-write)."""
+    from melonix_tpu.ui.state import MENU_BAR_PX
+
+    blocked = tmp_path / "blocked"
+    blocked.write_text("not a dir")
+    monkeypatch.setenv("MELONIX_AUTOSAVE_DIR", str(blocked))
+    srv, conn, wav = server
+    _post(conn, "/control", {"action": "open", "value": wav})
+    lane_h = srv.state.viewport.lane_height
+    _post(conn, "/event", {"kind": "button", "x": 100,
+                           "y": MENU_BAR_PX + int(lane_h * 0.4),
+                           "pressed": True, "button": 1})
+    _post(conn, "/control", {"action": "marker_bend", "value": 2.0})
+    assert srv.autosave_now() is None  # write fails (dir is a file)
+    assert srv._edits_pending  # re-armed for retry
+    monkeypatch.setenv("MELONIX_AUTOSAVE_DIR", str(tmp_path / "ok"))
+    assert srv.autosave_now() is not None  # retry succeeds
