@@ -422,3 +422,41 @@ def test_select_click_preserves_redo(editor):
     assert len(editor.markers) == 1 and editor.selected == 0
     assert editor.redo()  # the undone add survives the selection click
     assert len(editor.markers) == 2
+
+
+def test_undo_redo_random_gesture_fuzz(editor):
+    """Property: after any gesture sequence, undoing everything restores
+    the initial (empty) marker state, and redoing everything restores the
+    final state; stacks never exceed the cap."""
+    import random
+
+    rng = random.Random(7)
+    lane_h = editor.viewport.lane_height
+    W = editor.viewport.width
+
+    def snap():
+        return [(m.sample, m.note, m.d_time, m.pitch_bend)
+                for m in editor.markers]
+
+    for _ in range(60):
+        op = rng.random()
+        x = rng.randrange(10, W - 10)
+        y = MENU_BAR_PX + int(lane_h * rng.uniform(0.1, 0.9))
+        if op < 0.5:
+            editor.mouse_button(x, y, True, BUTTON_LEFT)  # add or select
+        elif op < 0.7 and editor.selected is not None:
+            editor.mouse_motion(x, y, rng.randrange(-9, 10),
+                                rng.randrange(-9, 10),
+                                buttons=1 << (BUTTON_LEFT - 1))  # drag
+        else:
+            editor.mouse_button(x, y, True, BUTTON_RIGHT)  # delete (maybe)
+    final = snap()
+    assert len(editor._undo) <= editor._HISTORY_CAP
+
+    while editor.undo():
+        pass
+    assert editor.markers == []  # every gesture rolls back
+
+    while editor.redo():
+        pass
+    assert snap() == final  # and rolls forward to the same place
