@@ -800,6 +800,9 @@ class EditorServer:
 
     def stop(self) -> None:
         self._autosave_stop.set()
+        # Graceful exit with unsaved edits still leaves a snapshot, so the
+        # next open of this source offers them (a quit is not a save).
+        self.autosave_now()
         with self._lock:
             self._stream_id += 1  # detach any live stream loops
             self.state.is_playing = False

@@ -671,3 +671,27 @@ def test_autosave_failure_rearms(server, tmp_path, monkeypatch):
     assert srv._edits_pending  # re-armed for retry
     monkeypatch.setenv("MELONIX_AUTOSAVE_DIR", str(tmp_path / "ok"))
     assert srv.autosave_now() is not None  # retry succeeds
+
+
+def test_quit_with_unsaved_edits_leaves_snapshot(tmp_path, chirp, monkeypatch):
+    """A graceful stop() snapshots unsaved edits: quitting is not saving,
+    so the next open of the source offers recovery."""
+    from melonix_tpu.ui.state import MENU_BAR_PX
+
+    monkeypatch.setenv("MELONIX_AUTOSAVE_DIR", str(tmp_path / "as"))
+    x, sr = chirp
+    wav = str(tmp_path / "quit.wav")
+    write_wav(wav, x, sr, dtype="float32")
+
+    srv = EditorServer(autosave_interval=0)  # no background loop: stop() does it
+    srv.state.open_file(wav)
+    lane_h = srv.state.viewport.lane_height
+    srv.state.mouse_button(100, MENU_BAR_PX + int(lane_h * 0.4), True, 1)
+    srv._control("marker_bend", 2.0)
+    srv.stop()
+
+    srv2 = EditorServer(autosave_interval=0)
+    srv2.state.open_file(wav)
+    assert srv2._state_json()["autosave_available"]
+    srv2._control("recover", None)
+    assert srv2.state.markers[0].pitch_bend == 2.0
