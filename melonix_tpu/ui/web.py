@@ -508,8 +508,10 @@ class EditorServer:
         if mode == "open":
             st.open_file(path)
         elif mode == "save_as":
-            if not path.endswith(".mlx"):
-                path += ".mlx"  # appended extension (app.cpp:1168-1170)
+            # Appended extension (app.cpp:1168-1170); an explicit
+            # ".melonix" name saves reference-format interop instead.
+            if not path.endswith((".mlx", ".melonix")):
+                path += ".mlx"
             st.save_project_file(path)
             self._drop_autosave()
         elif mode == "export":

@@ -417,6 +417,15 @@ def test_dialog_http_flow(server, tmp_path):
     status, d = _post(conn, "/dialog/accept", {"mode": "save_as", "filename": "sess"})
     assert d["accepted"] and d["path"].endswith("sess.mlx")
     assert os.path.exists(d["path"])
+    # save-as with an explicit .melonix name keeps the reference format
+    # (no forced .mlx suffix), readable back by the interop loader
+    status, d = _post(conn, "/dialog/accept",
+                      {"mode": "save_as", "filename": "sess.melonix"})
+    assert d["accepted"] and d["path"].endswith("sess.melonix"), d
+    assert os.path.exists(d["path"])
+    from melonix_tpu.io.melonix import load_melonix
+
+    assert load_melonix(d["path"]).sample_rate == srv.state.sample_rate
     # export WAV through the dialog
     srv._export_dlg.cwd = str(tmp_path)
     status, d = _post(conn, "/dialog/accept", {"mode": "export", "filename": "out"})
