@@ -131,7 +131,7 @@ def cmd_pitch(args) -> int:
 
     wav, rate, _m, _b, _t = _load_any(args.input)
     t0 = time.perf_counter()
-    curve = pitch_curve(wav, rate)
+    curve = pitch_curve(wav, rate, method=args.method)
     dt = time.perf_counter() - t0
     payload = {
         "sample_rate": int(rate),
@@ -264,6 +264,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.set_defaults(fn=cmd_spectrogram)
 
     t = sub.add_parser("pitch", help="batched pitch-curve extraction")
+    t.add_argument("--method", choices=("nsdf", "hps", "hybrid"),
+                   default="nsdf",
+                   help="autocorrelation (nsdf), harmonic product spectrum, "
+                        "or hybrid octave-vote")
     t.add_argument("input")
     t.add_argument("-o", "--output", required=True)
     t.set_defaults(fn=cmd_pitch)

@@ -98,6 +98,57 @@ def pitch_core(w: jnp.ndarray, frame: int, lag_min: int, lag_max: int,
     return lag, clarity, energy
 
 
+def hps_core(w: jnp.ndarray, frame: int, lag_min: int, lag_max: int,
+             n_harm: int = 4):
+    """Harmonic-product-spectrum detector over mean-subtracted frames
+    (BASELINE config #3 names "autocorrelation/HPS": this is the HPS
+    half; pitch_core is the autocorrelation/NSDF half).
+
+    Works in the log domain (a product of powers underflows f32) on the
+    zero-padded power spectrum; each decimated view ``P[:, ::h]`` indexes
+    bin h·k at position k, so the harmonic sum is pure slicing — no
+    gathers.  Returns (lag, salience): lag in samples at the NSDF lag
+    convention (sr/f0 = lag → 2·frame/k bins), salience = mean log-power
+    margin of the winning k over the in-range median (≈0 for noise).
+    """
+    spec = jnp.fft.rfft(w, n=2 * frame)
+    lp = jnp.log(spec.real**2 + spec.imag**2 + 1e-20)  # (F, frame+1)
+    n_bins = lp.shape[1]
+    nb = (n_bins - 1) // n_harm + 1
+    hsum = sum(lp[:, ::h][:, :nb] for h in range(1, n_harm + 1))
+    # f0 bin k ↔ lag = 2*frame/k: the NSDF lag range maps to a bin range.
+    k = jnp.arange(nb)
+    k_min = max(1, int(np.ceil(2 * frame / lag_max)))
+    k_max = min(nb - 2, int(np.floor(2 * frame / lag_min)))
+    in_range = (k >= k_min) & (k <= k_max)
+    # Subharmonic guard: a pure tone's leakage skirt lets k0/h outscore k0
+    # (one harmonic term lands ON the peak, the rest ride the higher
+    # low-frequency skirt), so the winning candidate's own fundamental
+    # bin must be within ~26 dB of the frame's strongest bin.  When no
+    # candidate qualifies (missing fundamental) fall back to the raw comb.
+    strong = lp[:, :nb] >= (jnp.max(lp, axis=1, keepdims=True) - 6.0)
+    masked_strong = jnp.where(in_range[None, :] & strong, hsum, -jnp.inf)
+    masked_all = jnp.where(in_range[None, :], hsum, -jnp.inf)
+    any_strong = jnp.any(in_range[None, :] & strong, axis=1)
+    k_best = jnp.where(
+        any_strong,
+        jnp.argmax(masked_strong, axis=1),
+        jnp.argmax(masked_all, axis=1),
+    )
+    # Parabolic refinement in the log-harmonic-sum domain.
+    ki = jnp.clip(k_best, 1, nb - 2)
+    ym1 = jnp.take_along_axis(hsum, (ki - 1)[:, None], axis=1)[:, 0]
+    y0 = jnp.take_along_axis(hsum, ki[:, None], axis=1)[:, 0]
+    yp1 = jnp.take_along_axis(hsum, (ki + 1)[:, None], axis=1)[:, 0]
+    denom = ym1 - 2 * y0 + yp1
+    dk = jnp.where(jnp.abs(denom) > 1e-9, 0.5 * (ym1 - yp1) / denom, 0.0)
+    kf = ki.astype(jnp.float32) + jnp.clip(dk, -0.5, 0.5)
+    lag = 2.0 * frame / jnp.maximum(kf, 1e-6)
+    med = jnp.nanmedian(jnp.where(in_range[None, :], hsum, jnp.nan), axis=1)
+    salience = (y0 - med) / n_harm
+    return lag, salience
+
+
 @partial(jax.jit, static_argnames=("frame", "hop", "n_frames", "lag_min", "lag_max"))
 def _pitch_device(
     wav: jnp.ndarray,
@@ -125,6 +176,16 @@ def _pitch_device(
     return pitch_core(w, frame, lag_min, lag_max)
 
 
+@partial(jax.jit, static_argnames=("frame", "hop", "n_frames", "lag_min", "lag_max"))
+def _hps_device(wav, frame: int, hop: int, n_frames: int,
+                lag_min: int, lag_max: int):
+    from .spectral import extract_hop_frames
+
+    frames = extract_hop_frames(wav.astype(jnp.float32), frame, hop, n_frames)
+    w = frames - jnp.mean(frames, axis=1, keepdims=True)
+    return hps_core(w, frame, lag_min, lag_max)
+
+
 def pitch_curve(
     wav,
     sample_rate: int,
@@ -132,7 +193,15 @@ def pitch_curve(
     config: Config = DEFAULT_CONFIG,
     clarity_threshold: float = 0.5,
     energy_threshold: float = 1e-6,
+    method: str = "nsdf",
 ) -> PitchCurve:
+    """``method``: "nsdf" (autocorrelation, default), "hps" (harmonic
+    product spectrum), or "hybrid" — NSDF lags with HPS overriding only
+    where the two disagree by exactly an octave AND the harmonic
+    evidence is salient (HPS fails on missing-fundamental signals where
+    NSDF wins, so NSDF stays the baseline)."""
+    if method not in ("nsdf", "hps", "hybrid"):
+        raise ValueError(f"unknown pitch method: {method}")
     wav = np.asarray(wav, np.float32)
     frame, hop = config.pitch_frame, config.pitch_hop
     n_frames = max(1, 1 + (len(wav) - frame) // hop) if len(wav) >= frame else 1
@@ -141,6 +210,20 @@ def pitch_curve(
     lag, clarity, energy = _pitch_device(
         jnp.asarray(wav), frame, hop, n_frames, lag_min, lag_max
     )
+    if method in ("hps", "hybrid"):
+        hlag, sal = _hps_device(
+            jnp.asarray(wav), frame, hop, n_frames, lag_min, lag_max
+        )
+        hlag = np.asarray(hlag, np.float64)
+        sal = np.asarray(sal, np.float64)
+        nlag = np.asarray(lag, np.float64)
+        if method == "hps":
+            lag = hlag
+        else:
+            octave_low = np.abs(nlag - 2.0 * hlag) < 0.04 * 2.0 * hlag
+            octave_high = np.abs(2.0 * nlag - hlag) < 0.04 * hlag
+            # sal > 2.0: white noise measures ~1.3; tonal frames 4-8.
+            lag = np.where((octave_low | octave_high) & (sal > 2.0), hlag, nlag)
     lag = np.asarray(lag, np.float64)
     clarity = np.asarray(clarity, np.float64)
     energy = np.asarray(energy, np.float64)

