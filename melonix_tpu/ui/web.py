@@ -262,7 +262,10 @@ class EditorServer:
     lock discipline (app.cpp:110-112)."""
 
     def __init__(self, state: EditorState | None = None, host: str = "127.0.0.1", port: int = 0,
-                 autosave_interval: float = 30.0):
+                 autosave_interval: float | None = None):
+        if autosave_interval is None:
+            # Ops override: MELONIX_AUTOSAVE_S seconds, 0 disables.
+            autosave_interval = float(os.environ.get("MELONIX_AUTOSAVE_S", 30.0))
         self.state = state or EditorState()
         self.host, self._port = host, port
         self._open_dlg = FileOpenDialog()
