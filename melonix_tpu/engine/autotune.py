@@ -116,9 +116,12 @@ def suggest_markers(
     key: str = "a",
     strength: float = 1.0,
     config: Config = DEFAULT_CONFIG,
+    method: str = "nsdf",
 ) -> list[Marker]:
-    """Markers that pitch-correct each detected note toward the scale."""
-    curve = pitch_curve(wav, sample_rate, config=config)
+    """Markers that pitch-correct each detected note toward the scale.
+    ``method`` selects the detector (engine/pitch.pitch_curve): the
+    hybrid octave-vote helps material where NSDF flips octaves."""
+    curve = pitch_curve(wav, sample_rate, config=config, method=method)
     hop = curve.hop
     markers: list[Marker] = []
     for f0, f1, med in segment_notes(curve):
@@ -145,12 +148,14 @@ def autotune(
     engine: str = "pv",
     preserve_formants: bool = True,
     config: Config = DEFAULT_CONFIG,
+    method: str = "nsdf",
 ):
     """Detect → snap → render.  Returns (rendered, markers)."""
     from .session import render_session
 
     markers = suggest_markers(
-        wav, sample_rate, scale=scale, key=key, strength=strength, config=config
+        wav, sample_rate, scale=scale, key=key, strength=strength,
+        config=config, method=method,
     )
     out = render_session(
         wav, markers, sample_rate,
