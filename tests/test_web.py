@@ -704,3 +704,32 @@ def test_quit_with_unsaved_edits_leaves_snapshot(tmp_path, chirp, monkeypatch):
     assert srv2._state_json()["autosave_available"]
     srv2._control("recover", None)
     assert srv2.state.markers[0].pitch_bend == 2.0
+
+
+def test_page_inline_js_structure():
+    """No browser runs in this environment, so the page's inline JS can
+    silently rot.  Structural guard: balanced brackets/template literals,
+    every referenced function defined, every getElementById target present
+    in the HTML (or created dynamically)."""
+    import re
+
+    from melonix_tpu.ui import web
+
+    html = None
+    for name in dir(web):
+        v = getattr(web, name)
+        if isinstance(v, str) and "<script>" in v:
+            html = v
+            break
+    assert html, "page template not found"
+    js = re.search(r"<script>(.*?)</script>", html, re.S).group(1)
+    for o, c in [("(", ")"), ("{", "}"), ("[", "]")]:
+        assert js.count(o) == js.count(c), (o, js.count(o), js.count(c))
+    assert js.count("`") % 2 == 0
+    called = set(re.findall(r"\b(ctl|key|post|refresh|syncAudio|evmods|openDlg|showDlg)\(", js))
+    for fn in called:
+        assert f"function {fn}" in js, fn
+    ids = set(re.findall(r"getElementById\('([^']+)'\)", js))
+    dynamic = set(re.findall(r"\.id = '([^']+)'", js))
+    missing = [i for i in ids if f'id="{i}"' not in html and i not in dynamic]
+    assert not missing, missing
