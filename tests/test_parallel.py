@@ -373,3 +373,36 @@ def test_seq_parallel_render_matches_single(chirp, mesh):
         np.testing.assert_allclose(got, want, atol=2e-6, err_msg=str(markers))
         # The integer plan state must shard exactly: zero tails identical.
         assert np.array_equal(got == 0.0, want == 0.0)
+
+
+def test_alternate_mesh_shape_4x2(chirp):
+    """The sharded paths hold on other mesh layouts, not just the default
+    (2,4): halo STFT and the seq-PV render on a (data=4, seq=2) mesh."""
+    from melonix_tpu.engine.phase_vocoder import build_pv_plan, render_track_pv
+    from melonix_tpu.parallel import make_audio_mesh, seq_parallel_pv, seq_pv_args, sharded_stft_mags
+
+    mesh = make_audio_mesh(8, data=4)
+    assert mesh.shape["data"] == 4 and mesh.shape["seq"] == 2
+    x, sr = chirp
+    size, hop = 256, 64
+    n = len(x) // (2 * hop) * (2 * hop)
+    xs = x[:n]
+    win = jnp.asarray(S.hann_window(size))
+    got = np.asarray(sharded_stft_mags(jnp.asarray(xs), win, mesh, size=size, hop=hop))
+    want = np.abs(np.asarray(S.stft_device(jnp.asarray(xs), win, size, hop, n // hop)))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+    knots = MapKnots.from_markers([Marker(len(x) // 2, 57.0, 0.02, 2.0)], sr, len(x))
+    plan = build_pv_plan(knots, len(x))
+    want_pv = render_track_pv(x, knots)
+    kw, ops = seq_pv_args(plan, 2)
+    f = seq_parallel_pv(mesh, **kw)
+    win_pv = jnp.asarray(S.hann_window(kw["size"]))
+    got_pv = np.asarray(
+        f(jnp.asarray(x), *[jnp.asarray(o) for o in ops[:4]], win_pv,
+          *[jnp.asarray(o) for o in ops[4:]])
+    )[: plan.n_out]
+    err = np.sqrt(np.mean((got_pv - want_pv) ** 2)) / (
+        np.sqrt(np.mean(want_pv**2)) + 1e-12
+    )
+    assert err < 2e-3, err
