@@ -185,6 +185,7 @@ def cmd_autotune(args) -> int:
     out, markers = autotune(
         wav, rate,
         scale=args.scale, key=args.key, strength=args.strength,
+        vibrato=args.vibrato,
         engine=args.engine, preserve_formants=not args.no_formant,
     )
     dt = time.perf_counter() - t0
@@ -288,6 +289,8 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--scale", choices=["chromatic", "major", "minor"], default="chromatic")
     a.add_argument("--key", default="a", help="key root (a, c#, bb, ...)")
     a.add_argument("--strength", type=float, default=1.0)
+    a.add_argument("--vibrato", type=float, default=0.0,
+                   help="0..1: flatten intra-note pitch modulation")
     a.add_argument("--engine", choices=["granular", "pv"], default="pv")
     a.add_argument("--no-formant", action="store_true")
     a.add_argument("--markers-out", help="also write the suggested markers JSON")

@@ -117,24 +117,53 @@ def suggest_markers(
     strength: float = 1.0,
     config: Config = DEFAULT_CONFIG,
     method: str = "nsdf",
+    vibrato: float = 0.0,
 ) -> list[Marker]:
     """Markers that pitch-correct each detected note toward the scale.
+
     ``method`` selects the detector (engine/pitch.pitch_curve): the
-    hybrid octave-vote helps material where NSDF flips octaves."""
+    hybrid octave-vote helps material where NSDF flips octaves.
+
+    ``vibrato`` in [0, 1] flattens intra-note pitch modulation: 0 keeps
+    the performance's vibrato (constant per-segment bend, two markers),
+    1 cancels the deviation from the note's median entirely — per-frame
+    bend = strength*(target - med) + vibrato*(med - note_f), emitted as
+    dense markers every few frames (the bend curve interpolates linearly
+    between markers, app.cpp:1089-1122, so this tracks the curve)."""
     curve = pitch_curve(wav, sample_rate, config=config, method=method)
     hop = curve.hop
     markers: list[Marker] = []
-    for f0, f1, med in segment_notes(curve):
+    # Flattening implies tolerating deeper intra-note modulation before
+    # declaring a new note: widen the segmenter with the vibrato depth
+    # being cancelled (0.6 st default; +0.9 at full flattening).
+    split = 0.6 + 0.9 * max(0.0, min(1.0, vibrato))
+    for f0, f1, med in segment_notes(curve, split_jump=split):
         target = snap_note(med, scale, key)
         bend = strength * (target - med)
-        if abs(bend) < 0.03:  # < 3 cents: inaudible, below detector bias
+        if vibrato <= 0.0:
+            if abs(bend) < 0.03:  # < 3 cents: inaudible, below detector bias
+                continue
+            # Anchor inside the segment (frame centers), both ends -> flat.
+            s0 = (f0 * hop) + config.pitch_frame // 2
+            s1 = ((f1 - 1) * hop) + config.pitch_frame // 2
+            markers.append(Marker(int(s0), med, 0.0, float(bend)))
+            if s1 > s0:
+                markers.append(Marker(int(s1), med, 0.0, float(bend)))
             continue
-        # Anchor inside the segment (frame centers), both ends → flat bend.
-        s0 = (f0 * hop) + config.pitch_frame // 2
-        s1 = ((f1 - 1) * hop) + config.pitch_frame // 2
-        markers.append(Marker(int(s0), med, 0.0, float(bend)))
-        if s1 > s0:
-            markers.append(Marker(int(s1), med, 0.0, float(bend)))
+        stride = 3  # frames between markers (~35 ms at 512-hop/44.1k)
+        frames = list(range(f0, f1, stride))
+        if frames[-1] != f1 - 1:
+            frames.append(f1 - 1)
+        bends = [
+            bend + vibrato * (med - float(curve.note[f]))
+            if curve.voiced[f] else bend
+            for f in frames
+        ]
+        if all(abs(b) < 0.03 for b in bends):
+            continue
+        for f, b in zip(frames, bends):
+            s = (f * hop) + config.pitch_frame // 2
+            markers.append(Marker(int(s), med, 0.0, float(b)))
     return markers
 
 
@@ -149,13 +178,14 @@ def autotune(
     preserve_formants: bool = True,
     config: Config = DEFAULT_CONFIG,
     method: str = "nsdf",
+    vibrato: float = 0.0,
 ):
     """Detect → snap → render.  Returns (rendered, markers)."""
     from .session import render_session
 
     markers = suggest_markers(
         wav, sample_rate, scale=scale, key=key, strength=strength,
-        config=config, method=method,
+        config=config, method=method, vibrato=vibrato,
     )
     out = render_session(
         wav, markers, sample_rate,

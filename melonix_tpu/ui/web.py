@@ -583,6 +583,7 @@ class EditorServer:
                     scale=opts.get("scale", "chromatic"),
                     key=opts.get("key", "a"),
                     strength=float(opts.get("strength", 1.0)),
+                    vibrato=float(opts.get("vibrato", 0.0)),
                     config=st.config,
                 )
             )

@@ -62,3 +62,36 @@ def test_autotune_strength_half():
     med = float(np.median(curve.note[sel]))
     # Half-strength correction leaves ~+22 cents
     assert 0.1 < (med - 48.0) < 0.35, med
+
+
+def test_vibrato_flattening_reduces_modulation():
+    """vibrato=1 cancels intra-note pitch modulation: a tone with ±70-cent
+    2 Hz vibrato renders to a much flatter measured curve at the same
+    median pitch (added capability — Melodyne-class modulation control).
+    A finer analysis frame than the default is needed for the detector to
+    resolve the modulation at all (the 0.5 s default averages it out)."""
+    import numpy as np
+
+    from melonix_tpu.config import Config
+    from melonix_tpu.engine.autotune import autotune, suggest_markers
+    from melonix_tpu.engine.pitch import pitch_curve
+
+    sr = 8000
+    cfg = Config(pitch_frame=1024, pitch_hop=256)
+    t = np.arange(3 * sr) / sr
+    f_inst = 220.0 * 2.0 ** (0.7 * np.sin(2 * np.pi * 2.0 * t) / 12.0)
+    x = (0.5 * np.sin(2 * np.pi * np.cumsum(f_inst) / sr)).astype(np.float32)
+
+    flat_markers = suggest_markers(x, sr, vibrato=1.0, config=cfg)
+    assert len(flat_markers) > 8  # dense intra-segment markers
+    out, markers = autotune(x, sr, vibrato=1.0, engine="pv",
+                            preserve_formants=False, config=cfg)
+    c_in = pitch_curve(x, sr, config=cfg)
+    c_out = pitch_curve(np.asarray(out, np.float32), sr, config=cfg)
+    v_in, v_out = c_in.voiced, c_out.voiced
+    std_in = float(np.std(c_in.note[v_in]))
+    std_out = float(np.std(c_out.note[v_out]))
+    assert std_in > 0.2, std_in  # the input really wobbles
+    assert std_out < 0.5 * std_in, (std_in, std_out)
+    med_out = float(np.median(c_out.note[v_out]))
+    assert abs(med_out - 48.0) < 0.3, med_out  # chromatic snap keeps A
