@@ -66,7 +66,19 @@ body { margin:0; background:#111; color:#ddd; font:13px sans-serif; }
  <button onclick="openDlg('save_as')">Save As</button>
  <button onclick="openDlg('export')">Export WAV</button>
  <button id="play" onclick="key('space')">Play</button>
- <button onclick="ctl('autotune', {})" title="detect pitch, snap to scale, add markers">Autotune</button>
+ <button onclick="runAutotune()" title="detect pitch, snap to scale, add markers">Autotune</button>
+ <select id="at_scale" title="autotune scale">
+  <option>chromatic</option><option>major</option><option>minor</option>
+ </select>
+ <select id="at_key" title="autotune key root">
+  <option>a</option><option>a#</option><option>b</option><option>c</option>
+  <option>c#</option><option>d</option><option>d#</option><option>e</option>
+  <option>f</option><option>f#</option><option>g</option><option>g#</option>
+ </select>
+ <label title="correction strength 0..1">str <input id="at_str" type="number"
+   value="1.0" step="0.1" min="0" max="1" style="width:52px"></label>
+ <label title="flatten intra-note vibrato 0..1">vib <input id="at_vib" type="number"
+   value="0" step="0.1" min="0" max="1" style="width:52px"></label>
  <label>Brightness <input id="bright" type="range" min="0" max="100" value="50"
    oninput="ctl('brightness', this.value)"></label>
  <label>Tempo <input id="tempo" type="range" min="30" max="250" value="130"
@@ -107,6 +119,14 @@ function post(url, body) { return fetch(url, {method:'POST', body: JSON.stringif
 function ctl(action, value) { post('/control', {action, value}).then(refresh); }
 function key(k) { post('/key', {key:k}).then(r=>r.json()).then(s=>{ syncAudio(s); refresh(); }); }
 function evmods(e) { return (e.ctrlKey?1:0) | (e.altKey?2:0); }
+function runAutotune() {
+  ctl('autotune', {
+    scale: document.getElementById('at_scale').value,
+    key: document.getElementById('at_key').value,
+    strength: parseFloat(document.getElementById('at_str').value) || 0,
+    vibrato: parseFloat(document.getElementById('at_vib').value) || 0,
+  });
+}
 img.addEventListener('contextmenu', e => e.preventDefault());
 img.addEventListener('mousedown', e => {
   e.preventDefault();
