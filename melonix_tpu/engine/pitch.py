@@ -39,6 +39,17 @@ class PitchCurve:
         return float(self.note[idx])
 
 
+def _parabolic(y: jnp.ndarray, i: jnp.ndarray, eps: float):
+    """Parabolic peak refinement of per-frame index ``i`` into curve ``y``
+    (F, n): returns the clamped fractional offset in [-0.5, 0.5]."""
+    ym1 = jnp.take_along_axis(y, (i - 1)[:, None], axis=1)[:, 0]
+    y0 = jnp.take_along_axis(y, i[:, None], axis=1)[:, 0]
+    yp1 = jnp.take_along_axis(y, (i + 1)[:, None], axis=1)[:, 0]
+    denom = ym1 - 2 * y0 + yp1
+    d = jnp.where(jnp.abs(denom) > eps, 0.5 * (ym1 - yp1) / denom, 0.0)
+    return jnp.clip(d, -0.5, 0.5), y0
+
+
 def pitch_core(w: jnp.ndarray, frame: int, lag_min: int, lag_max: int,
                ac: jnp.ndarray | None = None):
     """NSDF pitch analysis of mean-subtracted frames ``w`` (F, frame).
@@ -85,12 +96,7 @@ def pitch_core(w: jnp.ndarray, frame: int, lag_min: int, lag_max: int,
 
     # Parabolic interpolation around the chosen lag.
     li = jnp.clip(first_lag, 1, frame - 2)
-    ym1 = jnp.take_along_axis(nac, (li - 1)[:, None], axis=1)[:, 0]
-    y0 = jnp.take_along_axis(nac, li[:, None], axis=1)[:, 0]
-    yp1 = jnp.take_along_axis(nac, (li + 1)[:, None], axis=1)[:, 0]
-    denom = ym1 - 2 * y0 + yp1
-    delta = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (ym1 - yp1) / denom, 0.0)
-    delta = jnp.clip(delta, -0.5, 0.5)
+    delta, y0 = _parabolic(nac, li, 1e-12)
     lag = li.astype(jnp.float32) + delta
 
     clarity = y0
@@ -137,12 +143,8 @@ def hps_core(w: jnp.ndarray, frame: int, lag_min: int, lag_max: int,
     )
     # Parabolic refinement in the log-harmonic-sum domain.
     ki = jnp.clip(k_best, 1, nb - 2)
-    ym1 = jnp.take_along_axis(hsum, (ki - 1)[:, None], axis=1)[:, 0]
-    y0 = jnp.take_along_axis(hsum, ki[:, None], axis=1)[:, 0]
-    yp1 = jnp.take_along_axis(hsum, (ki + 1)[:, None], axis=1)[:, 0]
-    denom = ym1 - 2 * y0 + yp1
-    dk = jnp.where(jnp.abs(denom) > 1e-9, 0.5 * (ym1 - yp1) / denom, 0.0)
-    kf = ki.astype(jnp.float32) + jnp.clip(dk, -0.5, 0.5)
+    dk, y0 = _parabolic(hsum, ki, 1e-9)
+    kf = ki.astype(jnp.float32) + dk
     lag = 2.0 * frame / jnp.maximum(kf, 1e-6)
     med = jnp.nanmedian(jnp.where(in_range[None, :], hsum, jnp.nan), axis=1)
     salience = (y0 - med) / n_harm
@@ -159,7 +161,6 @@ def _pitch_device(
     lag_max: int,
 ):
     from ..kernels import pallas_pitch
-    from .spectral import extract_hop_frames
 
     if (
         jax.default_backend() == "tpu"
@@ -171,19 +172,22 @@ def _pitch_device(
         # round trip order-free since power is elementwise).
         ac, w = pallas_pitch.pitch_ac_pallas(wav, frame, hop, n_frames)
         return pitch_core(w, frame, lag_min, lag_max, ac=ac)
+    return pitch_core(_centered_frames(wav, frame, hop, n_frames),
+                      frame, lag_min, lag_max)
+
+
+def _centered_frames(wav, frame: int, hop: int, n_frames: int):
+    from .spectral import extract_hop_frames
+
     frames = extract_hop_frames(wav.astype(jnp.float32), frame, hop, n_frames)
-    w = frames - jnp.mean(frames, axis=1, keepdims=True)
-    return pitch_core(w, frame, lag_min, lag_max)
+    return frames - jnp.mean(frames, axis=1, keepdims=True)
 
 
 @partial(jax.jit, static_argnames=("frame", "hop", "n_frames", "lag_min", "lag_max"))
 def _hps_device(wav, frame: int, hop: int, n_frames: int,
                 lag_min: int, lag_max: int):
-    from .spectral import extract_hop_frames
-
-    frames = extract_hop_frames(wav.astype(jnp.float32), frame, hop, n_frames)
-    w = frames - jnp.mean(frames, axis=1, keepdims=True)
-    return hps_core(w, frame, lag_min, lag_max)
+    return hps_core(_centered_frames(wav, frame, hop, n_frames),
+                    frame, lag_min, lag_max)
 
 
 def pitch_curve(
@@ -210,21 +214,20 @@ def pitch_curve(
     lag, clarity, energy = _pitch_device(
         jnp.asarray(wav), frame, hop, n_frames, lag_min, lag_max
     )
+    lag = np.asarray(lag, np.float64)
     if method in ("hps", "hybrid"):
         hlag, sal = _hps_device(
             jnp.asarray(wav), frame, hop, n_frames, lag_min, lag_max
         )
         hlag = np.asarray(hlag, np.float64)
         sal = np.asarray(sal, np.float64)
-        nlag = np.asarray(lag, np.float64)
         if method == "hps":
             lag = hlag
         else:
-            octave_low = np.abs(nlag - 2.0 * hlag) < 0.04 * 2.0 * hlag
-            octave_high = np.abs(2.0 * nlag - hlag) < 0.04 * hlag
+            octave_low = np.abs(lag - 2.0 * hlag) < 0.04 * 2.0 * hlag
+            octave_high = np.abs(2.0 * lag - hlag) < 0.04 * hlag
             # sal > 2.0: white noise measures ~1.3; tonal frames 4-8.
-            lag = np.where((octave_low | octave_high) & (sal > 2.0), hlag, nlag)
-    lag = np.asarray(lag, np.float64)
+            lag = np.where((octave_low | octave_high) & (sal > 2.0), hlag, lag)
     clarity = np.asarray(clarity, np.float64)
     energy = np.asarray(energy, np.float64)
     f0 = np.where(lag > 0, sample_rate / np.maximum(lag, 1e-9), 0.0)
