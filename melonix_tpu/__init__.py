@@ -21,6 +21,7 @@ from .engine.maps import MapKnots
 from .engine.grains import GrainTable, build_grain_table
 from .engine.render import RenderPlan, build_render_plan, render, render_track
 from .engine.phase_vocoder import render_channels_pv, render_track_pv
+from .engine.batch import render_batch
 from .engine.session import render_session
 from .engine.pitch import PitchCurve, pitch_curve
 from .engine.autotune import autotune, suggest_markers
@@ -49,6 +50,7 @@ __all__ = [
     "render_track",
     "render_track_pv",
     "render_channels_pv",
+    "render_batch",
     "render_session",
     "PitchCurve",
     "pitch_curve",

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -145,6 +146,57 @@ def cmd_pitch(args) -> int:
     voiced_pct = 100.0 * np.mean(curve.voiced) if len(curve.voiced) else 0.0
     print(
         f"pitch: {len(curve.f0)} frames ({voiced_pct:.0f}% voiced) in {dt:.2f}s -> {args.output}"
+    )
+    return 0
+
+
+def cmd_batch(args) -> int:
+    """Serving path: render a fleet of files in mesh-width batches."""
+    import glob as _glob
+
+    from .engine.autotune import suggest_markers
+    from .engine.batch import render_batch
+    from .io.audio import load_audio, write_audio
+
+    files = sorted({f for pat in args.inputs for f in _glob.glob(pat)})
+    if not files:
+        print(f"batch: no files match {args.inputs}", file=sys.stderr)
+        return 2
+    os.makedirs(args.outdir, exist_ok=True)
+    shared = _markers_from_arg(args.markers, None) if args.markers else None
+
+    t0 = time.perf_counter()
+    by_rate: dict[int, list] = {}
+    for f in files:
+        wav, rate = load_audio(f)
+        by_rate.setdefault(rate, []).append((f, wav))
+
+    written = []
+    for rate, group in sorted(by_rate.items()):
+        tracks = [w for _, w in group]
+        if args.autotune:
+            markers_l = [
+                suggest_markers(
+                    w, rate, scale=args.scale, key=args.key,
+                    strength=args.strength, vibrato=args.vibrato,
+                )
+                for w in tracks
+            ]
+        else:
+            markers_l = [shared or [] for _ in tracks]
+        outs = render_batch(
+            tracks, markers_l, rate, engine=args.engine,
+            preserve_formants=args.engine == "pv" and not args.no_formant,
+        )
+        for (f, _), out in zip(group, outs):
+            stem = os.path.splitext(os.path.basename(f))[0]
+            outp = os.path.join(args.outdir, f"{stem}.{args.format}")
+            write_audio(outp, out, rate)
+            written.append(outp)
+    dt = time.perf_counter() - t0
+    print(
+        f"batch: {len(written)} files ({len(by_rate)} rate group(s), "
+        f"engine {args.engine}) in {dt:.2f}s -> {args.outdir}"
     )
     return 0
 
@@ -282,6 +334,24 @@ def build_parser() -> argparse.ArgumentParser:
     j.add_argument("--markers")
     j.add_argument("-o", "--output", required=True)
     j.set_defaults(fn=cmd_project)
+
+    b = sub.add_parser(
+        "batch", help="render many files (mesh data-parallel when >1 device)"
+    )
+    b.add_argument("inputs", nargs="+", help="file globs")
+    b.add_argument("-o", "--outdir", required=True)
+    b.add_argument("--engine", choices=["granular", "pv"], default="pv")
+    b.add_argument("--markers", help="shared markers JSON applied to every file")
+    b.add_argument("--autotune", action="store_true",
+                   help="derive per-file markers from pitch correction")
+    b.add_argument("--scale", choices=["chromatic", "major", "minor"], default="chromatic")
+    b.add_argument("--key", default="a")
+    b.add_argument("--strength", type=float, default=1.0)
+    b.add_argument("--vibrato", type=float, default=0.0)
+    b.add_argument("--no-formant", action="store_true")
+    b.add_argument("--format", default="wav",
+                   help="output extension for write_audio (wav/flac/m4a/...)")
+    b.set_defaults(fn=cmd_batch)
 
     a = sub.add_parser("autotune", help="detect pitch, snap to scale, render")
     a.add_argument("input")

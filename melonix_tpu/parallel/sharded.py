@@ -478,6 +478,34 @@ def data_parallel_pv(
     return jax.jit(step)
 
 
+def granular_batch_args(plans):
+    """Bucket per-track RenderPlans to the shared static shapes
+    data_parallel_render needs.  Padding steps carry strictly-increasing
+    out_offsets past each track's n_valid (the segmented broadcast needs
+    ordered scatter positions) with rate 1 / length 1 / seam −1, all
+    masked out by ``n_valid``.  Returns (gs, gl, rt, oo, ss, nv,
+    out_max)."""
+    s_max = max(p.n_steps for p in plans)
+    out_max = max(int(p.out_offset[-1]) for p in plans)
+    B = len(plans)
+    gs = np.zeros((B, s_max), np.int32)
+    gl = np.ones((B, s_max), np.int32)
+    rt = np.ones((B, s_max), np.float32)
+    oo = np.full((B, s_max + 1), 2**30, np.int32)
+    ss = np.full((B, s_max), -1, np.int32)
+    nv = np.zeros((B,), np.int32)
+    for b, p in enumerate(plans):
+        s = p.n_steps
+        gs[b, :s] = p.grain_start
+        gl[b, :s] = p.grain_len
+        rt[b, :s] = p.rate
+        oo[b, : s + 1] = p.out_offset
+        oo[b, s + 1 :] = p.out_offset[-1] + 1 + np.arange(s_max - s)
+        ss[b, :s] = p.seam_src
+        nv[b] = p.out_offset[-1]
+    return gs, gl, rt, oo, ss, nv, out_max
+
+
 def pv_batch_args(plans, mesh=None):
     """Bucket per-track PVPlans to the shared static shapes data_parallel_pv
     needs; returns (kwargs-for-builder, operand arrays).  ``plans`` must

@@ -130,3 +130,26 @@ def test_autotune_cli(tmp_path, capsys):
     y, rate = read_wav(out)
     assert rate == sr and len(y) > sr
     assert os.path.getsize(mk) > 10
+
+
+def test_batch_cli(song, marker_file, tmp_path, capsys):
+    """batch: glob of files -> per-file renders in the out dir (the mesh
+    data-parallel path engages on the 8-virtual-device suite)."""
+    p, x, sr = song
+    p2 = str(tmp_path / "other.wav")
+    write_wav(p2, x[: len(x) // 2], sr, dtype="float32")
+    outdir = str(tmp_path / "fleet")
+    rc = main(["batch", str(tmp_path / "*.wav"), "-o", outdir,
+               "--engine", "granular", "--markers", marker_file])
+    assert rc == 0
+    outs = sorted(os.listdir(outdir))
+    assert outs == ["other.wav", "song.wav"]
+    for o in outs:
+        w, r = read_wav(os.path.join(outdir, o))
+        assert r == sr and np.isfinite(w).all() and np.abs(w).max() > 0.05
+    assert "2 files" in capsys.readouterr().out
+
+
+def test_batch_cli_no_match(tmp_path, capsys):
+    rc = main(["batch", str(tmp_path / "none*.wav"), "-o", str(tmp_path / "o")])
+    assert rc == 2

@@ -406,3 +406,36 @@ def test_alternate_mesh_shape_4x2(chirp):
         np.sqrt(np.mean(want_pv**2)) + 1e-12
     )
     assert err < 2e-3, err
+
+
+def test_render_batch_matches_per_track(chirp):
+    """The serving path: a fleet of different-length tracks with per-track
+    edits renders as ONE mesh program per engine and matches the
+    single-chip per-track renders (granular at render tolerance with the
+    padded region never leaking in; PV at the spectral-parity bar)."""
+    from melonix_tpu.engine.batch import render_batch
+    from melonix_tpu.engine.session import render_session
+
+    x, sr = chirp
+    tracks = [x, x[: len(x) * 2 // 3].copy(), x[::-1].copy()]
+    markers_l = [
+        [Marker(4000, 60.0, 0.02, 2.0)],
+        [],
+        [Marker(2000, 60.0, 0.0, -3.0), Marker(6000, 60.0, 0.05, 1.0)],
+    ]
+    for engine in ("granular", "pv"):
+        got = render_batch(tracks, markers_l, sr, engine=engine)  # mesh auto
+        assert len(got) == 3
+        for i, (t, ms) in enumerate(zip(tracks, markers_l)):
+            want = render_session(t, ms, sr, engine=engine, mesh=None)
+            assert got[i].shape == want.shape, (engine, i)
+            if engine == "granular":
+                np.testing.assert_allclose(got[i], want, atol=2e-6,
+                                           err_msg=f"track {i}")
+                assert np.array_equal(got[i] == 0.0, want == 0.0)
+            else:
+                err = got[i] - want
+                snr_db = 10 * np.log10(
+                    (np.mean(err**2) + 1e-30) / (np.mean(want**2) + 1e-30)
+                )
+                assert snr_db < -60.0, (i, snr_db)
