@@ -92,12 +92,11 @@ def render_batch(
             for (t, _), k in zip(jobs, knots_l)
         ]
         if (
-            preserve_formants  # data_parallel_pv has no cepstral-warp path
-            or any(p is None for p in plans)
+            any(p is None for p in plans)
             or max(p.n_frames for p in plans) > PV_CHUNK_FRAMES
         ):
-            # Formant, degenerate, or hour-scale jobs: the single-chunk
-            # batched formulation doesn't apply — loop the fast path.
+            # Degenerate or hour-scale jobs: the single-chunk batched
+            # formulation doesn't apply — loop the chunked fast path.
             return [
                 render_session(
                     t, ms, sample_rate, engine="pv",
@@ -107,7 +106,7 @@ def render_batch(
                 for t, ms in zip(tracks, markers_list)
             ]
         kw, ops = pv_batch_args(plans)
-        f = data_parallel_pv(use_mesh, **kw)
+        f = data_parallel_pv(use_mesh, **kw, formant=bool(preserve_formants))
         win = jnp.asarray(hann_window(kw["size"]))
         out_b = np.asarray(
             f(jnp.asarray(wav_b), *[jnp.asarray(o) for o in ops[:4]], win,

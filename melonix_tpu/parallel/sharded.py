@@ -406,6 +406,8 @@ def data_parallel_pv(
     stretch_len: int,
     n_out_pad: int,
     sr: int,
+    formant: bool = False,
+    n_ceps: int = 40,
 ):
     """Jitted full PV render (stretch → normalize → resample) of a batch of
     tracks sharded over ``data`` — the quality engine's multi-chip path
@@ -460,6 +462,7 @@ def data_parallel_pv(
                 y, _, _, _ = _stretch_chunk_core(
                     w1, st1, da1, rho1, win, jnp.int32(0), fr1, z, z, z,
                     size=size, hop=hop, n_frames_c=n_frames, use_pallas=False,
+                    formant=formant, n_ceps=n_ceps,
                 )
                 y = y[:stretch_len] / _wsum_traced(win, fr1)
                 src_rel = _positions_rel_device(aj1, sb1, rb1, ss1, n_out_pad, sr)

@@ -439,3 +439,29 @@ def test_render_batch_matches_per_track(chirp):
                     (np.mean(err**2) + 1e-30) / (np.mean(want**2) + 1e-30)
                 )
                 assert snr_db < -60.0, (i, snr_db)
+
+
+def test_render_batch_formant_batched(chirp):
+    """Formant-preserving PV jobs batch too (data_parallel_pv grew the
+    cepstral-warp path): matches the per-track formant render at the
+    spectral-parity bar."""
+    from melonix_tpu.engine.batch import render_batch
+    from melonix_tpu.engine.session import render_session
+
+    x, sr = chirp
+    tracks = [x, x[::-1].copy()]
+    markers_l = [
+        [Marker(len(x) // 2, 57.0, 0.0, 5.0)],
+        [Marker(len(x) // 3, 57.0, 0.0, -4.0)],
+    ]
+    got = render_batch(tracks, markers_l, sr, engine="pv",
+                       preserve_formants=True)
+    for i, (t, ms) in enumerate(zip(tracks, markers_l)):
+        want = render_session(t, ms, sr, engine="pv",
+                              preserve_formants=True, mesh=None)
+        assert got[i].shape == want.shape
+        err = got[i] - want
+        snr_db = 10 * np.log10(
+            (np.mean(err**2) + 1e-30) / (np.mean(want**2) + 1e-30)
+        )
+        assert snr_db < -60.0, (i, snr_db)
