@@ -121,6 +121,14 @@ def render_batch(
         table = build_grain_table(t, config)
         plans.append(build_render_plan(table, k, config=config))
     gs, gl, rt, oo, ss, nv, out_max = granular_batch_args(plans)
+    if out_max > 1 << 26:  # hour-scale jobs: (B, out_len) would blow HBM
+        return [
+            render_session(
+                t, ms, sample_rate, engine="granular", config=config,
+                mesh=None,
+            )
+            for t, ms in zip(tracks, markers_list)
+        ]
     out_len = 1024 * -(-out_max // 1024)
     out_b = np.asarray(
         data_parallel_render(
