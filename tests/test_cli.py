@@ -153,3 +153,17 @@ def test_batch_cli(song, marker_file, tmp_path, capsys):
 def test_batch_cli_no_match(tmp_path, capsys):
     rc = main(["batch", str(tmp_path / "none*.wav"), "-o", str(tmp_path / "o")])
     assert rc == 2
+
+
+def test_batch_cli_flac_format(song, tmp_path):
+    p, x, sr = song
+    outdir = str(tmp_path / "fleet_flac")
+    rc = main(["batch", p, "-o", outdir, "--engine", "granular",
+               "--format", "flac"])
+    assert rc == 0
+    from melonix_tpu.io.audio import load_audio
+
+    out = os.path.join(outdir, "song.flac")
+    assert os.path.exists(out)
+    w, r = load_audio(out)
+    assert r == sr and np.abs(w).max() > 0.05
