@@ -156,7 +156,7 @@ def cmd_batch(args) -> int:
 
     from .engine.autotune import suggest_markers
     from .engine.batch import render_batch
-    from .io.audio import load_audio, write_audio
+    from .io.audio import write_audio
 
     files = sorted({f for pat in args.inputs for f in _glob.glob(pat)})
     if not files:
@@ -168,12 +168,14 @@ def cmd_batch(args) -> int:
     t0 = time.perf_counter()
     by_rate: dict[int, list] = {}
     for f in files:
-        wav, rate = load_audio(f)
-        by_rate.setdefault(rate, []).append((f, wav))
+        # Audio files render with the shared/derived markers; project
+        # files (.mlx/.melonix) carry their own edit with them.
+        wav, rate, own_markers, _b, _t = _load_any(f)
+        by_rate.setdefault(rate, []).append((f, wav, own_markers))
 
     written = []
     for rate, group in sorted(by_rate.items()):
-        tracks = [w for _, w in group]
+        tracks = [w for _, w, _m in group]
         if args.autotune:
             markers_l = [
                 suggest_markers(
@@ -183,12 +185,15 @@ def cmd_batch(args) -> int:
                 for w in tracks
             ]
         else:
-            markers_l = [shared or [] for _ in tracks]
+            markers_l = [
+                own if own else (shared or [])
+                for _f, _w, own in group
+            ]
         outs = render_batch(
             tracks, markers_l, rate, engine=args.engine,
             preserve_formants=args.engine == "pv" and not args.no_formant,
         )
-        for (f, _), out in zip(group, outs):
+        for (f, _w, _m), out in zip(group, outs):
             stem = os.path.splitext(os.path.basename(f))[0]
             outp = os.path.join(args.outdir, f"{stem}.{args.format}")
             write_audio(outp, out, rate)

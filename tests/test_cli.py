@@ -167,3 +167,24 @@ def test_batch_cli_flac_format(song, tmp_path):
     assert os.path.exists(out)
     w, r = load_audio(out)
     assert r == sr and np.abs(w).max() > 0.05
+
+
+def test_batch_cli_projects_carry_their_markers(song, tmp_path):
+    """Project inputs (.mlx) re-render with their OWN embedded edits."""
+    p, x, sr = song
+    proj = str(tmp_path / "sess.mlx")
+    from melonix_tpu.io.project import Project, save_project
+    from melonix_tpu.markers import Marker
+
+    save_project(proj, Project(wav=x, sample_rate=sr,
+                               markers=[Marker(4000, 60.0, 0.0, 7.0)]))
+    outdir = str(tmp_path / "reproj")
+    assert main(["batch", proj, "-o", outdir, "--engine", "granular"]) == 0
+    out, _ = read_wav(os.path.join(outdir, "sess.wav"))
+    # The project's +7-semitone bend must be audible vs a plain render of
+    # the same source audio.
+    assert main(["batch", p, "-o", str(tmp_path / "plainout"),
+                 "--engine", "granular"]) == 0
+    plain, _ = read_wav(os.path.join(str(tmp_path / "plainout"), "song.wav"))
+    n = min(len(out), len(plain))
+    assert not np.allclose(out[:n], plain[:n], atol=1e-4)
