@@ -733,3 +733,68 @@ def test_page_inline_js_structure():
     dynamic = set(re.findall(r"\.id = '([^']+)'", js))
     missing = [i for i in ids if f'id="{i}"' not in html and i not in dynamic]
     assert not missing, missing
+
+
+def test_full_product_journey(server, tmp_path, monkeypatch):
+    """One session, end to end: open, edit, undo/redo, autotune, engine
+    toggle, export, save, reopen — the interaction regressions that
+    per-feature tests can miss."""
+    from melonix_tpu.ui.state import MENU_BAR_PX
+
+    monkeypatch.setenv("MELONIX_AUTOSAVE_DIR", str(tmp_path / "as"))
+    srv, conn, wav = server
+    _post(conn, "/control", {"action": "open", "value": wav})
+    st = srv.state
+    lane_h = st.viewport.lane_height
+
+    # Edit: add a marker, bend it, drag it.
+    _post(conn, "/event", {"kind": "button", "x": 120,
+                           "y": MENU_BAR_PX + int(lane_h * 0.5),
+                           "pressed": True, "button": 1})
+    _post(conn, "/control", {"action": "marker_bend", "value": 3.0})
+    # Drag gesture: click the marker's bent position (selection = history
+    # push, as the browser always sends mousedown first), then motion.
+    m = st.markers[0]
+    bx = int((st.knots.sample_to_time(m.sample) - st.start_time)
+             / st.range_time * st.viewport.width)
+    by = MENU_BAR_PX + int(
+        (1.0 - (m.note - st.start_note + m.pitch_bend) / st.range_note) * lane_h
+    )
+    _post(conn, "/event", {"kind": "button", "x": bx, "y": by,
+                           "pressed": True, "button": 1})
+    assert len(st.markers) == 1  # selected, not re-added
+    _post(conn, "/event", {"kind": "motion", "x": bx + 5, "y": by - 5,
+                           "dx": 5, "dy": -5, "buttons": 1})
+    assert st.markers[0].pitch_bend > 3.0
+
+    # Undo the drag, keep the bend.
+    _post(conn, "/key", {"key": "undo"})
+    assert st.markers[0].pitch_bend == 3.0
+
+    # Autotune layers suggestions on top (one more history gesture).
+    n_before = len(st.markers)
+    _post(conn, "/control", {"action": "autotune",
+                             "value": {"scale": "chromatic", "key": "a"}})
+    assert len(st.markers) >= n_before
+
+    # Engine toggle + export through the dialog.
+    _post(conn, "/control", {"action": "engine", "value": "pv"})
+    srv._export_dlg.cwd = str(tmp_path)
+    _, d = _post(conn, "/dialog/accept", {"mode": "export", "filename": "mix"})
+    assert d["accepted"] and os.path.exists(d["path"])
+    out, rate = __import__("melonix_tpu").load_audio(d["path"])
+    assert rate == st.sample_rate and np.abs(out).max() > 0.05
+
+    # Save the project; the autosave snapshot is superseded.
+    srv._save_dlg.cwd = str(tmp_path)
+    _, d = _post(conn, "/dialog/accept", {"mode": "save_as", "filename": "sess"})
+    assert d["accepted"]
+    assert not srv._state_json()["autosave_available"]
+
+    # Reopen the saved project: same markers, no recovery banner.
+    saved_markers = [(m.sample, m.pitch_bend) for m in st.markers]
+    _post(conn, "/control", {"action": "open", "value": d["path"]})
+    assert [(m.sample, m.pitch_bend) for m in st.markers] == saved_markers
+    assert not srv._state_json()["autosave_available"]
+    png = _get(conn, "/frame.png?w=480&h=320")[1]
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
