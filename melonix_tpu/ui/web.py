@@ -378,13 +378,17 @@ class EditorServer:
             gen = self._save_gen
             self._edits_pending = False
         try:
-            os.makedirs(os.path.dirname(path), exist_ok=True)
-            tmp = save_project(path + ".tmp", proj)
-            # _autosave_io serializes against _drop_autosave so an
+            # _autosave_io covers the WHOLE write: concurrent callers
+            # (the loop thread and stop()'s final snapshot) share the tmp
+            # name, and it serializes against _drop_autosave so an
             # explicit save can't be overtaken by an in-flight snapshot
             # (the deleted file would be resurrected); a bumped _save_gen
             # means this snapshot is stale — discard it.
             with self._autosave_io:
+                if self._save_gen != gen:
+                    return None
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                tmp = save_project(path + ".tmp", proj)
                 if self._save_gen != gen:
                     os.remove(tmp)
                     return None
