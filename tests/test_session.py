@@ -205,6 +205,15 @@ def test_mono_explicit_mesh_routes_seq_parallel():
     err = np.sqrt(np.mean((got - want) ** 2)) / (np.sqrt(np.mean(want**2)) + 1e-12)
     assert err < 2e-3, err
 
+    # Formant composes with the mono seq routing too.
+    got = render_session(x, markers, SR, engine="pv", mesh=mesh,
+                         preserve_formants=True)
+    want = render_session(x, markers, SR, engine="pv", mesh=None,
+                          preserve_formants=True)
+    assert got.shape == want.shape
+    err = np.sqrt(np.mean((got - want) ** 2)) / (np.sqrt(np.mean(want**2)) + 1e-12)
+    assert err < 2e-3, err
+
     # Too short for the shard count -> clean fallback, same output shape.
     xs = x[: SR // 4]
     ms = [Marker(len(xs) // 2, 57.0, 0.0, 2.0)]
