@@ -142,3 +142,41 @@ def test_hybrid_overrides_octave_disagreement():
     # garbage; and HPS evidence keeps it within an octave of the comb.
     assert v.mean() > 0.8
     assert 120.0 < got < 260.0, got
+
+
+def test_hybrid_combiner_override_semantics(monkeypatch):
+    """Pin the hybrid rule directly: HPS overrides NSDF only on an
+    exact-octave disagreement with salient evidence; low salience or
+    non-octave disagreement keeps the NSDF lag."""
+    import jax.numpy as jnp
+
+    from melonix_tpu.engine import pitch as P
+
+    sr = 8000
+    n_frames = 4
+    nsdf_lag = np.full(n_frames, 100.0, np.float32)  # 80 Hz
+
+    def fake_pitch(*a, **k):
+        return (jnp.asarray(nsdf_lag), jnp.full(n_frames, 0.9),
+                jnp.full(n_frames, 0.1))
+
+    cases = [
+        # (hps_lag, salience, expect_hz): octave-low NSDF + salient -> HPS
+        (np.full(n_frames, 50.0), np.full(n_frames, 5.0), sr / 50.0),
+        # salience below the noise bar -> keep NSDF
+        (np.full(n_frames, 50.0), np.full(n_frames, 1.0), sr / 100.0),
+        # non-octave disagreement -> keep NSDF
+        (np.full(n_frames, 70.0), np.full(n_frames, 5.0), sr / 100.0),
+        # octave-high NSDF (HPS wants 200) + salient -> HPS
+        (np.full(n_frames, 200.0), np.full(n_frames, 5.0), sr / 200.0),
+    ]
+    monkeypatch.setattr(P, "_pitch_device", fake_pitch)
+    x = np.zeros(5 * sr, np.float32)
+    for hlag, sal, want_hz in cases:
+        monkeypatch.setattr(
+            P, "_hps_device",
+            lambda *a, _h=hlag, _s=sal, **k: (jnp.asarray(_h), jnp.asarray(_s)),
+        )
+        c = P.pitch_curve(x, sr, method="hybrid", energy_threshold=0.0)
+        got = float(c.f0[0])
+        assert abs(got - want_hz) < 1e-6, (got, want_hz)
