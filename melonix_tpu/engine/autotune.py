@@ -23,7 +23,6 @@ import numpy as np
 
 from ..config import DEFAULT_CONFIG, Config
 from ..markers import Marker
-from .maps import MapKnots
 from .pitch import PitchCurve, pitch_curve
 
 # Scale degrees in semitones from the key root (reference note scale is

@@ -17,7 +17,6 @@ accuracy bar is -60 dB; keep HIGHEST where bit-level parity is claimed.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -22,7 +22,7 @@ Supported sizes: any N = N1 * N2 with N1, N2 <= 512 (covers the reference's
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp

@@ -37,7 +37,7 @@ from typing import Callable
 import numpy as np
 
 from ..config import DEFAULT_CONFIG, Config
-from ..ui.colormap import colormap_lut, colormap_np
+from ..ui.colormap import colormap_lut
 
 
 # ----------------------------------------------------------------------
