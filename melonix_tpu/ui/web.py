@@ -617,6 +617,16 @@ class EditorServer:
             st.undo()
         elif action == "redo":
             st.redo()
+        elif action == "set_markers" and st.loaded:
+            # Import a marker list (the /markers.json export round-trips):
+            # one undoable gesture replacing the whole edit.
+            from ..markers import Marker, sort_markers
+
+            new = sort_markers([Marker.from_dict(d) for d in (value or [])])
+            st.push_history()
+            st.markers = new
+            st.selected = None
+            st.invalidate()
         elif action in ("marker_dtime", "marker_bend") and st.selected is not None:
             # Marker window numeric edit (app.cpp:87-107); value None = the
             # zero button.
@@ -756,6 +766,14 @@ class EditorServer:
                             self._json(server._dialog_json(q.get("mode", ["open"])[0]))
                         elif u.path == "/audio.wav":
                             self._send(200, server._audio_wav(), "audio/wav")
+                        elif u.path == "/markers.json":
+                            from ..markers import markers_to_json
+
+                            self._send(
+                                200,
+                                markers_to_json(server.state.markers).encode(),
+                                "application/json",
+                            )
                         else:
                             self._json({"error": "not found"}, 404)
                 except BrokenPipeError:

@@ -798,3 +798,33 @@ def test_full_product_journey(server, tmp_path, monkeypatch):
     assert not srv._state_json()["autosave_available"]
     png = _get(conn, "/frame.png?w=480&h=320")[1]
     assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_markers_json_roundtrip_over_http(server):
+    """GET /markers.json exports the edit; set_markers imports it back as
+    one undoable gesture."""
+    from melonix_tpu.markers import markers_from_json
+    from melonix_tpu.ui.state import MENU_BAR_PX
+
+    srv, conn, wav = server
+    _post(conn, "/control", {"action": "open", "value": wav})
+    st = srv.state
+    lane_h = st.viewport.lane_height
+    _post(conn, "/event", {"kind": "button", "x": 100,
+                           "y": MENU_BAR_PX + int(lane_h * 0.4),
+                           "pressed": True, "button": 1})
+    _post(conn, "/control", {"action": "marker_bend", "value": 2.5})
+    status, body, ctype = _get(conn, "/markers.json")
+    assert status == 200 and "json" in ctype
+    exported = markers_from_json(body.decode())
+    assert len(exported) == 1 and exported[0].pitch_bend == 2.5
+
+    # Import a different set; undo restores the previous edit.
+    payload = [{"sample": 2000, "note": 50.0, "d_time": 0.0,
+                "pitch_bend": -1.0},
+               {"sample": 6000, "note": 52.0, "d_time": 0.1,
+                "pitch_bend": 4.0}]
+    _post(conn, "/control", {"action": "set_markers", "value": payload})
+    assert len(st.markers) == 2 and st.markers[1].pitch_bend == 4.0
+    _post(conn, "/key", {"key": "undo"})
+    assert len(st.markers) == 1 and st.markers[0].pitch_bend == 2.5
