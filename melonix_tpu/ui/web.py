@@ -18,6 +18,7 @@ Routes:
   POST /control       open/save/save_as/export/brightness/tempo/follow
   GET  /dialog/...    FileOpen / FileSaveAs browsing (ui/dialogs.py)
   GET  /audio.wav     offline render of the current edit (epoch-cached)
+  GET  /markers.json  export the edit's markers (set_markers imports)
   GET  /audio/stream  LIVE playback: chunked WAV fed buffer-by-buffer from
                       engine/player.py's backlog — marker edits drop the
                       planned-ahead audio mid-stream, so what you hear
