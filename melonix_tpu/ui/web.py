@@ -394,6 +394,9 @@ class EditorServer:
                     os.remove(tmp)
                     return None
                 os.replace(tmp, path)
+            from ..utils import registry
+
+            registry("autosave.writes").inc(1)
             return path
         except Exception:
             # Snapshot failed (disk full, unwritable dir): the edits are
