@@ -546,7 +546,10 @@ class EditorServer:
             st.save_project_file(path)
             self._drop_autosave()
         elif mode == "export":
-            if not path.endswith(".wav"):
+            # A typed known audio extension picks the encoder; bare names
+            # default to WAV (the reference's only export, save-wav.cpp).
+            known = (".wav", ".flac", ".m4a", ".aac", ".opus", ".ogg", ".mp3")
+            if not path.lower().endswith(known):
                 path += ".wav"
             st.export_wav(path)
         self._dialog(mode).done = False  # dialogs are reusable

@@ -828,3 +828,16 @@ def test_markers_json_roundtrip_over_http(server):
     assert len(st.markers) == 2 and st.markers[1].pitch_bend == 4.0
     _post(conn, "/key", {"key": "undo"})
     assert len(st.markers) == 1 and st.markers[0].pitch_bend == 2.5
+
+
+def test_export_dialog_honors_flac_extension(server, tmp_path):
+    srv, conn, wav = server
+    _post(conn, "/control", {"action": "open", "value": wav})
+    srv._export_dlg.cwd = str(tmp_path)
+    _, d = _post(conn, "/dialog/accept", {"mode": "export",
+                                          "filename": "mix.flac"})
+    assert d["accepted"] and d["path"].endswith("mix.flac")
+    from melonix_tpu.io.audio import load_audio
+
+    out, rate = load_audio(d["path"])
+    assert rate == srv.state.sample_rate and np.abs(out).max() > 0.05
