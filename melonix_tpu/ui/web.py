@@ -14,8 +14,10 @@ Routes:
   GET  /frame.png     current scene raster (advances playback + follow mode)
   GET  /state         JSON readouts (control-center fields, app.cpp:63-84)
   POST /event         {kind: motion|button, ...} -> EditorState
-  POST /key           {key: space|left|right}    (main.cpp:125-143)
-  POST /control       open/save/save_as/export/brightness/tempo/follow
+  POST /key           {key: space|left|right|undo|redo} (main.cpp:125-143)
+  POST /control       open/save/recover/discard_autosave/engine/formant/
+                      pitchcurve/undo/redo/set_markers/autotune/
+                      brightness/tempo/follow/marker_dtime/marker_bend
   GET  /dialog/...    FileOpen / FileSaveAs browsing (ui/dialogs.py)
   GET  /audio.wav     offline render of the current edit (epoch-cached)
   GET  /markers.json  export the edit's markers (set_markers imports)
