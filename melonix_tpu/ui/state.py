@@ -144,6 +144,11 @@ class EditorState:
         snap = self._marker_snapshot()
         if self._undo and self._undo[-1] == snap:
             return
+        self._push_undo(snap)
+
+    def _push_undo(self, snap: list[Marker]) -> None:
+        """Capped append — redo() re-appends through here too, else
+        interleaved undo/redo cycles ratchet the stack past the cap."""
         self._undo.append(snap)
         if len(self._undo) > self._HISTORY_CAP:
             del self._undo[0]
@@ -165,7 +170,7 @@ class EditorState:
         while self._redo:
             snap = self._redo.pop()
             if snap != cur:
-                self._undo.append(cur)
+                self._push_undo(cur)
                 self._apply_history(snap)
                 return True
         return False

@@ -438,20 +438,28 @@ def test_undo_redo_random_gesture_fuzz(editor):
         return [(m.sample, m.note, m.d_time, m.pitch_bend)
                 for m in editor.markers]
 
-    for _ in range(60):
+    for _ in range(300):
         op = rng.random()
         x = rng.randrange(10, W - 10)
         y = MENU_BAR_PX + int(lane_h * rng.uniform(0.1, 0.9))
-        if op < 0.5:
+        if op < 0.4:
             editor.mouse_button(x, y, True, BUTTON_LEFT)  # add or select
-        elif op < 0.7 and editor.selected is not None:
+        elif op < 0.55 and editor.selected is not None:
             editor.mouse_motion(x, y, rng.randrange(-9, 10),
                                 rng.randrange(-9, 10),
                                 buttons=1 << (BUTTON_LEFT - 1))  # drag
-        else:
+        elif op < 0.7:
             editor.mouse_button(x, y, True, BUTTON_RIGHT)  # delete (maybe)
+        elif op < 0.8 and editor._undo:
+            # Interleaved undo/redo must keep the stack capped: redo()
+            # re-appends through the capped helper (regression).
+            editor.undo()
+        elif op < 0.9 and editor._redo:
+            editor.redo()
+        else:
+            editor.push_history()  # spurious no-op pushes are harmless
+        assert len(editor._undo) <= editor._HISTORY_CAP
     final = snap()
-    assert len(editor._undo) <= editor._HISTORY_CAP
 
     while editor.undo():
         pass
