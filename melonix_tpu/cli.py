@@ -173,31 +173,47 @@ def cmd_batch(args) -> int:
         wav, rate, own_markers, _b, _t = _load_any(f)
         by_rate.setdefault(rate, []).append((f, wav, own_markers))
 
+    from .markers import sort_markers
+
     written = []
+    used_names: set[str] = set()
     for rate, group in sorted(by_rate.items()):
-        tracks = [w for _, w, _m in group]
-        if args.autotune:
-            markers_l = [
-                suggest_markers(
-                    w, rate, scale=args.scale, key=args.key,
-                    strength=args.strength, vibrato=args.vibrato,
-                )
-                for w in tracks
-            ]
-        else:
-            markers_l = [
-                own if own else (shared or [])
-                for _f, _w, own in group
-            ]
-        outs = render_batch(
-            tracks, markers_l, rate, engine=args.engine,
-            preserve_formants=args.engine == "pv" and not args.no_formant,
-        )
-        for (f, _w, _m), out in zip(group, outs):
-            stem = os.path.splitext(os.path.basename(f))[0]
-            outp = os.path.join(args.outdir, f"{stem}.{args.format}")
-            write_audio(outp, out, rate)
-            written.append(outp)
+        # Mesh-width slices: bounded host/device memory per dispatch, and
+        # shorter groups don't pad to an unrelated long track's length.
+        import jax
+
+        slice_n = max(4 * len(jax.devices()), 8)
+        for g0 in range(0, len(group), slice_n):
+            chunk = group[g0 : g0 + slice_n]
+            tracks = [w for _, w, _m in chunk]
+            base_l = [own if own else (shared or []) for _f, _w, own in chunk]
+            if args.autotune:
+                # Suggestions layer ON TOP of the base edit (the shell's
+                # Autotune button does the same) — projects keep their
+                # own markers, --markers keeps the shared set.
+                markers_l = [
+                    sort_markers(base + suggest_markers(
+                        w, rate, scale=args.scale, key=args.key,
+                        strength=args.strength, vibrato=args.vibrato,
+                    ))
+                    for w, base in zip(tracks, base_l)
+                ]
+            else:
+                markers_l = base_l
+            outs = render_batch(
+                tracks, markers_l, rate, engine=args.engine,
+                preserve_formants=args.engine == "pv" and not args.no_formant,
+            )
+            for (f, _w, _m), out in zip(chunk, outs):
+                stem = os.path.splitext(os.path.basename(f))[0]
+                name, k = f"{stem}.{args.format}", 2
+                while name in used_names:  # same stem from another dir
+                    name = f"{stem}-{k}.{args.format}"
+                    k += 1
+                used_names.add(name)
+                outp = os.path.join(args.outdir, name)
+                write_audio(outp, out, rate)
+                written.append(outp)
     dt = time.perf_counter() - t0
     print(
         f"batch: {len(written)} files ({len(by_rate)} rate group(s), "

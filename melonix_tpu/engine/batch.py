@@ -29,17 +29,9 @@ from .session import render_session
 
 
 def _batch_mesh(mesh):
-    if mesh is None:
-        return None
-    if isinstance(mesh, str) and mesh == "auto":
-        import jax
+    from .session import _session_mesh  # one auto-mesh policy for the product
 
-        if len(jax.devices()) <= 1:
-            return None
-        from ..parallel import make_audio_mesh
-
-        return make_audio_mesh()
-    return mesh
+    return _session_mesh(mesh)
 
 
 def render_batch(
@@ -91,9 +83,13 @@ def render_batch(
             build_pv_plan(k, len(t), config=config)
             for (t, _), k in zip(jobs, knots_l)
         ]
+        per_dev = len(jobs) // d
         if (
             any(p is None for p in plans)
             or max(p.n_frames for p in plans) > PV_CHUNK_FRAMES
+            # Per-device output budget: pipeline intermediates scale with
+            # rows-per-device x padded output length.
+            or per_dev * max(p.n_out_pad for p in plans) > (1 << 26)
         ):
             # Degenerate or hour-scale jobs: the single-chunk batched
             # formulation doesn't apply — loop the chunked fast path.
@@ -108,11 +104,12 @@ def render_batch(
         kw, ops = pv_batch_args(plans)
         f = data_parallel_pv(use_mesh, **kw, formant=bool(preserve_formants))
         win = jnp.asarray(hann_window(kw["size"]))
-        out_b = np.asarray(
-            f(jnp.asarray(wav_b), *[jnp.asarray(o) for o in ops[:4]], win,
-              *[jnp.asarray(o) for o in ops[4:]])
-        )
-        return [out_b[b, : plans[b].n_out] for b in range(len(tracks))]
+        out_b = f(jnp.asarray(wav_b), *[jnp.asarray(o) for o in ops[:4]], win,
+                  *[jnp.asarray(o) for o in ops[4:]])
+        # Download each track sliced to its live length: pad rows and zero
+        # tails never cross the (slow, variable) device->host link.
+        return [np.asarray(out_b[b, : plans[b].n_out])
+                for b in range(len(tracks))]
 
     from ..parallel.sharded import data_parallel_render, granular_batch_args
 
@@ -121,7 +118,10 @@ def render_batch(
         table = build_grain_table(t, config)
         plans.append(build_render_plan(table, k, config=config))
     gs, gl, rt, oo, ss, nv, out_max = granular_batch_args(plans)
-    if out_max > 1 << 26:  # hour-scale jobs: (B, out_len) would blow HBM
+    # Per-device output budget: rows-per-device x padded output length
+    # (the segmented-broadcast render materializes several out_len-sized
+    # intermediates per row).
+    if (len(jobs) // d) * out_max > 1 << 26:
         return [
             render_session(
                 t, ms, sample_rate, engine="granular", config=config,
@@ -130,19 +130,18 @@ def render_batch(
             for t, ms in zip(tracks, markers_list)
         ]
     out_len = 1024 * -(-out_max // 1024)
-    out_b = np.asarray(
-        data_parallel_render(
-            jnp.asarray(wav_b),
-            jnp.asarray(gs), jnp.asarray(gl), jnp.asarray(rt),
-            jnp.asarray(oo), jnp.asarray(ss), jnp.asarray(nv),
-            use_mesh, out_len,
-        )
+    out_b = data_parallel_render(
+        jnp.asarray(wav_b),
+        jnp.asarray(gs), jnp.asarray(gl), jnp.asarray(rt),
+        jnp.asarray(oo), jnp.asarray(ss), jnp.asarray(nv),
+        use_mesh, out_len,
     )
     outs = []
     for b in range(len(tracks)):
         total = plans[b].total_out  # includes the 1500-zero reference tail
         res = np.zeros(total, np.float32)
         n_valid = int(plans[b].out_offset[-1])
-        res[:n_valid] = out_b[b, :n_valid]
+        # Sliced download: pad rows/zero tails stay on device.
+        res[:n_valid] = np.asarray(out_b[b, :n_valid])
         outs.append(res)
     return outs

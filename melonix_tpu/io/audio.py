@@ -146,6 +146,10 @@ def load_audio(path: str, *, mono: bool = True) -> tuple[np.ndarray, int]:
     return x, rate
 
 
+# Extensions write_audio can encode (single source of truth for the UI).
+WRITABLE_EXTENSIONS = (".wav", ".flac", ".m4a", ".aac", ".opus", ".ogg", ".mp3")
+
+
 def write_audio(path: str, x: np.ndarray, rate: int) -> None:
     """Encode by extension: WAV/FLAC natively, anything else (M4A/AAC,
     Opus, Ogg, MP3, ...) through the libav shim.  The reference exports

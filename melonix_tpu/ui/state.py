@@ -336,15 +336,13 @@ class EditorState:
             from ..engine.render import render_track
 
             out = render_track(self.wav, self.grains, self.knots, config=self.config)
-        if path.lower().endswith(".wav"):
-            write_wav(path, out, self.sample_rate, dtype="int16")
-        else:
-            # Typed extension picks the encoder (FLAC native; M4A/Opus/
-            # Ogg/MP3 via the libav shim) — added capability; the
-            # reference exports WAV only (save-wav.cpp).
-            from ..io.audio import write_audio
+        # One dispatch site: write_audio encodes .wav via write_wav
+        # (int16, the reference's export) and everything else natively
+        # or through the libav shim — added capability (save-wav.cpp is
+        # WAV-only).
+        from ..io.audio import write_audio
 
-            write_audio(path, np.asarray(out, np.float32), self.sample_rate)
+        write_audio(path, np.asarray(out, np.float32), self.sample_rate)
 
     # ------------------------------------------------------------------
     # Time helpers

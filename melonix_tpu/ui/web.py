@@ -381,17 +381,17 @@ class EditorServer:
             gen = self._save_gen
             self._edits_pending = False
         try:
-            # _autosave_io covers the WHOLE write: concurrent callers
-            # (the loop thread and stop()'s final snapshot) share the tmp
-            # name, and it serializes against _drop_autosave so an
-            # explicit save can't be overtaken by an in-flight snapshot
-            # (the deleted file would be resurrected); a bumped _save_gen
-            # means this snapshot is stale — discard it.
+            # Serialize to a PER-WRITER tmp file outside any lock (the wav
+            # can be tens of MB; _drop_autosave runs under the server lock
+            # and must never wait on this write).  Only the cheap
+            # gen-check + rename hold _autosave_io, which orders us
+            # against _drop_autosave so an explicit save can't be
+            # overtaken by an in-flight snapshot resurrecting the file.
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = save_project(
+                f"{path}.{os.getpid()}.{threading.get_ident()}.tmp", proj
+            )
             with self._autosave_io:
-                if self._save_gen != gen:
-                    return None
-                os.makedirs(os.path.dirname(path), exist_ok=True)
-                tmp = save_project(path + ".tmp", proj)
                 if self._save_gen != gen:
                     os.remove(tmp)
                     return None
@@ -550,8 +550,9 @@ class EditorServer:
         elif mode == "export":
             # A typed known audio extension picks the encoder; bare names
             # default to WAV (the reference's only export, save-wav.cpp).
-            known = (".wav", ".flac", ".m4a", ".aac", ".opus", ".ogg", ".mp3")
-            if not path.lower().endswith(known):
+            from ..io.audio import WRITABLE_EXTENSIONS
+
+            if not path.lower().endswith(WRITABLE_EXTENSIONS):
                 path += ".wav"
             st.export_wav(path)
         self._dialog(mode).done = False  # dialogs are reusable

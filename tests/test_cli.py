@@ -188,3 +188,45 @@ def test_batch_cli_projects_carry_their_markers(song, tmp_path):
     plain, _ = read_wav(os.path.join(str(tmp_path / "plainout"), "song.wav"))
     n = min(len(out), len(plain))
     assert not np.allclose(out[:n], plain[:n], atol=1e-4)
+
+
+def test_batch_autotune_layers_on_embedded_markers(tmp_path):
+    """--autotune composes with a project's own edit instead of silently
+    replacing it (review finding)."""
+    from melonix_tpu.io.project import Project, save_project
+    from melonix_tpu.markers import Marker
+
+    sr = 8000
+    t = np.arange(int(1.5 * sr)) / sr
+    tone = (0.5 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)  # in tune
+    proj = str(tmp_path / "bent.mlx")
+    save_project(proj, Project(wav=tone, sample_rate=sr,
+                               markers=[Marker(len(tone) // 2, 57.0, 0.0, 7.0)]))
+    out_at = str(tmp_path / "at")
+    assert main(["batch", proj, "-o", out_at, "--engine", "granular",
+                 "--autotune"]) == 0
+    got, _ = read_wav(os.path.join(out_at, "bent.wav"))
+
+    wavp = str(tmp_path / "plain.wav")
+    write_wav(wavp, tone, sr, dtype="float32")
+    out_plain = str(tmp_path / "plain")
+    assert main(["batch", wavp, "-o", out_plain, "--engine", "granular",
+                 "--autotune"]) == 0
+    plain, _ = read_wav(os.path.join(out_plain, "plain.wav"))
+    n = min(len(got), len(plain))
+    # The +7-semitone project edit must survive the autotune layer.
+    assert not np.allclose(got[:n], plain[:n], atol=1e-4)
+
+
+def test_batch_cli_stem_collision(tmp_path, chirp):
+    """Same-stem inputs from different dirs get deduped output names."""
+    x, sr = chirp
+    (tmp_path / "a").mkdir(); (tmp_path / "b").mkdir()
+    write_wav(str(tmp_path / "a" / "take.wav"), x, sr, dtype="float32")
+    write_wav(str(tmp_path / "b" / "take.wav"), x[: len(x) // 2], sr,
+              dtype="float32")
+    outdir = str(tmp_path / "out")
+    assert main(["batch", str(tmp_path / "a" / "*.wav"),
+                 str(tmp_path / "b" / "*.wav"), "-o", outdir,
+                 "--engine", "granular"]) == 0
+    assert sorted(os.listdir(outdir)) == ["take-2.wav", "take.wav"]
