@@ -77,6 +77,7 @@ def cmd_render(args) -> int:
         out = render_session(
             wav, markers, rate,
             engine=args.engine, preserve_formants=args.formant,
+            phase_locking=args.lock,
         )
         out_rate = rate
         if args.rate and args.rate != rate:
@@ -85,7 +86,9 @@ def cmd_render(args) -> int:
     dt = time.perf_counter() - t0
     write_wav(args.output, out, out_rate, dtype=args.dtype)
     ch = out.shape[1] if out.ndim == 2 else 1
-    detail = ("phase-vocoder" + (" formant-preserving" if args.formant else "")
+    detail = ("phase-vocoder"
+              + (" formant-preserving" if args.formant else "")
+              + (" phase-locked" if args.lock else "")
               if args.engine == "pv" else "granular")
     print(
         f"rendered {len(out)/out_rate:.2f}s x{ch}ch @{out_rate}Hz "
@@ -203,6 +206,7 @@ def cmd_batch(args) -> int:
             outs = render_batch(
                 tracks, markers_l, rate, engine=args.engine,
                 preserve_formants=args.engine == "pv" and not args.no_formant,
+                phase_locking=args.engine == "pv" and args.lock,
             )
             for (f, _w, _m), out in zip(chunk, outs):
                 stem = os.path.splitext(os.path.basename(f))[0]
@@ -318,6 +322,8 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--stereo", action="store_true", help="keep source channels")
     r.add_argument("--formant", action="store_true",
                    help="preserve the spectral envelope (pv engine only)")
+    r.add_argument("--lock", action="store_true",
+                   help="identity phase locking (pv engine only)")
     r.add_argument("--rate", type=int, help="resample the output to this rate")
     r.set_defaults(fn=cmd_render)
 
@@ -370,6 +376,8 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--strength", type=float, default=1.0)
     b.add_argument("--vibrato", type=float, default=0.0)
     b.add_argument("--no-formant", action="store_true")
+    b.add_argument("--lock", action="store_true",
+                   help="identity phase locking (pv jobs)")
     b.add_argument("--format", default="wav",
                    help="output extension for write_audio (wav/flac/m4a/...)")
     b.set_defaults(fn=cmd_batch)

@@ -41,6 +41,7 @@ def render_batch(
     *,
     engine: str = "granular",
     preserve_formants: bool = False,
+    phase_locking: bool = False,
     config: Config = DEFAULT_CONFIG,
     mesh="auto",
 ) -> list[np.ndarray]:
@@ -54,7 +55,8 @@ def render_batch(
         return [
             render_session(
                 t, ms, sample_rate, engine=engine,
-                preserve_formants=preserve_formants, config=config, mesh=None,
+                preserve_formants=preserve_formants,
+                phase_locking=phase_locking, config=config, mesh=None,
             )
             for t, ms in zip(tracks, markers_list)
         ]
@@ -96,13 +98,27 @@ def render_batch(
             return [
                 render_session(
                     t, ms, sample_rate, engine="pv",
-                    preserve_formants=preserve_formants, config=config,
+                    preserve_formants=preserve_formants,
+                    phase_locking=phase_locking, config=config,
                     mesh=None,
                 )
                 for t, ms in zip(tracks, markers_list)
             ]
         kw, ops = pv_batch_args(plans)
-        f = data_parallel_pv(use_mesh, **kw, formant=bool(preserve_formants))
+        # Fused Mosaic kernels inside the sharded program (VERDICT r3 #3):
+        # per-row analysis + synth_ola_phase replace the XLA rfft path
+        # whenever the shapes allow; locked renders need natural order.
+        import jax
+
+        from .phase_vocoder import pv_fused_shapes_ok
+
+        on_tpu = jax.default_backend() == "tpu"
+        fused = (
+            on_tpu and not phase_locking
+            and pv_fused_shapes_ok(kw["size"], kw["hop"], kw["n_frames"])
+        )
+        f = data_parallel_pv(use_mesh, **kw, formant=bool(preserve_formants),
+                             lock=bool(phase_locking), fused=fused)
         win = jnp.asarray(hann_window(kw["size"]))
         out_b = f(jnp.asarray(wav_b), *[jnp.asarray(o) for o in ops[:4]], win,
                   *[jnp.asarray(o) for o in ops[4:]])

@@ -118,6 +118,77 @@ def _princarg(x):
     return jnp.mod(x + jnp.pi, 2.0 * jnp.pi) - jnp.pi
 
 
+def _shift_bins(x, d: int, fill):
+    """x[..., k - d] along the bin axis, edges filled (no wraparound)."""
+    pad = jnp.full(x[..., :abs(d)].shape, fill, x.dtype)
+    if d > 0:
+        return jnp.concatenate([pad, x[..., :-d]], axis=-1)
+    return jnp.concatenate([x[..., -d:], pad], axis=-1)
+
+
+def identity_lock(psi, phi, mag):
+    """Laroche–Dolson identity phase locking (BASELINE.json north star:
+    "phase unwrap + identity phase locking").
+
+    Classic per-bin propagation keeps every channel's phase independent;
+    around one sinusoid the 4-5 window-mainlobe bins then drift apart and
+    the resynthesis loses vertical coherence — the "phasiness" artifact
+    on polyphonic material.  Identity locking (Laroche & Dolson 1999)
+    picks spectral peaks per frame and rigidly locks each bin's synthesis
+    phase to its region's peak:  psi[k] = psi[p] + (phi[k] - phi[p]).
+
+    TPU-first formulation: peak channels carry the classic per-bin
+    recursion (the parallel prefix sum of engine/phase_vocoder.py stays —
+    the paper's sequential peak-to-peak recursion coincides with it
+    whenever a partial's peak bin persists frame to frame, the steady
+    case locking is about), and the region spread is GATHER-FREE: the
+    per-region constant ``theta = psi - phi`` propagates from the peaks
+    with forward/backward segmented-fill scans along the bin axis
+    (log-depth ``associative_scan`` of (value, position) pairs; an (F, K)
+    gather at 7.5 ns/element would cost more than the whole stretch).
+    Regions split at the midpoint between adjacent peaks; frames with no
+    peak (silence) keep their classic phases.
+
+    All inputs are (F, n_bins) in NATURAL bin order; returns locked psi.
+    """
+    k_idx = jnp.arange(mag.shape[-1], dtype=jnp.int32)
+    neg = jnp.float32(-1.0)  # mag >= 0: edges always lose the comparison
+    peak = (
+        (mag > 0.0)  # an all-zero (silent) frame has no peaks
+        & (mag > _shift_bins(mag, 1, neg))
+        & (mag >= _shift_bins(mag, -1, neg))
+        & (mag > _shift_bins(mag, 2, neg))
+        & (mag >= _shift_bins(mag, -2, neg))
+    )
+    theta = psi - phi
+    none = jnp.int32(-(1 << 30))
+    val0 = jnp.where(peak, theta, 0.0)
+    pos0 = jnp.where(peak, k_idx, none)
+
+    def fill(val, pos):
+        def comb(a, b):
+            av, ap = a
+            bv, bp = b
+            take_b = bp > none
+            return jnp.where(take_b, bv, av), jnp.where(take_b, bp, ap)
+
+        # associative_scan requires a non-negative axis index.
+        return jax.lax.associative_scan(comb, (val, pos), axis=val.ndim - 1)
+
+    th_f, pos_f = fill(val0, pos0)
+    # Backward fill = forward fill on the flipped axis; the stored pair
+    # values are the ORIGINAL k indices, so no index remap is needed.
+    th_b, pos_b = jax.tree.map(
+        lambda a: jnp.flip(a, axis=-1),
+        fill(jnp.flip(val0, axis=-1), jnp.flip(pos0, axis=-1)),
+    )
+    d_f = jnp.where(pos_f > none, k_idx - pos_f, 1 << 30)
+    d_b = jnp.where(pos_b > none, pos_b - k_idx, 1 << 30)
+    th_near = jnp.where(d_f <= d_b, th_f, th_b)
+    has_peak = jnp.minimum(d_f, d_b) < (1 << 30)
+    return phi + jnp.where(has_peak, th_near, theta)
+
+
 def _bits(x: np.ndarray) -> np.ndarray:
     return np.asarray(x, np.float32).view(np.int32).copy()
 
@@ -235,7 +306,8 @@ def _stretch_chunk_core(
     phi_prev,  # f32 (n_bins,) previous chunk's last analysis phase
     *,
     size, hop, n_frames_c,
-    formant=False, n_ceps=40, use_pallas=False, fused=False,
+    formant=False, n_ceps=40, use_pallas=False, fused=False, lock=False,
+    interpret=False,
 ):
     """Unnormalized OLA contribution of frames [m0, m0+f_real) plus carried
     phase state.  Hour-scale tracks exceed HBM if stretched in one shot;
@@ -259,7 +331,8 @@ def _stretch_chunk_core(
         # elementwise over bins, so only omega/k_idx change order, and
         # Hermitian pairs stay exact mirrors through the sign-symmetric
         # phase math (kernels/pallas_pv.py).
-        re_s, im_s = pallas_pv.analysis(wav, starts_c, window, size)
+        re_s, im_s = pallas_pv.analysis(wav, starts_c, window, size,
+                                        interpret=interpret)
         out_len_c = (n_frames_c - 1) * hop + size
         if not formant:
             # Straight re/im -> synthesis: the phase pipeline AND the
@@ -267,7 +340,7 @@ def _stretch_chunk_core(
             # intermediate of any kind exists in HBM.
             y_flat, resid_last, phi_last, phi0_eff = pallas_pv.synth_ola_phase(
                 re_s, im_s, da_c, window, m0, f_real, phi0, resid_in,
-                phi_prev, size, hop, cart=True,
+                phi_prev, size, hop, cart=True, interpret=interpret,
             )
             return y_flat[:out_len_c], resid_last, phi_last, phi0_eff
         # Formant path: the cepstral envelope warp needs mag in XLA first.
@@ -283,7 +356,7 @@ def _stretch_chunk_core(
         # measure-zero princarg boundary ties aside.
         y_flat, resid_last, phi_last, phi0_eff = pallas_pv.synth_ola_phase(
             mag, phi, da_c, window, m0, f_real, phi0, resid_in, phi_prev,
-            size, hop,
+            size, hop, interpret=interpret,
         )
         return y_flat[:out_len_c], resid_last, phi_last, phi0_eff
 
@@ -324,6 +397,14 @@ def _stretch_chunk_core(
     phi0_eff = jnp.where(m0 == 0, phi[0], phi0)
     psis = phi0_eff[None, :] + ramp + resid
 
+    if lock:
+        # Identity phase locking: a per-frame transform of (psi, phi, mag)
+        # — no extra carried state, so chunking stays bit-consistent with
+        # a one-shot stretch.  Peaks are picked on the synthesized mag
+        # (post formant warp — the warp gain is smooth, so the peak set
+        # is the analysis one in practice).
+        psis = identity_lock(psis, phi, mag)
+
     # Padded frames must contribute silence (their OLA tails would reach
     # back into the real span).
     live = (jnp.arange(n_frames_c) < f_real)[:, None]
@@ -339,10 +420,11 @@ def _stretch_chunk_core(
 
 
 @partial(jax.jit, static_argnames=("size", "hop", "n_frames_c", "formant",
-                                   "n_ceps", "fused"))
+                                   "n_ceps", "fused", "lock", "interpret"))
 def _stretch_chunk(
     wav, starts_c, da_c, rho_c, window, m0, f_real, phi0, resid_in, phi_prev,
-    size, hop, n_frames_c, formant=False, n_ceps=40, fused=False,
+    size, hop, n_frames_c, formant=False, n_ceps=40, fused=False, lock=False,
+    interpret=False,
 ):
     """Single-track chunk stretch.
 
@@ -362,28 +444,35 @@ def _stretch_chunk(
         wav, starts_c, da_c, rho_c, window, m0, f_real, phi0, resid_in,
         phi_prev, size=size, hop=hop, n_frames_c=n_frames_c,
         formant=formant, n_ceps=n_ceps, use_pallas=use_pallas, fused=fused,
+        lock=lock, interpret=interpret,
     )
 
 
-def _pv_fused_ok(size: int, hop: int, ch: int) -> bool:
-    """Use the fused scrambled-order kernels? (TPU + shapes, incl. the
-    streaming-OLA hop alignment; the formant warp works in either order —
-    see _formant_gain.)"""
+def pv_fused_shapes_ok(size: int, hop: int, ch: int | None = None) -> bool:
+    """Do the fused scrambled-order kernels support this config?  (Shape
+    conditions only — backend-independent, so sharded builders and the
+    CPU dryrun can route through the kernels in interpret mode.)"""
     from ..kernels import pallas_pv
 
     return (
-        jax.default_backend() == "tpu"
-        and pallas_pv.supported(size, ch)
+        pallas_pv.supported(size, ch)
         and hop % 128 == 0
         and size % hop == 0
         and hop < size  # synth_ola's carry needs at least one overlap row
     )
 
 
-@partial(jax.jit, static_argnames=("size", "hop", "n_frames_c", "formant", "n_ceps"))
+def _pv_fused_ok(size: int, hop: int, ch: int) -> bool:
+    """Use the fused scrambled-order kernels? (TPU + shapes; the formant
+    warp works in either order — see _formant_gain.)"""
+    return jax.default_backend() == "tpu" and pv_fused_shapes_ok(size, hop, ch)
+
+
+@partial(jax.jit, static_argnames=("size", "hop", "n_frames_c", "formant",
+                                   "n_ceps", "lock"))
 def _stretch_chunk_batched(
     wav_b, starts_c, da_c, rho_c, window, m0, f_real, phi0_b, resid_b, phi_prev_b,
-    size, hop, n_frames_c, formant=False, n_ceps=40,
+    size, hop, n_frames_c, formant=False, n_ceps=40, lock=False,
 ):
     """Channel-batched chunk stretch: one frame plan, C spectra.
 
@@ -393,7 +482,7 @@ def _stretch_chunk_batched(
         lambda w, p0, rs, pp: _stretch_chunk_core(
             w, starts_c, da_c, rho_c, window, m0, f_real, p0, rs, pp,
             size=size, hop=hop, n_frames_c=n_frames_c,
-            formant=formant, n_ceps=n_ceps, use_pallas=False,
+            formant=formant, n_ceps=n_ceps, use_pallas=False, lock=lock,
         )
     )(wav_b, phi0_b, resid_b, phi_prev_b)
 
@@ -621,6 +710,7 @@ def render_track_pv(
     size: int | None = None,
     hop: int | None = None,
     preserve_formants: bool = False,
+    phase_locking: bool = False,
 ) -> np.ndarray:
     """Full-track phase-vocoder render honoring the marker edit model.
 
@@ -628,6 +718,9 @@ def render_track_pv(
     granular engine there is no 1500-zero reference tail.  With
     ``preserve_formants`` the spectral envelope (vocal timbre) stays put
     while the pitch moves (cepstral envelope warp, BASELINE config #5).
+    ``phase_locking`` enables Laroche–Dolson identity phase locking
+    (:func:`identity_lock`) — vertical phase coherence around spectral
+    peaks, the fix for polyphonic "phasiness".
     """
     from ..kernels import pallas_resample
 
@@ -641,11 +734,12 @@ def render_track_pv(
     plan = build_pv_plan(knots, n_wav, config=config, size=size, hop=hop)
     if plan is None:
         return np.zeros(max(int(knots.duration() * knots.sample_rate), 0), np.float32)
-    return _render_with_plan(wav_dev, plan, preserve_formants)
+    return _render_with_plan(wav_dev, plan, preserve_formants,
+                             phase_locking=phase_locking)
 
 
 def _render_with_plan(
-    wav_dev, plan: PVPlan, preserve_formants: bool
+    wav_dev, plan: PVPlan, preserve_formants: bool, phase_locking: bool = False
 ) -> np.ndarray:
     """One channel through a (possibly shared) PVPlan — the single-chip
     fast path: fused stretch chunks + fused positions+resample kernel."""
@@ -663,7 +757,14 @@ def _render_with_plan(
     # Stretch in chunks with exact phase carry; OLA contributions add
     # linearly; normalize once globally.  Short tracks take one chunk.
     ch = min(PV_CHUNK_FRAMES, n_frames)
-    fused = _pv_fused_ok(size, hop, ch)
+    # The fused kernels carry the spectrum in the four-step's scrambled
+    # bin order, where the peak-region neighbor scans of identity_lock
+    # would need 16-lane transposed tiles (the known Mosaic cliff);
+    # locked renders take the natural-order XLA path.
+    fused = _pv_fused_ok(size, hop, ch) and not phase_locking
+    # Fused on a non-TPU backend only happens under test mocks of
+    # _pv_fused_ok: route the kernels through interpret mode there.
+    interp = fused and jax.default_backend() != "tpu"
     # Fused kernels carry the full scrambled 2048-bin spectrum; the
     # natural path carries the 1025-bin half.  One convention per render.
     n_state = size if fused else size // 2 + 1
@@ -685,6 +786,7 @@ def _render_with_plan(
             jnp.int32(m0), jnp.int32(f_real),
             phi0, resid, phi_prev,
             size, hop, ch, formant=preserve_formants, fused=fused,
+            lock=phase_locking, interpret=interp,
         )
         y = y_c if one_chunk else _accum_at(y, y_c, jnp.int32(m0 * hop))
 
@@ -792,6 +894,7 @@ def render_channels_pv(
     size: int | None = None,
     hop: int | None = None,
     preserve_formants: bool = False,
+    phase_locking: bool = False,
     mesh=None,
 ) -> np.ndarray:
     """(C, n) channels through ONE shared PV plan, batched on device.
@@ -833,7 +936,8 @@ def render_channels_pv(
         # order XLA pipeline by ~3x; channels are few, so a Python loop
         # costs nothing and every channel reuses the same compiled chunk.
         outs = [
-            _render_with_plan(jnp.asarray(wav_ch[c]), plan, preserve_formants)
+            _render_with_plan(jnp.asarray(wav_ch[c]), plan, preserve_formants,
+                              phase_locking=phase_locking)
             for c in range(C)
         ]
         return np.stack(outs)
@@ -855,7 +959,7 @@ def render_channels_pv(
             jnp.asarray(rho_c), win_dev,
             jnp.int32(m0), jnp.int32(f_real),
             phi0, resid, phi_prev,
-            size, hop, ch, formant=preserve_formants,
+            size, hop, ch, formant=preserve_formants, lock=phase_locking,
         )
         y = _accum_at_b(y, y_c, jnp.int32(m0 * hop))
     # (mesh / CPU path: the single-chip TPU case early-returned above

@@ -161,6 +161,7 @@ class Player:
         self.is_playing = False
         self.engine = engine  # "granular" | "pv"
         self.formant = False  # PV formant preservation (added capability)
+        self.phase_locking = False  # PV identity phase locking (north star)
         self._pv_stream = None  # lazy; dropped on any edit/seek/switch
         self._wav_dev = None  # device-resident samples, uploaded once
         self._backlog = _make_backlog()
@@ -195,6 +196,17 @@ class Player:
         on = bool(on)
         if on != self.formant:
             self.formant = on
+            if self.engine == "pv":
+                self._backlog.clear()
+                self._exhausted = False
+                self._pv_stream = None
+
+    def set_phase_locking(self, on: bool) -> None:
+        """Identity phase locking (Laroche–Dolson), applied live — same
+        restart contract as set_formant."""
+        on = bool(on)
+        if on != self.phase_locking:
+            self.phase_locking = on
             if self.engine == "pv":
                 self._backlog.clear()
                 self._exhausted = False
@@ -251,6 +263,7 @@ class Player:
                 self._pv_stream = PvStream(
                     self._wav_dev, self.knots, config=self.config,
                     preserve_formants=self.formant,
+                    phase_locking=self.phase_locking,
                     start_sec=self.cursor_sec
                     + self._backlog.avail() / self.sample_rate,
                 )

@@ -89,10 +89,10 @@ def _normalize_span(y, y_norm, wsum_pad, off, span: int):
 
 
 @partial(jax.jit, static_argnames=("size", "hop", "ch", "formant", "fused",
-                                   "span"))
+                                   "lock", "span"))
 def _advance_fused(wav, starts_c, da_c, rho_c, win, m0_local, f_real,
                    phi0, resid, phi_prev, y, y_norm, wsum_pad, acc_off,
-                   norm_off, size, hop, ch, formant, fused, span):
+                   norm_off, size, hop, ch, formant, fused, lock, span):
     """One chunk advance as ONE device program: stretch + accumulate +
     finalize the newly-covered span.  The interactive restart path is
     dispatch-latency bound (each round trip through a remote-dispatch
@@ -101,6 +101,7 @@ def _advance_fused(wav, starts_c, da_c, rho_c, win, m0_local, f_real,
     y_c, resid, phi_prev, phi0 = pv._stretch_chunk(
         wav, starts_c, da_c, rho_c, win, m0_local, f_real,
         phi0, resid, phi_prev, size, hop, ch, formant=formant, fused=fused,
+        lock=lock,
     )
     y = pv._accum_at(y, y_c, acc_off)
     seg = jax.lax.dynamic_slice(y, (norm_off,), (span,))
@@ -140,6 +141,7 @@ class PvStream:
         size: int | None = None,
         hop: int | None = None,
         preserve_formants: bool = False,
+        phase_locking: bool = False,
         start_sec: float = 0.0,
         chunk_frames: int = STREAM_CHUNK_FRAMES,
     ):
@@ -155,6 +157,7 @@ class PvStream:
         self.sample_rate = int(knots.sample_rate)
         self.plan = pv.build_pv_plan(knots, n_wav, config=config, size=size, hop=hop)
         self.preserve_formants = preserve_formants
+        self.phase_locking = bool(phase_locking)
         self._buf = np.zeros(0, np.float32)
         if self.plan is None:
             self.n_out = 0
@@ -188,7 +191,9 @@ class PvStream:
         # masked by f_real); the stretch buffer rounds up to whole chunks;
         # the resample shapes round up to OUT_BUCKET samples.
         self._ch = int(chunk_frames)
-        self._fused = pv._pv_fused_ok(size_, hop_, self._ch)
+        # Identity locking needs natural bin order (engine note in
+        # _render_with_plan); locked streams take the XLA path.
+        self._fused = pv._pv_fused_ok(size_, hop_, self._ch) and not self.phase_locking
         n_state = size_ if self._fused else size_ // 2 + 1
         self._win = jnp.asarray(hann_window(size_))
         # Headroom: size from the TRACK (2x stretch covers bends to +12
@@ -256,7 +261,8 @@ class PvStream:
                 self._y, self._y_norm, self._wsum_pad,
                 jnp.int32(m0_g * hop), jnp.int32(self._fin),
                 plan.size, hop, self._ch,
-                self.preserve_formants, self._fused, span,
+                self.preserve_formants, self._fused, self.phase_locking,
+                span,
             )
             self._frames_done = min(m0_g + self._ch, plan.n_frames)
             self._fin += span

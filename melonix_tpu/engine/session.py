@@ -98,12 +98,20 @@ def _render_mono_granular_seq(mono, plan, mesh) -> np.ndarray:
     return res  # 1500-zero reference tail included via total_out
 
 
-def _render_mono_pv_seq(mono, knots, mesh, config, preserve_formants):
+def _render_mono_pv_seq(mono, knots, mesh, config, preserve_formants,
+                        phase_locking=False):
     """ONE track's PV render with stretch frames sharded over ``seq``.
     Returns None when the track is too short for the shard count (each
-    shard must cover the OLA spill) so the caller falls back."""
+    shard must cover the OLA spill) so the caller falls back.
+
+    On TPU the per-shard analysis/synthesis runs through the fused Mosaic
+    kernels when the shapes allow (VERDICT r3 #3); locked renders and
+    other shapes use the natural-order XLA body.
+    """
+    import jax
     import jax.numpy as jnp
 
+    from ..kernels import pallas_pv
     from ..parallel.sharded import seq_parallel_pv, seq_pv_args
     from .phase_vocoder import build_pv_plan
     from .spectral import hann_window
@@ -112,11 +120,21 @@ def _render_mono_pv_seq(mono, knots, mesh, config, preserve_formants):
     if plan is None:
         return None  # empty/degenerate: the single-chip path handles it
     n_seq = mesh.shape["seq"]
-    n_frames = n_seq * -(-plan.n_frames // n_seq)
-    if (n_frames // n_seq) * plan.hop < plan.size - plan.hop:
+    on_tpu = jax.default_backend() == "tpu"
+    from .phase_vocoder import pv_fused_shapes_ok
+
+    fused = (
+        on_tpu
+        and not phase_locking
+        and pv_fused_shapes_ok(plan.size, plan.hop)
+    )
+    kw, ops = seq_pv_args(plan, n_seq,
+                          frame_quantum=pallas_pv.G if fused else 1)
+    if (kw["n_frames"] // n_seq) * plan.hop < plan.size - plan.hop:
         return None  # shard span shorter than the OLA spill: fall back
-    kw, ops = seq_pv_args(plan, n_seq)
-    f = seq_parallel_pv(mesh, **kw, formant=bool(preserve_formants))
+    f = seq_parallel_pv(mesh, **kw, formant=bool(preserve_formants),
+                        lock=bool(phase_locking), fused=fused,
+                        interpret=not on_tpu and fused)
     win = jnp.asarray(hann_window(kw["size"]))
     out = f(
         jnp.asarray(mono), *[jnp.asarray(o) for o in ops[:4]],
@@ -132,6 +150,7 @@ def render_session(
     *,
     engine: str = "granular",
     preserve_formants: bool = False,
+    phase_locking: bool = False,
     config: Config = DEFAULT_CONFIG,
     mesh="auto",
 ) -> np.ndarray:
@@ -153,16 +172,20 @@ def render_session(
         if not multi:
             if seq_mesh is not None:
                 out = _render_mono_pv_seq(
-                    mono, knots, seq_mesh, config, preserve_formants
+                    mono, knots, seq_mesh, config, preserve_formants,
+                    phase_locking=phase_locking,
                 )
                 if out is not None:
                     return out
             return render_track_pv(
-                mono, knots, config=config, preserve_formants=preserve_formants
+                mono, knots, config=config,
+                preserve_formants=preserve_formants,
+                phase_locking=phase_locking,
             )
         out = render_channels_pv(
             wav.T, knots, config=config,
-            preserve_formants=preserve_formants, mesh=use_mesh,
+            preserve_formants=preserve_formants,
+            phase_locking=phase_locking, mesh=use_mesh,
         )
         return np.ascontiguousarray(out.T)
 

@@ -62,6 +62,27 @@ G = 64  # frames per grid step
 MAX_FRAMES = 200_000  # starts scalar-prefetch must fit SMEM
 
 
+
+def _vma_of(*xs) -> frozenset:
+    """Union of the operands' varying-manual-axes (vma).
+
+    Inside ``jax.shard_map(check_vma=True)`` a ``pallas_call``'s
+    ``out_shape`` must declare which mesh axes the output varies over —
+    the union of its operands' — or the composition is rejected with
+    "vma must not be None".  Outside shard_map every input's vma is the
+    empty frozenset and the annotation is a no-op (verified on Mosaic and
+    interpret).  This is what lets the fused kernels run INSIDE the real
+    sharded programs (parallel/sharded.py) without check_vma=False.
+    """
+    vma: frozenset = frozenset()
+    for x in xs:
+        try:
+            vma |= jax.typeof(x).vma
+        except Exception:
+            pass
+    return vma
+
+
 def supported(size: int, n_frames: int | None = None) -> bool:
     ok = size == N1 * N2
     if n_frames is not None:
@@ -275,8 +296,10 @@ def analysis(
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((f, N2, N1), jnp.float32),
-            jax.ShapeDtypeStruct((f, N2, N1), jnp.float32),
+            jax.ShapeDtypeStruct((f, N2, N1), jnp.float32,
+                                 vma=_vma_of(wav2d, starts_c)),
+            jax.ShapeDtypeStruct((f, N2, N1), jnp.float32,
+                                 vma=_vma_of(wav2d, starts_c)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=f * (2 * N2 * N2 * N1 + 4 * N2 * N1 * N1) * 2 * 3,
@@ -519,7 +542,8 @@ def synth_ola(
         ],
         out_specs=pl.BlockSpec((1, G * hop_rows, 128), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb, G * hop_rows, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb, G * hop_rows, 128), jnp.float32,
+                                       vma=_vma_of(mag, psi)),
         scratch_shapes=[
             pltpu.VMEM((G * hop_rows + carry_rows, 128), jnp.float32),
         ],
@@ -810,10 +834,14 @@ def synth_ola_phase(
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((nb, G * hop_rows, 128), jnp.float32),
-            jax.ShapeDtypeStruct((N2, N1), jnp.float32),
-            jax.ShapeDtypeStruct((N2, N1), jnp.float32),
-            jax.ShapeDtypeStruct((N2, N1), jnp.float32),
+            jax.ShapeDtypeStruct((nb, G * hop_rows, 128), jnp.float32,
+                                 vma=_vma_of(a, b, da, phi0)),
+            jax.ShapeDtypeStruct((N2, N1), jnp.float32,
+                                 vma=_vma_of(a, b, da, phi0)),
+            jax.ShapeDtypeStruct((N2, N1), jnp.float32,
+                                 vma=_vma_of(a, b, da, phi0)),
+            jax.ShapeDtypeStruct((N2, N1), jnp.float32,
+                                 vma=_vma_of(a, b, da, phi0)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=f * (4 * N2 * N1 * N1 + 2 * N2 * N2 * N1) * 2 * 3

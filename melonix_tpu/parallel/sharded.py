@@ -397,6 +397,36 @@ def seq_render_args(plan, wav, out_len: int, n_seq: int):
 # ----------------------------------------------------------------------
 
 
+def _wsum_masked(window, fr, size: int, hop: int, n_frames: int,
+                 stretch_len: int):
+    """Window-square OLA normalizer masked by a TRACED live frame count.
+
+    Same stride-stacked construction as phase_vocoder._ola_wsum, but only
+    frames < ``fr`` contribute — bit-identical normalization to the
+    track's own single-device render despite a shared padded n_frames
+    (and, in the seq-sharded path, despite the shard-multiple padding:
+    the padded frames' magnitudes are masked to zero, so an unmasked
+    wsum would attenuate the real tail by up to size-hop samples —
+    ADVICE r3 #1)."""
+    k = size // hop
+    pad_f = (-n_frames) % k
+    total = (n_frames + pad_f) * hop + (k - 1) * hop + size
+    w2 = window * window
+    wsum = jnp.zeros(total, jnp.float32)
+    for g in range(k):
+        segw = jnp.tile(w2, (n_frames + pad_f) // k)
+        segw = jnp.where(
+            jnp.arange(segw.shape[0]) // size * k + g < fr, segw, 0.0
+        )
+        wsum = wsum.at[g * hop : g * hop + segw.shape[0]].add(segw)
+    out = (
+        wsum[:stretch_len]
+        if total >= stretch_len
+        else jnp.pad(wsum, (0, stretch_len - total))
+    )
+    return jnp.maximum(out, 1e-8)
+
+
 def data_parallel_pv(
     mesh: Mesh,
     *,
@@ -408,6 +438,9 @@ def data_parallel_pv(
     sr: int,
     formant: bool = False,
     n_ceps: int = 40,
+    lock: bool = False,
+    fused: bool = False,
+    interpret: bool = False,
 ):
     """Jitted full PV render (stretch → normalize → resample) of a batch of
     tracks sharded over ``data`` — the quality engine's multi-chip path
@@ -429,30 +462,7 @@ def data_parallel_pv(
     )
     from ..kernels.pallas_resample import BLK
 
-    n_bins = size // 2 + 1
-
-    def _wsum_traced(window, fr):
-        """Per-track window-square OLA normalizer: same stride-stacked
-        construction as _ola_wsum but masking by the track's TRACED live
-        frame count — bit-identical normalization to the track's own
-        single-device render despite the shared padded n_frames."""
-        k = size // hop
-        pad_f = (-n_frames) % k
-        total = (n_frames + pad_f) * hop + (k - 1) * hop + size
-        w2 = window * window
-        wsum = jnp.zeros(total, jnp.float32)
-        for g in range(k):
-            segw = jnp.tile(w2, (n_frames + pad_f) // k)
-            segw = jnp.where(
-                jnp.arange(segw.shape[0]) // size * k + g < fr, segw, 0.0
-            )
-            wsum = wsum.at[g * hop : g * hop + segw.shape[0]].add(segw)
-        out = (
-            wsum[:stretch_len]
-            if total >= stretch_len
-            else jnp.pad(wsum, (0, stretch_len - total))
-        )
-        return jnp.maximum(out, 1e-8)
+    n_bins = size if fused else size // 2 + 1
 
     def step(wav_b, starts_b, da_b, rho_b, f_real_b, window,
              anc_j_b, src_b, r_b, s_b, base_b):
@@ -462,12 +472,26 @@ def data_parallel_pv(
                 y, _, _, _ = _stretch_chunk_core(
                     w1, st1, da1, rho1, win, jnp.int32(0), fr1, z, z, z,
                     size=size, hop=hop, n_frames_c=n_frames, use_pallas=False,
-                    formant=formant, n_ceps=n_ceps,
+                    formant=formant, n_ceps=n_ceps, fused=fused, lock=lock,
+                    interpret=interpret,
                 )
-                y = y[:stretch_len] / _wsum_traced(win, fr1)
+                y = y[:stretch_len] / _wsum_masked(
+                    win, fr1, size, hop, n_frames, stretch_len
+                )
                 src_rel = _positions_rel_device(aj1, sb1, rb1, ss1, n_out_pad, sr)
                 return _lerp_resample_rel_xla(y, src_rel, bb1, stretch_len, BLK)
 
+            if fused:
+                # The fused Mosaic kernels (pallas_pv.analysis +
+                # synth_ola_phase) are single-track programs with
+                # scalar-prefetch grids — no batching rule — so the
+                # per-device rows loop in Python (rows-per-device is
+                # static and small; each row reuses the same kernel).
+                return jnp.stack([
+                    one(w[r], st[r], da[r], rho[r], fr[r], aj[r], sb[r],
+                        rb[r], ssb[r], bb[r])
+                    for r in range(w.shape[0])
+                ])
             return jax.vmap(one)(w, st, da, rho, fr, aj, sb, rb, ssb, bb)
 
         return jax.shard_map(
@@ -475,6 +499,11 @@ def data_parallel_pv(
             mesh=mesh,
             in_specs=(P("data"),) * 5 + (P(),) + (P("data"),) * 5,
             out_specs=P("data"),
+            # JAX's pallas INTERPRET mode cannot thread varying-axes
+            # metadata through its internal while_loop (Mosaic can — the
+            # kernels' out_shapes carry vma and the real-chip composition
+            # runs with the check ON; bench._sharded_pallas_compose_ms).
+            check_vma=not (fused and interpret),
         )(wav_b, starts_b, da_b, rho_b, f_real_b, window,
           anc_j_b, src_b, r_b, s_b, base_b)
 
@@ -581,6 +610,9 @@ def seq_parallel_pv(
     sr: int,
     formant: bool = False,
     n_ceps: int = 40,
+    lock: bool = False,
+    fused: bool = False,
+    interpret: bool = False,
 ):
     """Jitted seq-sharded PV render of ONE track.
 
@@ -588,22 +620,36 @@ def seq_parallel_pv(
     s_b, base) -> (n_out_pad,) audio.  ``starts/da/rho`` are the PVPlan
     frame arrays padded to ``n_frames``; ``f_real`` masks the live count.
     Use ``seq_pv_args`` to build the operands from a PVPlan.
+
+    ``fused`` routes each shard's analysis and synthesis through the
+    Mosaic kernels (pallas_pv.analysis + synth_ola) with the distributed
+    phase pipeline — neighbor ppermute of the last analysis phase, local
+    cumsum + all_gather carry, exact int-mod ramp — running in XLA in the
+    four-step's SCRAMBLED bin order (every op is elementwise over bins,
+    so only the omega/bin-index constants change; Hermitian pairs stay
+    exact mirrors).  ``lock`` applies identity phase locking (natural
+    order only — mutually exclusive with ``fused``).
     """
     from ..engine.phase_vocoder import (
         _formant_gain,
         _lerp_resample_rel_xla,
-        _ola_wsum,
         _positions_rel_device,
         _princarg,
+        identity_lock,
     )
     from ..engine.spectral import istft_device
+    from ..kernels import pallas_pv
     from ..kernels.pallas_resample import BLK
 
     n_seq = mesh.shape["seq"]
     assert n_frames % n_seq == 0, (n_frames, n_seq)
     f_loc = n_frames // n_seq
     assert f_loc * hop >= size - hop, "shard span shorter than the OLA spill"
-    n_bins = size // 2 + 1
+    if fused:
+        assert not lock, "identity locking needs natural bin order"
+        assert pallas_pv.supported(size, f_loc), (size, f_loc)
+        assert hop % 128 == 0 and size % hop == 0 and hop < size, (size, hop)
+    n_bins = size if fused else size // 2 + 1
     L = n_frames * hop  # fully-covered stretched span (tail pad excluded)
 
     def stretch_body(wav, starts_l, da_l, rho_l, f_real, window, wsum_l):
@@ -612,21 +658,32 @@ def seq_parallel_pv(
         starts_l, da_l, rho_l = starts_l[0], da_l[0], rho_l[0]
         n = wav.shape[0]
 
-        # Analysis (frame fetch from the replicated track + rFFT).
-        gidx = starts_l[:, None] + jnp.arange(size, dtype=jnp.int32)[None, :]
-        frames = jnp.where(gidx < n, wav[jnp.clip(gidx, 0, n - 1)], 0.0)
-        spec = jnp.fft.rfft(frames * window[None, :])
-        mag = jnp.abs(spec)
-        phi = jnp.angle(spec)
+        if fused:
+            # Fused fetch+window+DFT (scrambled order, full size bins).
+            re, im = pallas_pv.analysis(wav, starts_l, window, size,
+                                        interpret=interpret)
+            mag = jnp.sqrt(re * re + im * im)
+            phi = jnp.arctan2(im, re)
+            omega = jnp.asarray(pallas_pv.scrambled_omega(size))
+            k_idx = jnp.asarray(pallas_pv.scrambled_bins(size))
+        else:
+            # Analysis (frame fetch from the replicated track + rFFT).
+            gidx = starts_l[:, None] + jnp.arange(size, dtype=jnp.int32)[None, :]
+            frames = jnp.where(gidx < n, wav[jnp.clip(gidx, 0, n - 1)], 0.0)
+            spec = jnp.fft.rfft(frames * window[None, :])
+            mag = jnp.abs(spec)
+            phi = jnp.angle(spec)
+            omega = (2.0 * jnp.pi / size) * jnp.arange(n_bins, dtype=jnp.float32)
+            k_idx = jnp.arange(n_bins, dtype=jnp.int32)
         if formant:
-            mag = mag * _formant_gain(mag, rho_l, size, n_bins, n_ceps)
+            mag = mag * _formant_gain(mag, rho_l, size, size // 2 + 1,
+                                      n_ceps, scrambled=fused)
 
         # Left neighbor's last analysis phase seeds my first frame's diff.
         perm_r = [(i, (i + 1) % nsh) for i in range(nsh)]
         phi_in = jax.lax.ppermute(phi[-1], "seq", perm_r)
         phi_prev = jnp.concatenate([phi_in[None, :], phi[:-1]], axis=0)
 
-        omega = (2.0 * jnp.pi / size) * jnp.arange(n_bins, dtype=jnp.float32)
         da = jnp.maximum(da_l, 1e-3)[:, None]
         dphi = _princarg(phi - phi_prev - omega[None, :] * da)
         incr = hop * dphi / da
@@ -645,21 +702,33 @@ def seq_parallel_pv(
 
         # psi = phi(global frame 0) + exact int-mod linear ramp + residual
         # (float32 ramp sums overflow ulp at minute scale — see
-        # _stretch_chunk_core).
+        # _stretch_chunk_core; for scrambled negative-frequency bins the
+        # ramp is identical mod 2pi: hm*(k - size) == hm*k mod size).
         phi0 = jax.lax.psum(
             jnp.where(idx == 0, phi[0], jnp.zeros_like(phi[0])), "seq"
         )
         hm = jnp.mod(m_global * hop, size)
-        k_idx = jnp.arange(n_bins, dtype=jnp.int32)
         ramp = (2.0 * jnp.pi / size) * jnp.mod(
             hm[:, None] * k_idx[None, :], size
         ).astype(jnp.float32)
         psis = (phi0[None, :] + ramp + resid).astype(jnp.float32)
 
+        if lock:
+            # Per-frame transform: shard-local by construction.
+            psis = identity_lock(psis, phi, mag)
+
         live = (m_global < f_real)[:, None]
-        synth = jnp.where(live, mag, 0.0) * jnp.exp(1j * psis)
+        mag_live = jnp.where(live, mag, 0.0)
         out_local = f_loc * hop + (size - hop)
-        buf = istft_device(synth, window, size, hop, out_local, normalize=False)
+        if fused:
+            # Streaming inverse-DFT + windowed OLA in one Mosaic kernel;
+            # its flat output is exact for j < (f_loc-1)*hop + size.
+            buf = pallas_pv.synth_ola(mag_live, psis, window, size, hop,
+                                      interpret=interpret)[:out_local]
+        else:
+            synth = mag_live * jnp.exp(1j * psis)
+            buf = istft_device(synth, window, size, hop, out_local,
+                               normalize=False)
 
         # OLA seam: my tail overlaps the RIGHT neighbor's head.
         spill = buf[f_loc * hop :]
@@ -677,6 +746,10 @@ def seq_parallel_pv(
         in_specs=(P(), P(None, "seq"), P(None, "seq"), P(None, "seq"),
                   P(), P(), P(None, "seq")),
         out_specs=P(None, "seq"),
+        # Mosaic threads vma through the kernels' out_shapes; only the
+        # pallas INTERPRET mode cannot (JAX limitation — its internal
+        # while_loop drops varying-axes metadata).
+        check_vma=not (fused and interpret),
     )
     resample = jax.shard_map(
         resample_body,
@@ -688,7 +761,10 @@ def seq_parallel_pv(
     )
 
     def step(wav, starts, da, rho, f_real, window, anc_j, src_b, r_b, s_b, base):
-        wsum = _ola_wsum(window, size, hop, n_frames, L)
+        # f_real-masked normalizer: padded frames contribute no signal, so
+        # they must contribute no window energy either (ADVICE r3 #1 —
+        # the unmasked wsum attenuated the real OLA tail).
+        wsum = _wsum_masked(window, f_real, size, hop, n_frames, L)
         y = stretch(
             wav, starts[None], da[None], rho[None], f_real, window, wsum[None]
         )[0]
@@ -698,16 +774,25 @@ def seq_parallel_pv(
     return jax.jit(step)
 
 
-def seq_pv_args(plan, n_seq: int):
+def seq_pv_args(plan, n_seq: int, frame_quantum: int = 1):
     """Pad a PVPlan's operands to seq-shardable shapes.
 
     Returns (builder_kw, ops): frame arrays padded to a multiple of
-    ``n_seq`` (edge frames, masked live by f_real) and the resample
-    side padded to a multiple of ``n_seq * BLK`` output samples.
+    ``n_seq * frame_quantum`` (edge frames, masked live by f_real) and
+    the resample side padded to a multiple of ``n_seq * BLK`` output
+    samples.  Pass ``frame_quantum=pallas_pv.G`` for the fused kernels
+    (their grid takes G frames per step per shard).
     """
     from ..kernels.pallas_resample import BLK
 
-    n_frames = n_seq * -(-plan.n_frames // n_seq)
+    # Pad past the shard multiple by a window's worth of frames so the
+    # fully-covered span L = n_frames*hop reaches the real stretched tail
+    # (plan.n_frames-1)*hop + size — without it the last size-hop samples
+    # of the stretch were truncated whenever plan.n_frames already hit
+    # the shard multiple (ADVICE r3 #1).  Padded frames are masked live.
+    extra = -(-plan.size // plan.hop) - 1
+    q = n_seq * frame_quantum
+    n_frames = q * -(-(plan.n_frames + extra) // q)
     pad_f = n_frames - plan.n_frames
     starts = np.pad(plan.starts_m, (0, pad_f), mode="edge")
     da = np.pad(plan.da_m, (0, pad_f), constant_values=float(plan.hop))

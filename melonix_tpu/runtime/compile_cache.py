@@ -76,8 +76,58 @@ def enable(cache_dir: str | None = None) -> str | None:
         # session's kernels.
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        # With the floors at 0 every shape bucket lands on disk, so the
+        # directory would grow without bound across sessions (ADVICE r3
+        # #2): prune LRU by atime/mtime to a size cap on enable.
+        _prune_cache_dir(d)
         _enabled_dir = d
         return d
+
+
+def _prune_cache_dir(d: str, max_bytes: int | None = None) -> int:
+    """Best-effort LRU prune of the persistent cache directory.
+
+    Deletes the least-recently-used entries (max(atime, mtime) — atime
+    tracks cache HITS where the filesystem records it) until the directory
+    is under ``max_bytes`` (``MELONIX_XLA_CACHE_MAX_MB``, default 2048).
+    Returns the number of files removed.  Never raises.
+    """
+    if max_bytes is None:
+        try:
+            max_bytes = int(
+                float(os.environ.get("MELONIX_XLA_CACHE_MAX_MB", "2048"))
+                * 1e6
+            )
+        except ValueError:
+            max_bytes = 2_048_000_000
+    removed = 0
+    try:
+        entries = []
+        total = 0
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                p = os.path.join(root, f)
+                try:
+                    st = os.stat(p)
+                except OSError:
+                    continue
+                entries.append((max(st.st_atime, st.st_mtime), st.st_size, p))
+                total += st.st_size
+        if total <= max_bytes:
+            return 0
+        entries.sort()  # oldest first
+        for _t, size, p in entries:
+            if total <= max_bytes:
+                break
+            try:
+                os.remove(p)
+                total -= size
+                removed += 1
+            except OSError:
+                continue
+    except Exception:  # pragma: no cover - pruning must never break enable
+        pass
+    return removed
 
 
 def warmup_session(

@@ -77,6 +77,7 @@ class EditorState:
         self.source_path = ""  # what was opened (autosave identity)
         self.engine = "granular"  # live render engine: "granular" | "pv"
         self.formant = False  # PV formant preservation (pv engine only)
+        self.phase_locking = False  # PV identity phase locking (pv only)
         self.show_pitch = False  # detected-pitch overlay in the scene
         self.pitch = None  # cached engine.pitch.PitchCurve (per import)
         self._pitch_thread = None  # background NSDF analysis (TPU only)
@@ -203,6 +204,7 @@ class EditorState:
             engine=self.engine,
         )
         self.player.set_formant(self.formant)
+        self.player.set_phase_locking(self.phase_locking)
         self.invalidate()
         # Warm the standard shape buckets in the background so first
         # play/zoom hits compiled executables — the reference's
@@ -331,7 +333,8 @@ class EditorState:
             from ..engine.phase_vocoder import render_track_pv
 
             out = render_track_pv(self.wav, self.knots, config=self.config,
-                                  preserve_formants=self.formant)
+                                  preserve_formants=self.formant,
+                                  phase_locking=self.phase_locking)
         else:
             from ..engine.render import render_track
 
@@ -412,6 +415,13 @@ class EditorState:
         self.formant = bool(on)
         if self.player is not None:
             self.player.set_formant(self.formant)
+
+    def set_phase_locking(self, on: bool) -> None:
+        """Identity-phase-locking toggle for the PV engine (BASELINE
+        north star; applies live and to export)."""
+        self.phase_locking = bool(on)
+        if self.player is not None:
+            self.player.set_phase_locking(self.phase_locking)
 
     def set_brightness(self, b: float) -> None:
         """Brightness slider → k = 2^(b/10 + 9); rebuilds tiles when it

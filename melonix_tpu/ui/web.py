@@ -87,6 +87,8 @@ body { margin:0; background:#111; color:#ddd; font:13px sans-serif; }
  <label>Tempo <input id="tempo" type="range" min="30" max="250" value="130"
    oninput="ctl('tempo', this.value)"></label>
  <label><input id="follow" type="checkbox" onchange="ctl('follow', this.checked?1:0)">Follow</label>
+ <label><input type="checkbox" id="lock" onchange="ctl('lock', this.checked ? 1 : 0)"
+ title="identity phase locking (PV)">lock</label>
  <label><input type="checkbox" id="formant" onchange="ctl('formant', this.checked ? 1 : 0)"
    title="keep vocal timbre in place while pitch moves (pv engine)"> Formant</label>
  <label><input type="checkbox" id="pitchcurve" onchange="ctl('pitchcurve', this.checked ? 1 : 0)"
@@ -235,6 +237,7 @@ setInterval(() => {
                   s.markers+' markers · '+s.fps.toFixed(0)+' fps'+extra) : 'no file';
     document.getElementById('follow').checked = s.follow;
     document.getElementById('formant').checked = s.formant;
+    document.getElementById('lock').checked = s.phase_locking;
     document.getElementById('pitchcurve').checked = s.show_pitch;
     document.getElementById('engine').value = s.engine;
     document.getElementById('recover').style.display =
@@ -480,6 +483,7 @@ class EditorServer:
             "follow": st.follow_mode,
             "engine": st.engine,
             "formant": st.formant,
+            "phase_locking": st.phase_locking,
             "show_pitch": st.show_pitch,
             "brightness": st.brightness,
             "tempo": st.tempo,
@@ -589,6 +593,13 @@ class EditorServer:
             # subsequent export) comes from the selected engine.
             st.set_engine(str(value))
             self._audio_epoch += 1  # offline /audio.wav must re-render too
+        elif action == "lock":
+            # PV identity phase locking, live + export (BASELINE north
+            # star: Laroche–Dolson vertical phase coherence).  Granular
+            # audio is unchanged: epoch-bump only on the PV engine.
+            st.set_phase_locking(bool(int(value)))
+            if st.engine == "pv":
+                self._audio_epoch += 1
         elif action == "formant":
             # PV formant preservation, live + export (added capability).
             # Granular audio is unchanged by it: bump the /audio.wav epoch
@@ -664,7 +675,8 @@ class EditorServer:
             from ..engine.phase_vocoder import render_track_pv
 
             out = np.asarray(render_track_pv(st.wav, st.knots, config=st.config,
-                                             preserve_formants=st.formant))
+                                             preserve_formants=st.formant,
+                                             phase_locking=st.phase_locking))
         else:
             from ..engine.render import render_track
 

@@ -567,6 +567,7 @@ struct Decoder {
       }
     }
     // count1 region: quads until bits run out.
+    const int big_end = idx;  // lines written by the big-values pair loop
     const HuffLookup& qt = g_tables.quad[gc.count1table_select];
     while ((int)b.pos < pos_limit_bits && idx <= 572) {
       const int v = huff_decode(b, qt);
@@ -578,10 +579,12 @@ struct Decoder {
       }
     }
     if ((int)b.pos > pos_limit_bits) {
-      // Overshot: the last quad read padding bits; drop it (spec behavior).
-      // Check BEFORE zeroing: when the big-values loop itself overshoots
-      // with idx < 4 (corrupt frame), is[idx-4] would write out of bounds.
-      idx -= 4;
+      // Overshot: the last write read padding bits; drop it (spec
+      // behavior).  Roll back by what was actually last written — a
+      // count1 quad (4 lines) or, when the big-values loop itself
+      // overshot (corrupt frame, no quads decoded), a pair (2 lines) —
+      // zeroing 4 there would mute two valid spectral lines.
+      idx -= (idx > big_end) ? 4 : 2;
       if (idx < 0) return false;
       for (int k = 0; k < 4 && idx + k < 576; ++k) is[idx + k] = 0;
     }

@@ -40,9 +40,31 @@ import pytest
 # shim, silently skipping the whole long-tail import path (the Makefile
 # itself skips libmelonix_av.so cleanly where libav headers are absent).
 _repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-_have_av_headers = os.path.exists(
-    "/usr/include/x86_64-linux-gnu/libavformat/avformat.h"
-) or os.path.exists("/usr/include/libavformat/avformat.h")
+
+
+def _probe_av_headers() -> bool:
+    """Arch-independent libav header probe (ADVICE r3 #4): pkg-config when
+    present, else a compile test — a fixed x86_64 multiarch path would
+    silently skip the long-tail import path on other architectures."""
+    try:
+        if subprocess.run(
+            ["pkg-config", "--exists", "libavformat"],
+            capture_output=True, timeout=10,
+        ).returncode == 0:
+            return True
+    except Exception:
+        pass
+    try:
+        return subprocess.run(
+            ["g++", "-x", "c++", "-fsyntax-only", "-"],
+            input=b"#include <libavformat/avformat.h>\n",
+            capture_output=True, timeout=30,
+        ).returncode == 0
+    except Exception:
+        return False
+
+
+_have_av_headers = _probe_av_headers()
 _targets = [os.path.join(_repo, "native", "libmelonix_native.so")] + (
     [os.path.join(_repo, "native", "libmelonix_av.so")] if _have_av_headers else []
 )

@@ -65,3 +65,26 @@ def test_warmup_async_joins():
     t = cc.warmup_session_async(2048, 8000, engines=(), columns=True)
     t.join(timeout=120)
     assert not t.is_alive()
+
+
+def test_prune_cache_dir_lru(tmp_path):
+    """ADVICE r3 #2: the persistent cache dir is pruned LRU to a size cap
+    on enable() — oldest entries go first, newer survive."""
+    import os
+    import time
+
+    from melonix_tpu.runtime.compile_cache import _prune_cache_dir
+
+    files = []
+    for i in range(6):
+        p = tmp_path / f"entry{i}.bin"
+        p.write_bytes(b"x" * 1000)
+        t = time.time() - (100 - i) * 10  # entry0 oldest
+        os.utime(p, (t, t))
+        files.append(p)
+    removed = _prune_cache_dir(str(tmp_path), max_bytes=3500)
+    assert removed == 3
+    assert not files[0].exists() and not files[1].exists() and not files[2].exists()
+    assert files[3].exists() and files[4].exists() and files[5].exists()
+    # Under the cap: no-op.
+    assert _prune_cache_dir(str(tmp_path), max_bytes=10_000) == 0

@@ -500,17 +500,12 @@ def test_pv_fused_kernels_match_natural_core(rng):
     args = (jnp.asarray(w), jnp.asarray(starts), jnp.asarray(da),
             jnp.asarray(rho), win, jnp.int32(0), jnp.int32(fr))
     base = np.asarray(_stretch_chunk_core(*args, zs, zs, zs, **kw)[0])
-    with mock.patch.object(
-        pallas_pv, "analysis", partial(pallas_pv.analysis, interpret=True)
-    ), mock.patch.object(
-        pallas_pv, "synth_ola", partial(pallas_pv.synth_ola, interpret=True)
-    ), mock.patch.object(
-        pallas_pv, "synth_ola_phase",
-        partial(pallas_pv.synth_ola_phase, interpret=True),
-    ):
-        fused = np.asarray(
-            _stretch_chunk_core(*args, zf, zf, zf, **kw, fused=True)[0]
-        )
+    # interpret threads through the core since the sharded-fused work
+    # (round 4) — no mock needed.
+    fused = np.asarray(
+        _stretch_chunk_core(*args, zf, zf, zf, **kw, fused=True,
+                            interpret=True)[0]
+    )
     # PV phase propagation is chaotic (a cumsum of atan2 noise): the f32
     # natural path itself moves by ~2e-2 max / 9e-4 rms under a ONE-ULP
     # input perturbation (measured), so waveforms can only be compared in
@@ -620,17 +615,12 @@ def test_pv_fused_formant_matches_natural(rng):
     args = (jnp.asarray(w), jnp.asarray(starts), jnp.asarray(da),
             jnp.asarray(rho), win, jnp.int32(0), jnp.int32(fr))
     base = np.asarray(_stretch_chunk_core(*args, zs, zs, zs, **kw)[0])
-    with mock.patch.object(
-        pallas_pv, "analysis", partial(pallas_pv.analysis, interpret=True)
-    ), mock.patch.object(
-        pallas_pv, "synth_ola", partial(pallas_pv.synth_ola, interpret=True)
-    ), mock.patch.object(
-        pallas_pv, "synth_ola_phase",
-        partial(pallas_pv.synth_ola_phase, interpret=True),
-    ):
-        fused = np.asarray(
-            _stretch_chunk_core(*args, zf, zf, zf, **kw, fused=True)[0]
-        )
+    # interpret threads through the core since the sharded-fused work
+    # (round 4) — no mock needed.
+    fused = np.asarray(
+        _stretch_chunk_core(*args, zf, zf, zf, **kw, fused=True,
+                            interpret=True)[0]
+    )
     scale = float(np.abs(base).max())
     rms = float(np.sqrt(np.mean((fused - base) ** 2)))
     assert rms < 5e-3 * scale, rms
@@ -654,19 +644,9 @@ def test_pv_fused_chunked_carry(rng, monkeypatch):
     knots = MapKnots.from_markers(
         [Marker(n // 2, 57.0, 0.02, 2.0)], sr, n
     )
-    with mock.patch.object(
-        pallas_pv, "analysis", partial(pallas_pv.analysis, interpret=True)
-    ), mock.patch.object(
-        pallas_pv, "synth_ola", partial(pallas_pv.synth_ola, interpret=True)
-    ), mock.patch.object(
-        pallas_pv, "synth_ola_phase",
-        partial(pallas_pv.synth_ola_phase, interpret=True),
-    ), mock.patch.object(
-        pv, "_pv_fused_ok", lambda *a: True
-    ), mock.patch.object(
-        pv, "_resample_pv_fused",
-        partial(pv._resample_pv_fused, interpret=True),
-    ):
+    # Forcing _pv_fused_ok on a CPU backend makes _render_with_plan route
+    # the fused kernels through interpret mode automatically (round 4).
+    with mock.patch.object(pv, "_pv_fused_ok", lambda *a: True):
         single = render_track_pv(w, knots)
         monkeypatch.setattr(pv, "PV_CHUNK_FRAMES", 64)
         chunked = render_track_pv(w, knots)

@@ -143,3 +143,117 @@ def test_ola_wsum_tiled_matches_scatter():
         want = np.maximum(acc, 1e-8)
         got = np.asarray(_ola_wsum(jnp.asarray(win), size, hop, n_frames, out_len))
         np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-7)
+
+
+# ---- Identity phase locking (Laroche & Dolson 1999; BASELINE north star) ----
+
+
+def test_identity_lock_region_semantics():
+    """Each bin locks to its nearest peak: psi[k] = psi[p] + (phi[k]-phi[p]);
+    regions split at the midpoint between adjacent peaks."""
+    import jax.numpy as jnp
+
+    from melonix_tpu.engine.phase_vocoder import identity_lock
+
+    mag = np.zeros((1, 16), np.float32)
+    mag[0] = [0, .1, .5, 1., .5, .1, 0, 0, .2, .6, 1.2, .6, .2, 0, 0, 0]
+    phi = np.linspace(0.0, 3.0, 16, dtype=np.float32)[None]
+    psi = (phi[0] + np.linspace(5.0, 9.0, 16, dtype=np.float32))[None]
+    out = np.asarray(
+        identity_lock(jnp.asarray(psi), jnp.asarray(phi), jnp.asarray(mag))
+    )
+    theta = psi - phi
+    k = np.arange(16)
+    want = phi + np.where((k - 3) <= (10 - k), theta[0, 3], theta[0, 10])
+    assert np.abs(out - want).max() < 1e-6
+    # Peak channels themselves are untouched (identity at the peaks).
+    assert np.abs(out[0, [3, 10]] - psi[0, [3, 10]]).max() < 1e-6
+
+
+def test_identity_lock_silent_frame_keeps_classic():
+    import jax.numpy as jnp
+
+    from melonix_tpu.engine.phase_vocoder import identity_lock
+
+    phi = np.linspace(0.0, 3.0, 16, dtype=np.float32)[None]
+    psi = (phi[0] + np.linspace(5.0, 9.0, 16, dtype=np.float32))[None]
+    out = np.asarray(identity_lock(
+        jnp.asarray(psi), jnp.asarray(phi), jnp.zeros((1, 16), jnp.float32)
+    ))
+    assert np.abs(out - psi).max() < 1e-6
+
+
+def _mod_index(y, sr):
+    """Amplitude-modulation index of the strongest partials over a steady
+    segment — the objective phasiness proxy (vertical incoherence shows as
+    beating of the mainlobe bins, i.e. peak-bin magnitude wobble)."""
+    size, hop = 2048, 512
+    seg = y[int(1.2 * sr): int(2.8 * sr)]
+    n_f = (len(seg) - size) // hop
+    fr = np.stack([seg[i * hop: i * hop + size] for i in range(n_f)])
+    mags = np.abs(np.fft.rfft(fr * np.hanning(size)))
+    mean = mags.mean(0)
+    ks: list[int] = []
+    for kk in np.argsort(mean)[::-1]:
+        if all(abs(int(kk) - j) > 4 for j in ks):
+            ks.append(int(kk))
+        if len(ks) == 4:
+            break
+    return float(np.mean([mags[:, kk].std() / mags[:, kk].mean() for kk in ks]))
+
+
+def test_phase_locking_reduces_phasiness():
+    """Two inharmonic tones through a +3 st plateau: locking must cut the
+    partials' amplitude modulation by at least 2x and preserve energy."""
+    sr = 22050
+    n = 4 * sr
+    t = np.arange(n) / sr
+    x = (0.4 * np.sin(2 * np.pi * 311.1 * t)
+         + 0.4 * np.sin(2 * np.pi * 554.4 * t)).astype(np.float32)
+    markers = [Marker(n // 4, 57.0, 0.0, 3.0), Marker(3 * n // 4, 57.0, 0.0, 3.0)]
+    knots = MapKnots.from_markers(markers, sr, n)
+    classic = render_track_pv(x, knots)
+    locked = render_track_pv(x, knots, phase_locking=True)
+    r_c = np.sqrt(np.mean(classic**2))
+    r_l = np.sqrt(np.mean(locked**2))
+    assert abs(r_l - r_c) / r_c < 0.15
+    m_c = _mod_index(classic, sr)
+    m_l = _mod_index(locked, sr)
+    assert m_l < 0.5 * m_c, (m_c, m_l)
+
+
+def test_chunked_stretch_locked_matches_single(monkeypatch):
+    """Locking is a per-frame transform with no carried state: chunked and
+    one-shot locked renders must still agree."""
+    import melonix_tpu.engine.phase_vocoder as pv
+
+    x = _sine(330.0, 6.0)
+    n = len(x)
+    markers = [
+        Marker(sample=n // 3, note=52.0, d_time=0.1, pitch_bend=5.0),
+        Marker(sample=2 * n // 3, note=52.0, d_time=-0.05, pitch_bend=-3.0),
+    ]
+    knots = MapKnots.from_markers(markers, SR, n)
+    single = render_track_pv(x, knots, phase_locking=True)
+    monkeypatch.setattr(pv, "PV_CHUNK_FRAMES", 64)
+    chunked = render_track_pv(x, knots, phase_locking=True)
+    assert len(single) == len(chunked)
+    err = np.sqrt(np.mean((single - chunked) ** 2)) / (
+        np.sqrt(np.mean(single**2)) + 1e-12
+    )
+    assert err < 2e-3, err
+
+
+def test_locked_pitch_accuracy():
+    """Locking must not move the rendered pitch (single tone, +2 st)."""
+    x = _sine(440.0, 2.0)
+    n = len(x)
+    markers = [
+        Marker(sample=n // 4, note=57.0, d_time=0.0, pitch_bend=2.0),
+        Marker(sample=3 * n // 4, note=57.0, d_time=0.0, pitch_bend=2.0),
+    ]
+    knots = MapKnots.from_markers(markers, SR, n)
+    y = render_track_pv(x, knots, phase_locking=True)
+    seg = y[int(0.35 * n): int(0.6 * n)]
+    want = 440.0 * 2.0 ** (2.0 / 12.0)
+    assert abs(_peak_freq(seg) - want) < 10.0

@@ -159,3 +159,16 @@ def test_formant_stream_matches_offline(bent_track):
     m = min(len(got), len(ref))
     err = np.sqrt(np.mean((got[:m] - ref[:m]) ** 2))
     assert err < 5e-3 * np.abs(ref).max(), err
+
+
+def test_locked_stream_matches_offline(bent_track):
+    """phase_locking through the pull API == the offline locked render
+    (rms convention) — the streaming advance threads the flag into the
+    same _stretch_chunk the offline chunk loop uses."""
+    x, knots = bent_track
+    ref = render_track_pv(x, knots, phase_locking=True)
+    st = PvStream(x, knots, phase_locking=True)
+    got = _read_all(st, 4096)
+    m = min(len(got), len(ref))
+    err = np.sqrt(np.mean((got[:m] - ref[:m]) ** 2))
+    assert err < 5e-3 * np.abs(ref).max(), err

@@ -841,3 +841,23 @@ def test_export_dialog_honors_flac_extension(server, tmp_path):
 
     out, rate = load_audio(d["path"])
     assert rate == srv.state.sample_rate and np.abs(out).max() > 0.05
+
+
+def test_lock_toggle_changes_pv_audio(server):
+    """/control lock routes the PV render through identity phase locking
+    (BASELINE north star), live state and offline export alike."""
+    srv, conn, wav = server
+    _post(conn, "/control", {"action": "open", "value": wav})
+    _post(conn, "/control", {"action": "engine", "value": "pv"})
+    _post(conn, "/event", {"type": "dblclick", "x": 550, "y": 310})
+    _, st = _get_state(conn)
+    assert st["engine"] == "pv" and st["phase_locking"] is False
+    _, body_plain, _ = _get(conn, "/audio.wav")
+    _post(conn, "/control", {"action": "lock", "value": 1})
+    _, st = _get_state(conn)
+    assert st["phase_locking"] is True
+    _, body_locked, _ = _get(conn, "/audio.wav")
+    assert body_locked != body_plain
+    _post(conn, "/control", {"action": "lock", "value": 0})
+    _, body_back, _ = _get(conn, "/audio.wav")
+    assert body_back == body_plain
