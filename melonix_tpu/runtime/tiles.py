@@ -210,6 +210,10 @@ class TileServer:
             self._rgb = _rgb_device
         self._cache = LruCache(config.max_ranges)
         self._pending: dict = {}
+        # Monotonic content version: bumped whenever cached tile CONTENT can
+        # change (a drain landed, brightness rebuilt, cache cleared).  Lets
+        # the scene renderer memoize its assembled tile block between drains.
+        self.epoch = 0
         self._busy_since: float | None = None  # device batch in flight
         self._lock = threading.Lock()
         self._poll = poll_interval
@@ -235,6 +239,24 @@ class TileServer:
                 return self._cache.get(key)
         return None
 
+    def get_tiles(self, requests) -> list:
+        """Batched ``get_tile`` over (key, start, end) triples under ONE lock
+        acquisition (a 1280-column frame would otherwise take 1280)."""
+        out = []
+        miss = False
+        with self._lock:
+            for key, s, e in requests:
+                hit = self._cache.get(key)
+                if hit is None:
+                    self._pending[key] = (int(s), int(e))
+                    miss = True
+                out.append(hit)
+        if self._synchronous and miss:
+            self._drain_once()
+            with self._lock:
+                out = [self._cache.get(r[0]) for r in requests]
+        return out
+
     def prefetch(self, requests) -> None:
         """Enqueue many (key, start, end) at once so the worker computes the
         whole viewport in ONE batched device call (one frame = one dispatch,
@@ -252,11 +274,13 @@ class TileServer:
         with self._lock:
             self._k = float(k)
             self._cache.clear()
+            self.epoch += 1
 
     def clear(self) -> None:
         with self._lock:
             self._cache.clear()
             self._pending.clear()
+            self.epoch += 1
 
     def stats(self) -> dict:
         with self._lock:
@@ -318,6 +342,7 @@ class TileServer:
         with self._lock:
             for i, key in enumerate(keys):
                 self._cache.put(key, rgb[i])
+            self.epoch += 1
         return True
 
     def _run(self) -> None:

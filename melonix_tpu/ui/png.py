@@ -35,3 +35,24 @@ def write_png(path: str, img: np.ndarray) -> None:
     """Write an (H, W, 3) uint8 RGB array as a PNG file."""
     with open(path, "wb") as f:
         f.write(encode_png(img))
+
+
+try:  # optional C-speed encoder for the interactive frame loop
+    from PIL import Image as _PILImage
+except Exception:  # pragma: no cover - PIL is present in the target image
+    _PILImage = None
+
+
+def encode_frame(img: np.ndarray, quality: int = 88) -> tuple[bytes, str]:
+    """Encode a frame for the interactive loop: (bytes, mime type).
+
+    JPEG via PIL when available (~9 ms at 1280x720 vs ~23 ms for the
+    stdlib PNG at level 1 — the frame loop is encoder-bound otherwise);
+    falls back to the stdlib PNG encoder."""
+    if _PILImage is not None:
+        import io
+
+        buf = io.BytesIO()
+        _PILImage.fromarray(img).save(buf, "JPEG", quality=quality)
+        return buf.getvalue(), "image/jpeg"
+    return encode_png(img, level=1), "image/png"

@@ -39,19 +39,51 @@ def _lane_geometry(state: EditorState):
 
 
 def render_scene(state: EditorState, *, synchronous_tiles: bool = False) -> np.ndarray:
+    img = render_base(state, synchronous_tiles=synchronous_tiles)
+    _draw_scrubber(state, img)
+    return img
+
+
+def render_base(state: EditorState, *, synchronous_tiles: bool = False) -> np.ndarray:
+    """Everything except the scrubber — the scene content that only changes
+    on edits/pans, not on cursor motion.  The web shell memoizes this on a
+    state digest (base_digest) so steady playback redraws are a blit +
+    scrubber line instead of a full lane recomposition."""
     W, H, lane_h, spec_top, wave_top, wave_h = _lane_geometry(state)
     img = np.zeros((H, W, 3), np.uint8)
     if not state.loaded:
         return img
 
     col_maps = _draw_spectrogram(state, img, spec_top, lane_h, synchronous_tiles)
-    _draw_piano(state, img, spec_top, lane_h)
-    _draw_beat_grid(state, img, spec_top, lane_h)
+    _draw_lane_overlays(state, img, spec_top, lane_h)
     _draw_markers(state, img, spec_top, lane_h)
     _draw_pitch_curve(state, img, spec_top, lane_h, col_maps)
     _draw_waveform(state, img, wave_top, wave_h)
-    _draw_scrubber(state, img)
     return img
+
+
+def base_digest(state: EditorState) -> tuple:
+    """Hashable snapshot of every input render_base reads (cursor excluded —
+    it only feeds the scrubber).  Tile content is covered by the server's
+    epoch counter; marker geometry by value."""
+    server = state.tile_server
+    return (
+        state.viewport.width,
+        state.viewport.height,
+        state.start_time,
+        state.range_time,
+        state.start_note,
+        state.range_note,
+        state.brightness,
+        state.tempo,
+        state.selected,
+        state.show_pitch,
+        id(state.pitch),  # lazily (re)computed overlay curve
+        state.open_count,
+        tuple((m.sample, m.note, m.d_time, m.pitch_bend) for m in state.markers),
+        None if server is None else server.epoch,
+        None if server is None else id(server),
+    )
 
 
 def _draw_waveform(state: EditorState, img, wave_top: int, wave_h: int) -> None:
@@ -59,10 +91,11 @@ def _draw_waveform(state: EditorState, img, wave_top: int, wave_h: int) -> None:
     W = state.viewport.width
     mn, mx = _waveform_cache(state, W)
     # y: value +1 → lane top, -1 → lane bottom (glOrtho(0,W, 1,-1))
-    y0 = ((1.0 - mx) * 0.5 * (wave_h - 1)).astype(int) + wave_top
-    y1 = ((1.0 - mn) * 0.5 * (wave_h - 1)).astype(int) + wave_top
-    for x in range(W):
-        img[y0[x] : y1[x] + 1, x] = MAGENTA
+    y0 = ((1.0 - mx) * 0.5 * (wave_h - 1)).astype(int)
+    y1 = ((1.0 - mn) * 0.5 * (wave_h - 1)).astype(int)
+    rows = np.arange(wave_h)[:, None]  # one vectorized mask fill, not W loops
+    fill = (rows >= y0[None, :]) & (rows <= y1[None, :])
+    img[wave_top : wave_top + wave_h][fill] = MAGENTA
 
 
 def _waveform_cache(state: EditorState, width: int):
@@ -117,39 +150,138 @@ def _draw_spectrogram(state, img, spec_top: int, lane_h: int, synchronous: bool)
             for i in range(len(keys_m))
         ]
     )
-    tiles = np.zeros((W, texels, 3), np.uint8)
-    for x in range(W):
-        tile = server.get_tile(keys[x], int(samples[x]), int(samples[x + 1]))
-        if tile is not None and tile.shape[0] == texels:
-            tiles[x] = tile
-
-    # Visual note offset per pixel row (row 0 = lane top)
-    rows = np.arange(lane_h)
-    v = (1.0 - rows / max(lane_h - 1, 1)) * state.range_note  # (laneH,)
-    # Source note per (row, col): the drawn rows are shifted up by the bend.
-    n = state.start_note + v[:, None] - bends[None, :]
-    freq = 55.0 * 2.0 ** ((n - 24.0) / 12.0)
-    frac = freq / (sr / 2.0)
-    # Tiles are log-frequency texel strips (runtime/tiles.py)
-    from ..runtime.tiles import texel_of_frac
-
-    tex_idx = texel_of_frac(frac, texels, state.config.tile_frac_min)
-    # Visible quads span source notes [startNote, startNote + int(rangeNote))
-    valid = (
-        (n >= state.start_note)
-        & (n < state.start_note + int(state.range_note))
-        & (frac > 0)
-        & (frac <= 1.0)
-    )
-    cols = np.broadcast_to(np.arange(W)[None, :], tex_idx.shape)
-    rgb = tiles[cols, tex_idx]  # (laneH, W, 3)
-    rgb[~valid] = 0
+    rgb = _lane_rgb(state, server, keys, samples, bends, lane_h, texels, W, sr)
     img[spec_top : spec_top + lane_h] = rgb
     return ts[:-1], samples[:-1], bends
 
 
-def _draw_piano(state, img, spec_top: int, lane_h: int) -> None:
-    """Key stripes overlay, alpha 0.096 (app.cpp:519-556)."""
+def _cols_rgb(state, tiles, bends, lane_h: int, texels: int, sr) -> np.ndarray:
+    """Gather the (laneH, k, 3) spectrogram block for k columns whose tiles
+    are stacked in ``tiles`` (shape (k+1, texels, 3); final row = black
+    guard for out-of-range cells)."""
+    k = len(bends)
+    # Visual note offset per pixel row (row 0 = lane top)
+    rows = np.arange(lane_h)
+    v = (1.0 - rows / max(lane_h - 1, 1)) * state.range_note  # (laneH,)
+    # Source note per (row, col): the drawn rows are shifted up by the bend.
+    # The log-texel index (runtime/tiles.texel_of_frac of
+    # frac = 55·2^((n−24)/12)/(sr/2)) is AFFINE in n, so the whole
+    # (laneH, k) map is one outer subtract + one fused multiply-add —
+    # no log/exp over 830k elements per frame.
+    m = v.astype(np.float32)[:, None] - np.asarray(bends, np.float32)[None, :]
+    fmin = state.config.tile_frac_min
+    a = (np.log(2.0) / 12.0) * (texels - 1) / (-np.log(fmin))
+    b = (
+        (np.log(55.0) + (state.start_note - 24.0) * np.log(2.0) / 12.0
+         - np.log(sr / 2.0) - np.log(fmin))
+        * (texels - 1) / (-np.log(fmin))
+    )
+    j = np.float32(a) * m + np.float32(b)
+    tex_idx = np.clip(np.rint(j), 0, texels - 1).astype(np.int32)
+    # Visible quads span source notes [startNote, startNote + int(rangeNote))
+    # and frequencies up to Nyquist (frac <= 1  ⇔  j <= texels − 1 exactly,
+    # frac > 0 always holds for the exponential form).
+    valid = (m >= 0.0) & (m < int(state.range_note)) & (j <= texels - 1)
+    # Flat-index np.take is ~5x the speed of 2-D fancy indexing here;
+    # invalid cells index the guaranteed-black guard row.
+    flat = tiles.reshape(-1, 3)
+    cols = np.arange(k, dtype=np.int32)[None, :]
+    fidx = np.where(valid, cols * np.int32(texels) + tex_idx, np.int32(k * texels))
+    return np.take(flat, fidx, axis=0)  # (laneH, k, 3)
+
+
+def _lane_rgb(state, server, keys, samples, bends, lane_h, texels, W, sr):
+    """Spectrogram lane RGB with an incremental-pan memo: a pure horizontal
+    pan shifts the lane by k integer columns (the per-column texel map and
+    tile contents are unchanged), so roll the previous lane and gather only
+    the k new columns — smooth 60 fps-class panning instead of a full
+    (laneH × W) regather every motion event."""
+    epoch = getattr(server, "epoch", None)
+    sig = (
+        W,
+        lane_h,
+        texels,
+        state.range_time,
+        state.start_note,
+        state.range_note,
+        epoch,
+        tuple((mk.sample, mk.note, mk.d_time, mk.pitch_bend) for mk in state.markers),
+    )
+    memo = getattr(state, "_lane_memo", None)
+    first = int(keys[0])
+    if epoch is not None and memo is not None and memo[0] == sig:
+        _, old_first, old_rgb = memo
+        k = first - old_first
+        if k == 0:
+            return old_rgb
+        if 0 < abs(k) < W:
+            rgb = np.empty_like(old_rgb)
+            if k > 0:  # panned right: new columns on the right edge
+                rgb[:, : W - k] = old_rgb[:, k:]
+                idxs = list(range(W - k, W))
+            else:  # panned left: new columns on the left edge
+                rgb[:, -k:] = old_rgb[:, : W + k]
+                idxs = list(range(0, -k))
+            tiles = _gather_tiles(server, keys, samples, idxs, texels)
+            rgb[:, idxs[0] : idxs[-1] + 1] = _cols_rgb(
+                state, tiles, bends[idxs], lane_h, texels, sr
+            )
+            state._lane_memo = (sig, first, rgb)
+            return rgb
+    tiles = _tile_block(state, server, keys, samples, texels, W)
+    rgb = _cols_rgb(state, tiles, bends, lane_h, texels, sr)
+    if epoch is not None:
+        state._lane_memo = (sig, first, rgb)
+    return rgb
+
+
+def _gather_tiles(server, keys, samples, idxs, texels: int) -> np.ndarray:
+    """Stack tiles for the given column indices (+ trailing black guard)."""
+    tiles = np.zeros((len(idxs) + 1, texels, 3), np.uint8)
+    got = server.get_tiles(
+        [(int(keys[x]), int(samples[x]), int(samples[x + 1])) for x in idxs]
+    )
+    for i, tile in enumerate(got):
+        if tile is not None and tile.shape[0] == texels:
+            tiles[i] = tile
+    return tiles
+
+
+def _tile_block(state, server, keys, samples, texels: int, W: int) -> np.ndarray:
+    """Assemble the (W+1, texels, 3) visible tile block (the final row is a
+    guaranteed-black guard the gather maps invalid cells to), memoized on
+    the (first key, W, server cache epoch) triple so an unchanged viewport
+    between worker drains reuses the previous assembly instead of copying
+    ~8 MB of cached tiles every frame."""
+    epoch = getattr(server, "epoch", None)
+    sig = (int(keys[0]), int(keys[-1]), W, texels, epoch)
+    memo = getattr(state, "_tiles_memo", None)
+    if epoch is not None and memo is not None and memo[0] == sig:
+        return memo[1]
+    get_many = getattr(server, "get_tiles", None)
+    tiles = np.zeros((W + 1, texels, 3), np.uint8)
+    if get_many is not None:
+        got = get_many(
+            [(int(keys[x]), int(samples[x]), int(samples[x + 1])) for x in range(W)]
+        )
+        for x, tile in enumerate(got):
+            if tile is not None and tile.shape[0] == texels:
+                tiles[x] = tile
+    else:  # pragma: no cover - legacy server without the batched lookup
+        for x in range(W):
+            tile = server.get_tile(keys[x], int(samples[x]), int(samples[x + 1]))
+            if tile is not None and tile.shape[0] == texels:
+                tiles[x] = tile
+    if epoch is not None:
+        state._tiles_memo = (sig, tiles)
+    return tiles
+
+
+def _piano_row_add(state, lane_h: int) -> np.ndarray:
+    """Per-row brightness add for the key stripes, alpha 0.096
+    (app.cpp:519-556).  Integer-exact vs the float path: the lane holds
+    integers, so ``uint8(clip(x + 0.096·c))`` == ``min(x + ⌊0.096·c⌋, 255)``
+    for the non-negative adds here."""
     i = np.arange(lane_h)  # texture index, 0 = lane bottom
     tmp = i * state.range_note + lane_h / 2.0
     note = (tmp / lane_h + state.start_note).astype(int)
@@ -159,25 +291,46 @@ def _draw_piano(state, img, spec_top: int, lane_h: int) -> None:
     boundary[1:] = note[1:] != note[:-1]
     c[boundary] = 0.0  # key-boundary rows go black (note != lastNote)
     # Flip: row index 0 is lane *top* in the raster
-    c = c[::-1]
-    lane = img[spec_top : spec_top + lane_h].astype(np.float32)
-    lane += 0.096 * c[:, None, None]
-    img[spec_top : spec_top + lane_h] = np.clip(lane, 0, 255).astype(np.uint8)
+    add = np.floor(np.float32(0.096) * c[::-1]).astype(np.uint16)
+    return add
 
 
-def _draw_beat_grid(state, img, spec_top: int, lane_h: int) -> None:
-    W = state.viewport.width
+def _beat_col_add(state, W: int) -> np.ndarray:
+    """Per-column brightness add for the beat grid (app.cpp:561-574);
+    every 4th beat brighter.  Coinciding beats accumulate in float before
+    the single floor, matching the reference's one-pass clamp."""
     beat = 60.0 / state.tempo
-    b0 = int(state.start_time / beat)
-    b = b0
-    lane = img[spec_top : spec_top + lane_h].astype(np.float32)
+    b = int(state.start_time / beat)
+    addf = np.zeros(W, np.float64)
     while b * beat < state.start_time + state.range_time:
         px = int((b * beat - state.start_time) * W / state.range_time)
         if 0 <= px < W:
             alpha = 0.096 if b % 4 == 0 else 0.04
-            lane[:, px] += alpha * 255.0
+            addf[px] += alpha * 255.0
         b += 1
-    img[spec_top : spec_top + lane_h] = np.clip(lane, 0, 255).astype(np.uint8)
+    return np.floor(addf).astype(np.uint16)
+
+
+def _draw_lane_overlays(state, img, spec_top: int, lane_h: int) -> None:
+    """Piano stripes + beat grid as saturated integer adds (the two
+    sequential float32 add/clip/astype passes were ~30 ms/frame at
+    1280×720).  Exact: both adds are non-negative constants per row/column,
+    so the reference order clip(clip(x+p)+q) == min(min(x+⌊p⌋,255)+⌊q⌋,255).
+    The piano add takes one uint8 LUT gather per distinct stripe value;
+    the beat add touches only the few beat columns."""
+    lane = img[spec_top : spec_top + lane_h]
+    row_add = _piano_row_add(state, lane_h)
+    for val in np.unique(row_add):
+        if val == 0:
+            continue
+        lut = np.minimum(np.arange(256, dtype=np.uint16) + val, 255).astype(np.uint8)
+        sel = row_add == val
+        lane[sel] = np.take(lut, lane[sel])
+    col_add = _beat_col_add(state, state.viewport.width)
+    nz = np.nonzero(col_add)[0]
+    if len(nz):
+        seg = lane[:, nz].astype(np.uint16) + col_add[nz][None, :, None]
+        lane[:, nz] = np.minimum(seg, 255).astype(np.uint8)
 
 
 def _draw_x(img, x: int, y: int, color, size: int = 3) -> None:

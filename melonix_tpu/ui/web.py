@@ -11,7 +11,9 @@ engine as live playback in the reference, app.cpp:254-292).
 
 Routes:
   GET  /              HTML/JS app (menu bar, control center, scene view)
-  GET  /frame.png     current scene raster (advances playback + follow mode)
+  GET  /frame.png     current scene raster (advances playback + follow mode);
+                      ?fmt=jpg serves JPEG (C-speed encode; the app's own
+                      frame loop uses it — PNG stays the default for tools)
   GET  /state         JSON readouts (control-center fields, app.cpp:63-84)
   POST /event         {kind: motion|button, ...} -> EditorState
   POST /key           {key: space|left|right|undo|redo} (main.cpp:125-143)
@@ -48,9 +50,9 @@ import numpy as np
 
 from ..utils.metrics import snapshot as _metrics_snapshot
 from .dialogs import FileOpenDialog, FileSaveAsDialog
-from .png import encode_png
+from .png import encode_frame, encode_png
 from .state import EditorState, Viewport
-from .view import render_scene
+from .view import _draw_scrubber, base_digest, render_base
 
 _PAGE = """<!doctype html>
 <html><head><title>melonix-tpu</title><style>
@@ -215,6 +217,7 @@ const audio = document.getElementById('audio');
 function syncAudio(s) {
   playing = s.playing;
   document.getElementById('play').textContent = playing ? 'Stop' : 'Play';
+  if (playing) refresh();  // kick the self-paced frame loop
   if (playing) {
     // Live stream straight from the player backlog: marker edits flush the
     // planned-ahead audio server-side, so no reload is needed mid-play.
@@ -223,7 +226,7 @@ function syncAudio(s) {
   } else { audio.pause(); audio.removeAttribute('src'); audio.load(); }
 }
 function refresh() {
-  img.src = '/frame.png?w=' + window.innerWidth + '&h=' +
+  img.src = '/frame.png?fmt=jpg&w=' + window.innerWidth + '&h=' +
             Math.max(200, window.innerHeight - 50) + '&t=' + Date.now();
 }
 setInterval(() => {
@@ -250,10 +253,11 @@ setInterval(() => {
       if (document.activeElement !== pb) pb.value = s.marker.pitch_bend.toFixed(2);
     }
     if (s.playing !== playing) syncAudio(s);
-    if (s.playing) refresh();
   });
 }, 500);
-img.onload = () => {};
+// Self-paced frame loop while playing: the next request fires as soon as
+// the previous frame has decoded (server side is memo + scrubber + JPEG).
+img.onload = () => { if (playing) setTimeout(refresh, 15); };
 refresh();
 </script></body></html>
 """
@@ -319,6 +323,8 @@ class EditorServer:
         self._frames = 0
         self._fps = 0.0
         self._fps_t0 = time.monotonic()
+        self._fps_last = self._fps_t0
+        self._base_memo: tuple | None = None  # (base_digest, base raster)
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
@@ -497,19 +503,37 @@ class EditorServer:
             "metrics": _metrics_snapshot(),
         }
 
-    def _frame(self, w: int, h: int) -> bytes:
+    def _frame(self, w: int, h: int, fmt: str = "png") -> tuple[bytes, str]:
         st = self.state
         if (w, h) != (st.viewport.width, st.viewport.height):
             st.viewport = Viewport(w, h)
         self._advance_playback()
         st.tick_follow()
-        img = render_scene(st)
-        self._frames += 1
+        # Damage-based recomposition (the reference redraws free via GL
+        # display lists; here the base scene is the expensive part): the
+        # base raster is memoized on everything but the cursor, so steady
+        # playback is blit + scrubber + encode.
+        sig = base_digest(st)
+        if self._base_memo is not None and self._base_memo[0] == sig:
+            img = self._base_memo[1].copy()
+        else:
+            img = render_base(st)
+            self._base_memo = (sig, img.copy())
+        _draw_scrubber(st, img)
         now = time.monotonic()
+        # Frames are served on demand, not vsync-locked (app.cpp:84): a gap
+        # in the request stream means the client loop is idle, so restart
+        # the window instead of averaging idle time into the rate.
+        if now - self._fps_last > 1.0:
+            self._frames, self._fps_t0 = 0, now
+        self._fps_last = now
+        self._frames += 1
         if now - self._fps_t0 >= 1.0:
             self._fps = self._frames / (now - self._fps_t0)
             self._frames, self._fps_t0 = 0, now
-        return encode_png(img, level=1)
+        if fmt in ("jpg", "jpeg"):
+            return encode_frame(img)  # C-speed JPEG when PIL is present
+        return encode_png(img, level=1), "image/png"
 
     def _dialog(self, mode: str):
         return {"open": self._open_dlg, "save_as": self._save_dlg, "export": self._export_dlg}[mode]
@@ -781,7 +805,9 @@ class EditorServer:
                         elif u.path == "/frame.png":
                             w = int(q.get("w", ["1280"])[0])
                             h = int(q.get("h", ["720"])[0])
-                            self._send(200, server._frame(w, h), "image/png")
+                            fmt = q.get("fmt", ["png"])[0]
+                            body, mime = server._frame(w, h, fmt)
+                            self._send(200, body, mime)
                         elif u.path == "/state":
                             self._json(server._state_json())
                         elif u.path == "/dialog/list":

@@ -468,3 +468,66 @@ def test_undo_redo_random_gesture_fuzz(editor):
     while editor.redo():
         pass
     assert snap() == final  # and rolls forward to the same place
+
+
+def test_incremental_pan_matches_full_render(editor):
+    """A horizontal pan must produce the same lane via the roll+partial
+    gather path (_lane_rgb memo) as a cold full recomposition."""
+    editor.markers = [Marker(2000, 50.0, 0.0, 2.0)]
+    editor.invalidate()
+    render_scene(editor, synchronous_tiles=True)  # warm tiles + memo
+    W = editor.viewport.width
+    # pan right by an integer number of key columns
+    for _ in range(5):
+        editor.start_time += 3 * editor.range_time / W
+        inc = render_scene(editor, synchronous_tiles=True)
+        editor._lane_memo = None  # force the full path
+        full = render_scene(editor, synchronous_tiles=True)
+        assert np.array_equal(inc, full)
+    # and back left
+    for _ in range(5):
+        editor.start_time -= 4 * editor.range_time / W
+        inc = render_scene(editor, synchronous_tiles=True)
+        editor._lane_memo = None
+        full = render_scene(editor, synchronous_tiles=True)
+        assert np.array_equal(inc, full)
+
+
+def test_lane_overlays_match_float_reference(editor):
+    """The LUT/saturated-integer overlay pass must reproduce the float
+    add->clip->truncate semantics of the reference (app.cpp:519-574)."""
+    from melonix_tpu.ui import view as V
+
+    rng = np.random.default_rng(7)
+    H, W = editor.viewport.height, editor.viewport.width
+    lane_h = int(editor.viewport.lane_height)
+    spec_top = MENU_BAR_PX
+    img = rng.integers(0, 256, (H, W, 3)).astype(np.uint8)
+    ref = img.copy()
+
+    # float reference: piano stripes then beat grid, each with its own
+    # clip + truncating cast (the original implementation)
+    i = np.arange(lane_h)
+    tmp = i * editor.range_note + lane_h / 2.0
+    note = (tmp / lane_h + editor.start_note).astype(int)
+    c = np.where(V.BLACK_KEYS[note % 12], 128, 255).astype(np.float32)
+    boundary = np.zeros(lane_h, bool)
+    boundary[1:] = note[1:] != note[:-1]
+    c[boundary] = 0.0
+    c = c[::-1]
+    lane = ref[spec_top : spec_top + lane_h].astype(np.float32)
+    lane += 0.096 * c[:, None, None]
+    ref[spec_top : spec_top + lane_h] = np.clip(lane, 0, 255).astype(np.uint8)
+    beat = 60.0 / editor.tempo
+    b = int(editor.start_time / beat)
+    lane = ref[spec_top : spec_top + lane_h].astype(np.float32)
+    while b * beat < editor.start_time + editor.range_time:
+        px = int((b * beat - editor.start_time) * W / editor.range_time)
+        if 0 <= px < W:
+            alpha = 0.096 if b % 4 == 0 else 0.04
+            lane[:, px] += alpha * 255.0
+        b += 1
+    ref[spec_top : spec_top + lane_h] = np.clip(lane, 0, 255).astype(np.uint8)
+
+    V._draw_lane_overlays(editor, img, spec_top, lane_h)
+    assert np.array_equal(img, ref)

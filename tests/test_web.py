@@ -93,6 +93,13 @@ def test_page_and_frame(server):
     status, body, _ = _get(conn, "/frame.png?w=320&h=200")
     assert status == 200 and body[:8] == b"\x89PNG\r\n\x1a\n"
     assert srv.state.viewport.width == 320
+    # the app's own frame loop asks for JPEG (C-speed encode; falls back
+    # to PNG when PIL is absent)
+    status, body, ctype = _get(conn, "/frame.png?fmt=jpg&w=320&h=200")
+    assert status == 200
+    assert (ctype == "image/jpeg" and body[:2] == b"\xff\xd8") or (
+        ctype == "image/png" and body[:8] == b"\x89PNG\r\n\x1a\n"
+    )
 
 
 def test_marker_edit_and_keys(server):
