@@ -223,13 +223,14 @@ def _lane_rgb(state, server, keys, samples, bends, lane_h, texels, W, sr):
                 rgb[:, -k:] = old_rgb[:, : W + k]
                 idxs = list(range(0, -k))
             tiles = _gather_tiles(server, keys, samples, idxs, texels)
-            rgb[:, idxs[0] : idxs[-1] + 1] = _cols_rgb(
-                state, tiles, bends[idxs], lane_h, texels, sr
-            )
+            block = _cols_rgb(state, tiles, bends[idxs], lane_h, texels, sr)
+            _apply_piano(state, block, lane_h)
+            rgb[:, idxs[0] : idxs[-1] + 1] = block
             state._lane_memo = (sig, first, rgb)
             return rgb
     tiles = _tile_block(state, server, keys, samples, texels, W)
     rgb = _cols_rgb(state, tiles, bends, lane_h, texels, sr)
+    _apply_piano(state, rgb, lane_h)
     if epoch is not None:
         state._lane_memo = (sig, first, rgb)
     return rgb
@@ -311,21 +312,30 @@ def _beat_col_add(state, W: int) -> np.ndarray:
     return np.floor(addf).astype(np.uint16)
 
 
-def _draw_lane_overlays(state, img, spec_top: int, lane_h: int) -> None:
-    """Piano stripes + beat grid as saturated integer adds (the two
-    sequential float32 add/clip/astype passes were ~30 ms/frame at
-    1280×720).  Exact: both adds are non-negative constants per row/column,
-    so the reference order clip(clip(x+p)+q) == min(min(x+⌊p⌋,255)+⌊q⌋,255).
-    The piano add takes one uint8 LUT gather per distinct stripe value;
-    the beat add touches only the few beat columns."""
-    lane = img[spec_top : spec_top + lane_h]
+def _apply_piano(state, block: np.ndarray, lane_h: int) -> None:
+    """Saturated piano-stripe add, in place, on an (laneH, k, 3) uint8 block
+    (one uint8 LUT gather per distinct stripe value).  Exact vs the
+    reference float pass (see _piano_row_add).  The stripes are constant
+    per ROW, so they are invariant under horizontal pan — which is why
+    _lane_rgb bakes them into the memoized lane: a pan frame reapplies them
+    only to the newly exposed columns, not the whole viewport."""
     row_add = _piano_row_add(state, lane_h)
     for val in np.unique(row_add):
         if val == 0:
             continue
         lut = np.minimum(np.arange(256, dtype=np.uint16) + val, 255).astype(np.uint8)
-        sel = row_add == val
-        lane[sel] = np.take(lut, lane[sel])
+        rows = np.nonzero(row_add == val)[0]
+        block[rows] = np.take(lut, block[rows])
+
+
+def _draw_lane_overlays(state, img, spec_top: int, lane_h: int) -> None:
+    """Beat grid as a saturated integer add (the sequential float32
+    add/clip/astype passes were ~30 ms/frame at 1280×720).  Exact: both
+    overlay adds are non-negative constants per row/column, so the
+    reference order clip(clip(x+p)+q) == min(min(x+⌊p⌋,255)+⌊q⌋,255); the
+    piano add p is already baked into the lane by _lane_rgb, and this beat
+    add q touches only the few beat columns."""
+    lane = img[spec_top : spec_top + lane_h]
     col_add = _beat_col_add(state, state.viewport.width)
     nz = np.nonzero(col_add)[0]
     if len(nz):

@@ -529,5 +529,8 @@ def test_lane_overlays_match_float_reference(editor):
         b += 1
     ref[spec_top : spec_top + lane_h] = np.clip(lane, 0, 255).astype(np.uint8)
 
+    # Production order: piano is baked into the lane block by _lane_rgb,
+    # the beat grid is added per frame by _draw_lane_overlays.
+    V._apply_piano(editor, img[spec_top : spec_top + lane_h], lane_h)
     V._draw_lane_overlays(editor, img, spec_top, lane_h)
     assert np.array_equal(img, ref)
