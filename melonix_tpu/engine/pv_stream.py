@@ -123,6 +123,37 @@ def _read_quantum(y_norm, src_rel, base, b0, lo, q: int, blk: int,
     return jax.lax.dynamic_slice(res, (lo,), (out_n,))
 
 
+@partial(jax.jit, static_argnames=("size", "hop", "ch", "formant", "fused",
+                                   "lock", "span", "q", "blk", "out_n",
+                                   "tail"))
+def _advance_read(wav, starts_c, da_c, rho_c, win, m0_local, f_real,
+                  phi0, resid, phi_prev, y, y_norm, wsum_pad, acc_off,
+                  norm_off, src_rel, base, b0, lo, size, hop, ch,
+                  formant, fused, lock, span, q, blk, out_n, tail):
+    """The interactive restart as ONE device program: the last pending
+    chunk's stretch + accumulate + finalize, then the resample read of the
+    requested window.  An edit restart used to be two blocking round trips
+    through the remote-dispatch tunnel (advance, then read+download — ~68
+    ms at a ~34 ms RTT floor, BENCH_r02); fusing them leaves one dispatch
+    whose only download is the consumer's actual audio window (VERDICT r3
+    next #5; reference budget: one ~23 ms audio buffer, app.cpp:243-249).
+
+    ``tail=True`` compiles the final-chunk variant: it also normalizes the
+    one extra span that covers the OLA overhang (size - hop stretched
+    samples past the last frame — at most one span, see _post_chunk), so
+    track-end restarts fuse too."""
+    y, y_norm, resid, phi_prev, phi0 = _advance_fused(
+        wav, starts_c, da_c, rho_c, win, m0_local, f_real, phi0, resid,
+        phi_prev, y, y_norm, wsum_pad, acc_off, norm_off, size, hop, ch,
+        formant, fused, lock, span,
+    )
+    if tail:
+        y_norm = _normalize_span(y, y_norm, wsum_pad, norm_off + span, span)
+    buf_len = y_norm.shape[0]
+    out = _read_quantum(y_norm, src_rel, base, b0, lo, q, blk, buf_len, out_n)
+    return y, y_norm, resid, phi_prev, phi0, out
+
+
 class PvStream:
     """Forward-only PV sample stream from ``start_sec``.
 
@@ -239,43 +270,65 @@ class PvStream:
 
     # -- stretch advance ---------------------------------------------------
 
+    def _pending_chunks(self, s_hi: float) -> list[int]:
+        """Global start frames of the chunks that must be stretched before
+        stretched samples < s_hi are finalized (the _advance_to schedule)."""
+        plan, hop = self.plan, self.plan.hop
+        out, fd = [], self._frames_done
+        while fd < plan.n_frames and fd * hop <= s_hi:
+            out.append(fd)
+            fd = min(fd + self._ch, plan.n_frames)
+        return out
+
+    def _chunk_dispatch_args(self, m0_g: int) -> tuple:
+        """Argument tuple shared by _advance_fused and _advance_read."""
+        plan, hop = self.plan, self.plan.hop
+        starts_c, da_c, rho_c, f_real = pv._chunk_arrays(plan, m0_g, self._ch)
+        return (
+            self._wav_dev, jnp.asarray(starts_c), jnp.asarray(da_c),
+            jnp.asarray(rho_c), self._win,
+            jnp.int32(m0_g - self._m_start), jnp.int32(f_real),
+            self._phi0, self._resid, self._phi_prev,
+            self._y, self._y_norm, self._wsum_pad,
+            jnp.int32(m0_g * hop), jnp.int32(self._fin),
+        )
+
+    def _post_chunk(self, m0_g: int, tail_done: bool = False) -> None:
+        """State bookkeeping after a chunk's dispatch, incl. the tail:
+        finalize the remaining (size - hop) overhang (all frames have
+        landed) with at most one extra span.  ``tail_done`` means the
+        dispatch already normalized that extra span in-program
+        (_advance_read's tail=True variant)."""
+        plan, hop = self.plan, self.plan.hop
+        span = self._ch * hop
+        self._frames_done = min(m0_g + self._ch, plan.n_frames)
+        self._fin += span
+        if self._frames_done >= plan.n_frames:
+            while not tail_done and self._fin < plan.stretch_len:
+                self._y_norm = _normalize_span(
+                    self._y, self._y_norm, self._wsum_pad,
+                    jnp.int32(self._fin), span,
+                )
+                self._fin += span
+            self._fin = plan.stretch_len
+
+    def _advance_one(self, m0_g: int) -> None:
+        """One chunk advance: stretch + accumulate + finalize the span
+        [fin, fin + ch*hop) that this chunk fully covers, as ONE dispatch."""
+        plan, hop = self.plan, self.plan.hop
+        (self._y, self._y_norm, self._resid, self._phi_prev,
+         self._phi0) = _advance_fused(
+            *self._chunk_dispatch_args(m0_g),
+            plan.size, hop, self._ch,
+            self.preserve_formants, self._fused, self.phase_locking,
+            self._ch * hop,
+        )
+        self._post_chunk(m0_g)
+
     def _advance_to(self, s_hi: float) -> None:
         """Stretch frames until stretched samples < s_hi are finalized."""
-        plan, hop = self.plan, self.plan.hop
-        span = self._ch * hop  # static shape; buffer slack absorbs the tail
-        while (
-            self._frames_done < plan.n_frames
-            and self._frames_done * hop <= s_hi
-        ):
-            m0_g = self._frames_done
-            m0_local = m0_g - self._m_start
-            starts_c, da_c, rho_c, f_real = pv._chunk_arrays(plan, m0_g, self._ch)
-            # One fused dispatch: stretch + accumulate + finalize the span
-            # [fin, fin + ch*hop) that this chunk fully covers.
-            (self._y, self._y_norm, self._resid, self._phi_prev,
-             self._phi0) = _advance_fused(
-                self._wav_dev, jnp.asarray(starts_c), jnp.asarray(da_c),
-                jnp.asarray(rho_c), self._win,
-                jnp.int32(m0_local), jnp.int32(f_real),
-                self._phi0, self._resid, self._phi_prev,
-                self._y, self._y_norm, self._wsum_pad,
-                jnp.int32(m0_g * hop), jnp.int32(self._fin),
-                plan.size, hop, self._ch,
-                self.preserve_formants, self._fused, self.phase_locking,
-                span,
-            )
-            self._frames_done = min(m0_g + self._ch, plan.n_frames)
-            self._fin += span
-            if self._frames_done >= plan.n_frames:
-                # Tail: finalize the remaining (size - hop) overhang (all
-                # frames have landed) with at most one extra span.
-                while self._fin < plan.stretch_len:
-                    self._y_norm = _normalize_span(
-                        self._y, self._y_norm, self._wsum_pad,
-                        jnp.int32(self._fin), span,
-                    )
-                    self._fin += span
-                self._fin = plan.stretch_len
+        for m0_g in self._pending_chunks(s_hi):
+            self._advance_one(m0_g)
 
     # -- the pull API ------------------------------------------------------
 
@@ -308,7 +361,6 @@ class PvStream:
             s_hi = float(
                 pv._src_eval64(self._table, np.asarray([(j_hi + 1.0) / sr]), sr)[0][0]
             ) + 2.0
-            self._advance_to(s_hi)
             lo = max(self._j + len(self._buf) - q_start, 0)
             hi = min(q_eff, self.n_out - q_start)
             # Download bucket: smallest power of two covering the window
@@ -316,13 +368,36 @@ class PvStream:
             # backs off so the window never runs past the quantum.
             out_n = min(max(2048, 1 << (hi - lo - 1).bit_length()), q_eff)
             lo_c = min(lo, q_eff - out_n)
-            got = np.asarray(
-                _read_quantum(
-                    self._y_norm, self._src_rel, self._base_dev,
-                    jnp.int32(self._bq), jnp.int32(lo_c), q_eff, self._blk,
-                    self._buf_len, out_n,
+            pending = self._pending_chunks(s_hi)
+            # Fuse the LAST pending chunk with the read: the edit-restart
+            # hot path (one chunk covers any first read) then costs ONE
+            # blocking round trip instead of two.  The track's final chunk
+            # fuses through the tail=True variant, which folds its one
+            # extra overhang-normalization span into the same program.
+            if pending:
+                for m0_g in pending[:-1]:
+                    self._advance_one(m0_g)
+                m0_g = pending[-1]
+                tail = m0_g + self._ch >= plan.n_frames
+                (self._y, self._y_norm, self._resid, self._phi_prev,
+                 self._phi0, got) = _advance_read(
+                    *self._chunk_dispatch_args(m0_g),
+                    self._src_rel, self._base_dev,
+                    jnp.int32(self._bq), jnp.int32(lo_c),
+                    plan.size, plan.hop, self._ch,
+                    self.preserve_formants, self._fused, self.phase_locking,
+                    self._ch * plan.hop, q_eff, self._blk, out_n, tail,
                 )
-            )
+                got = np.asarray(got)
+                self._post_chunk(m0_g, tail_done=tail)
+            else:
+                got = np.asarray(
+                    _read_quantum(
+                        self._y_norm, self._src_rel, self._base_dev,
+                        jnp.int32(self._bq), jnp.int32(lo_c), q_eff, self._blk,
+                        self._buf_len, out_n,
+                    )
+                )
             self._buf = np.concatenate([self._buf, got[lo - lo_c : lo - lo_c + (hi - lo)]])
             self._bq += k * READ_BLOCKS
         take = min(n, len(self._buf))

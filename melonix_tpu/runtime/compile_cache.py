@@ -173,13 +173,25 @@ def warmup_session(
 
             render_track_pv(zeros, knots)
             # The LIVE stream path jits its own entry points
-            # (pv_stream._advance_fused/_read_quantum/_wsum_stream); its
-            # shapes are bucketed, so one warm stream + one read covers
-            # every later edit restart of this session.
+            # (pv_stream._advance_read/_advance_fused/_read_quantum/
+            # _wsum_stream).  Shapes are bucketed, but an EDIT restart
+            # differs from the t=0 stream in two STATIC dimensions: the
+            # download bucket out_n (2048 for a steady read, 4096 for the
+            # player's first-deficit window) and _advance_read's tail flag
+            # (True once the restart chunk is the track's last).  Warm all
+            # four combinations — an unwarmed one turns the first marker
+            # drag into a ~2 s remote compile (BENCH r4 pre-fix:
+            # edit_to_audio_pv_ms 1996.6 vs ~68 warm).
             from ..engine.pv_stream import PvStream
 
             stream = PvStream(zeros, knots)
             stream.read(2048)
+            dur = len(zeros) / rate
+            for t0, n_read in ((0.25 * dur, 2048), (0.25 * dur, 4096),
+                               (max(0.0, dur - 0.2), 2048),
+                               (max(0.0, dur - 0.2), 4096)):
+                s = PvStream(zeros, knots, start_sec=t0)
+                s.read(n_read)
         if columns:
             from ..engine.spectral import spectrogram_columns
 
