@@ -314,18 +314,19 @@ def _interactive_latency_ms(x: np.ndarray, sr: int) -> dict:
         span = int(0.02 * sr)
 
         def burst(key0: int) -> float:
+            # One get_tiles per poll cycle — the UI frame path's actual
+            # request shape (ui/view.py assemble: prefetch + get_tiles under
+            # ONE lock acquisition).  Enqueuing key-by-key let the 2 ms
+            # worker wake mid-burst and split the batch into two sequential
+            # device drains (~2x the warm latency).
             keys = [(key0 + i, (i + 1) * len(x) // 128 - span, (i + 1) * len(x) // 128)
                     for i in range(100)]
             t0 = time.perf_counter()
-            pending = {k: (s, e) for k, s, e in keys}
-            for k, (s, e) in pending.items():
-                srv.get_tile(k, s, e)
+            pending = dict.fromkeys(k for k, _, _ in keys)
             deadline = t0 + 600.0
             while pending and time.perf_counter() < deadline:
-                done = [k for k, (s, e) in pending.items()
-                        if srv.get_tile(k, s, e) is not None]
-                for k in done:
-                    del pending[k]
+                got = srv.get_tiles(keys)
+                pending = {k for (k, _, _), g in zip(keys, got) if g is None}
                 if pending:
                     time.sleep(0.001)
             if pending:

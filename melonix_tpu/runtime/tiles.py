@@ -210,6 +210,12 @@ class TileServer:
             self._rgb = _rgb_device
         self._cache = LruCache(config.max_ranges)
         self._pending: dict = {}
+        # Keys whose batch is currently computing on device.  Re-polls of a
+        # black tile land here instead of _pending: without this, every
+        # poll during a ~50 ms drain re-enqueued the whole burst and the
+        # worker paid a SECOND full device round trip recomputing tiles the
+        # first drain had already delivered.
+        self._inflight: set = set()
         # Monotonic content version: bumped whenever cached tile CONTENT can
         # change (a drain landed, brightness rebuilt, cache cleared).  Lets
         # the scene renderer memoize its assembled tile block between drains.
@@ -232,7 +238,8 @@ class TileServer:
             hit = self._cache.get(key)
             if hit is not None:
                 return hit
-            self._pending[key] = (int(start_sample), int(end_sample))
+            if key not in self._inflight:
+                self._pending[key] = (int(start_sample), int(end_sample))
         if self._synchronous:
             self._drain_once()
             with self._lock:
@@ -248,7 +255,8 @@ class TileServer:
             for key, s, e in requests:
                 hit = self._cache.get(key)
                 if hit is None:
-                    self._pending[key] = (int(s), int(e))
+                    if key not in self._inflight:
+                        self._pending[key] = (int(s), int(e))
                     miss = True
                 out.append(hit)
         if self._synchronous and miss:
@@ -262,7 +270,10 @@ class TileServer:
         whole viewport in ONE batched device call (one frame = one dispatch,
         not one per column)."""
         with self._lock:
-            missing = [r for r in requests if r[0] not in self._cache]
+            missing = [
+                r for r in requests
+                if r[0] not in self._cache and r[0] not in self._inflight
+            ]
             for key, s, e in missing:
                 self._pending[key] = (int(s), int(e))
         if self._synchronous and missing:
@@ -307,6 +318,7 @@ class TileServer:
                 return False
             batch = list(self._pending.items())
             self._pending.clear()
+            self._inflight = {b[0] for b in batch}
             k = self._k
             self._busy_since = time.monotonic()
         try:
@@ -314,6 +326,7 @@ class TileServer:
         finally:
             with self._lock:
                 self._busy_since = None
+                self._inflight = set()
 
     def _drain_batch(self, batch, k) -> bool:
         keys = [b[0] for b in batch]
@@ -340,8 +353,9 @@ class TileServer:
         registry("tiles.computed").inc(n_req)
         registry("tiles.rate", RateMeter).tick(n_req)
         with self._lock:
-            for i, key in enumerate(keys):
-                self._cache.put(key, rgb[i])
+            if self._k == k:  # a mid-flight brightness change invalidates
+                for i, key in enumerate(keys):
+                    self._cache.put(key, rgb[i])
             self.epoch += 1
         return True
 

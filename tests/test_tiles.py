@@ -230,3 +230,94 @@ def test_busy_signal_during_stalled_batch():
     finally:
         release.set()
         srv.close()
+
+
+def test_repoll_during_drain_does_not_recompute():
+    """Polling a black tile while its batch is on device must NOT re-enqueue
+    it: without in-flight tracking every poll during a ~50 ms drain queued
+    the whole burst again and the worker paid a second full device round
+    trip recomputing tiles the first drain had already delivered."""
+    import threading
+    import time as _time
+
+    import numpy as np
+
+    from melonix_tpu.config import Config
+    from melonix_tpu.runtime.tiles import TileServer
+
+    release = threading.Event()
+    computed: list = []
+
+    def slow_compute(starts, ends):
+        computed.append(len(starts))
+        release.wait(10.0)
+        return np.zeros((len(starts), 64), np.float32)
+
+    x = np.zeros(4096, np.float32)
+    srv = TileServer(x, k=1.0, config=Config(max_ranges=64),
+                     compute=slow_compute, poll_interval=0.002)
+    try:
+        reqs = [(i, i * 16, i * 16 + 256) for i in range(8)]
+        assert all(t is None for t in srv.get_tiles(reqs))
+        t0 = _time.monotonic()
+        while not computed:  # worker picked the batch up
+            assert _time.monotonic() - t0 < 5.0, "worker never started"
+            _time.sleep(0.002)
+        # Re-poll hard while the batch is in flight (the UI frame loop).
+        for _ in range(50):
+            srv.get_tiles(reqs)
+            srv.prefetch(reqs)
+            srv.get_tile(*reqs[0])
+        release.set()
+        t0 = _time.monotonic()
+        while any(t is None for t in srv.get_tiles(reqs)):
+            assert _time.monotonic() - t0 < 5.0, "tiles never arrived"
+            _time.sleep(0.002)
+        _time.sleep(0.05)  # give a (wrong) second drain time to start
+        assert len(computed) == 1, f"expected ONE drain, got {computed}"
+    finally:
+        release.set()
+        srv.close()
+
+
+def test_brightness_change_mid_drain_discards_stale_tiles():
+    """A set_brightness_k while a batch is on device must not land stale-k
+    tiles in the cache (they would pin the old brightness forever — polls
+    hit the cache and never recompute)."""
+    import threading
+    import time as _time
+
+    import numpy as np
+
+    from melonix_tpu.config import Config
+    from melonix_tpu.runtime.tiles import TileServer
+
+    release = threading.Event()
+    started = threading.Event()
+
+    def slow_compute(starts, ends):
+        started.set()
+        release.wait(10.0)
+        return np.full((len(starts), 64), 100.0, np.float32)
+
+    x = np.zeros(4096, np.float32)
+    srv = TileServer(x, k=1.0, config=Config(max_ranges=8),
+                     compute=slow_compute, poll_interval=0.002)
+    try:
+        assert srv.get_tile(0, 0, 256) is None
+        assert started.wait(5.0), "worker never started"
+        srv.set_brightness_k(2.0)  # mid-flight brightness change
+        release.set()
+        # The stale-k result must be discarded; the re-enqueued compute at
+        # k=2.0 serves the tile with the NEW brightness.
+        t0 = _time.monotonic()
+        tile = None
+        while tile is None:
+            assert _time.monotonic() - t0 < 5.0, "tile never arrived"
+            tile = srv.get_tile(0, 0, 256)
+            _time.sleep(0.002)
+        from melonix_tpu.ui.colormap import colormap_lut
+        assert (tile == colormap_lut()[200]).all()  # 100 * k=2.0 -> 200
+    finally:
+        release.set()
+        srv.close()
