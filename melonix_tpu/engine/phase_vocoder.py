@@ -340,7 +340,8 @@ def _stretch_chunk_core(
             # intermediate of any kind exists in HBM.
             y_flat, resid_last, phi_last, phi0_eff = pallas_pv.synth_ola_phase(
                 re_s, im_s, da_c, window, m0, f_real, phi0, resid_in,
-                phi_prev, size, hop, cart=True, interpret=interpret,
+                phi_prev, size, hop, cart=True, lock=lock,
+                interpret=interpret,
             )
             return y_flat[:out_len_c], resid_last, phi_last, phi0_eff
         # Formant path: the cepstral envelope warp needs mag in XLA first.
@@ -356,7 +357,7 @@ def _stretch_chunk_core(
         # measure-zero princarg boundary ties aside.
         y_flat, resid_last, phi_last, phi0_eff = pallas_pv.synth_ola_phase(
             mag, phi, da_c, window, m0, f_real, phi0, resid_in, phi_prev,
-            size, hop, interpret=interpret,
+            size, hop, lock=lock, interpret=interpret,
         )
         return y_flat[:out_len_c], resid_last, phi_last, phi0_eff
 
@@ -757,11 +758,10 @@ def _render_with_plan(
     # Stretch in chunks with exact phase carry; OLA contributions add
     # linearly; normalize once globally.  Short tracks take one chunk.
     ch = min(PV_CHUNK_FRAMES, n_frames)
-    # The fused kernels carry the spectrum in the four-step's scrambled
-    # bin order, where the peak-region neighbor scans of identity_lock
-    # would need 16-lane transposed tiles (the known Mosaic cliff);
-    # locked renders take the natural-order XLA path.
-    fused = _pv_fused_ok(size, hop, ch) and not phase_locking
+    # Locked renders fuse too: identity locking runs in-kernel in the
+    # scrambled bin order (kernels/pallas_pv._lock_psis — natural-order
+    # neighbor scans as patched sublane rolls, no transposed tiles).
+    fused = _pv_fused_ok(size, hop, ch)
     # Fused on a non-TPU backend only happens under test mocks of
     # _pv_fused_ok: route the kernels through interpret mode there.
     interp = fused and jax.default_backend() != "tpu"

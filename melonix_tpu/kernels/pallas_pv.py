@@ -592,13 +592,105 @@ def _atan2(y, x):
     return jnp.where(y < 0.0, -r, r)
 
 
+def _lock_psis(mag3, phi3, psi3, kx):
+    """Laroche–Dolson identity phase locking in SCRAMBLED bin order.
+
+    Engine counterpart: :func:`engine.phase_vocoder.identity_lock` (same
+    peak rule, same nearest-peak region split, same tie toward the lower
+    peak) — on the full 2048-bin spectrum instead of the natural half
+    (peak sets and regions are Hermitian-mirror symmetric, so pairs stay
+    mirrors; ties and the handful of bins whose nearest peak sits across
+    Nyquist resolve against the mirror image, which the final Re()
+    projection of the inverse absorbs).
+
+    Natural bin k = r + 16*c of the (G, N2, N1) block view [g, r, c]
+    (flat column j holds bin (j // N1) + N2 * (j % N1)), so natural-
+    consecutive bins run DOWN the 16-row sublane axis with a carry into
+    the next lane.  Every natural-order neighbor/scan op is therefore a
+    flat (G*N2, N1) sublane roll whose segment-head rows are patched
+    from a lane-rolled twin — no transpose, no gather, no einsum (an
+    (F, K) gather at 7.5 ns/element would cost more than the stretch).
+    The nearest-peak fill is a standard 11-step log fill (Hillis-Steele)
+    over the 2048-bin natural sequence, executed entirely in the
+    scrambled layout: steps 1/2/4/8 as patched sublane rolls, steps
+    16..1024 as pure lane rolls.  Peak positions ride as exact small
+    floats (|k| < 2^11, NONE = -2^30 — both exact in f32), so the whole
+    transform is rolls + selects: bit-deterministic, MXU-free.
+    """
+    f32 = jnp.float32
+    size = N1 * N2
+    gf = G * N2
+    r3 = jax.lax.broadcasted_iota(jnp.int32, (G, N2, N1), 1)
+    kxf = kx.astype(f32)[None]  # (1, N2, N1) natural bin index
+    none = f32(-(1 << 30))
+    big = f32(1 << 30)
+
+    def shift_dn(x3, d, fill):
+        # value of natural bin k-d at bin k (1 <= d <= 15)
+        xf = x3.reshape(gf, N1)
+        a = pltpu.roll(xf, d, 0).reshape(G, N2, N1)
+        b = pltpu.roll(pltpu.roll(xf, 1, 1), d - N2 + gf, 0)
+        out = jnp.where(r3 >= d, a, b.reshape(G, N2, N1))
+        return jnp.where(kxf >= d, out, fill)
+
+    def shift_up(x3, d, fill):
+        # value of natural bin k+d at bin k (1 <= d <= 15)
+        xf = x3.reshape(gf, N1)
+        a = pltpu.roll(xf, gf - d, 0).reshape(G, N2, N1)
+        b = pltpu.roll(pltpu.roll(xf, N1 - 1, 1), N2 - d, 0)
+        out = jnp.where(r3 < N2 - d, a, b.reshape(G, N2, N1))
+        return jnp.where(kxf <= size - 1 - d, out, fill)
+
+    def lane_dn(x3, m, fill):
+        # value of natural bin k-16m at bin k (pure lane roll)
+        out = pltpu.roll(x3.reshape(gf, N1), m, 1).reshape(G, N2, N1)
+        return jnp.where(kxf >= N2 * m, out, fill)
+
+    def lane_up(x3, m, fill):
+        out = pltpu.roll(x3.reshape(gf, N1), N1 - m, 1).reshape(G, N2, N1)
+        return jnp.where(kxf <= size - 1 - N2 * m, out, fill)
+
+    # Peak rule of identity_lock: strict below, ties-to-lower above.
+    neg = f32(-1.0)
+    peak = (
+        (mag3 > 0.0)
+        & (mag3 > shift_dn(mag3, 1, neg))
+        & (mag3 >= shift_up(mag3, 1, neg))
+        & (mag3 > shift_dn(mag3, 2, neg))
+        & (mag3 >= shift_up(mag3, 2, neg))
+    )
+    theta = psi3 - phi3
+    kx3 = jnp.broadcast_to(kxf, mag3.shape)
+
+    def fill_scan(dn, lane):
+        v = jnp.where(peak, theta, 0.0)
+        p = jnp.where(peak, kx3, none)
+        for d in (1, 2, 4, 8):
+            cv, cp = dn(v, d, 0.0), dn(p, d, none)
+            keep = p > none
+            v, p = jnp.where(keep, v, cv), jnp.where(keep, p, cp)
+        for m in (1, 2, 4, 8, 16, 32, 64):
+            cv, cp = lane(v, m, 0.0), lane(p, m, none)
+            keep = p > none
+            v, p = jnp.where(keep, v, cv), jnp.where(keep, p, cp)
+        return v, p
+
+    v_f, p_f = fill_scan(shift_dn, lane_dn)
+    v_b, p_b = fill_scan(shift_up, lane_up)
+    d_f = jnp.where(p_f > none, kx3 - p_f, big)
+    d_b = jnp.where(p_b > none, p_b - kx3, big)
+    th = jnp.where(d_f <= d_b, v_f, v_b)
+    has = jnp.minimum(d_f, d_b) < big
+    return phi3 + jnp.where(has, th, theta)
+
+
 def _syn_ola_phase_kernel(
     scal, a_ref, b_ref, da_ref, win_ref, om_ref, kx_ref,
     phi0_ref, res_ref, pprev_ref, tri_ref,
     c1h, c1l, s1h, s1l, cth, sth, c2h, c2l, s2h, s2l,
     out_ref, rout_ref, plast_ref, p0out_ref,
     acc, cphi, ccum, p0eff, *, hop_rows, carry_rows, size, hop, cart,
-    exact,
+    exact, lock,
 ):
     i = pl.program_id(0)
     nb = pl.num_programs(0)
@@ -701,6 +793,13 @@ def _syn_ola_phase_kernel(
         ramp = jnp.float32(2.0 * np.pi / size) * prod.astype(jnp.float32)
         psis = p0eff[...][None] + ramp + resid3
 
+        if lock:
+            # Identity phase locking (engine/phase_vocoder.identity_lock's
+            # in-kernel twin): a pure per-frame transform of
+            # (mag, phi, psi) — carried state (resid, phi_last) is
+            # untouched, so chunking stays consistent with one-shot.
+            psis = _lock_psis(mag_blk, phi_blk, psis, kx_ref[...])
+
         # Padded frames contribute silence (their OLA tails would reach
         # back into the real span).
         mag_live = jnp.where(glob < f_real, mag_blk, 0.0)
@@ -724,7 +823,8 @@ def _syn_ola_phase_kernel(
     out_ref[...] = acc[0:out_rows][None]
 
 
-@partial(jax.jit, static_argnames=("size", "hop", "cart", "interpret"))
+@partial(jax.jit, static_argnames=("size", "hop", "cart", "lock",
+                                   "interpret"))
 def synth_ola_phase(
     a: jnp.ndarray,
     b: jnp.ndarray,
@@ -738,6 +838,7 @@ def synth_ola_phase(
     size: int,
     hop: int,
     cart: bool = False,
+    lock: bool = False,
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """OLA synthesis straight from the scrambled analysis spectrum.
@@ -799,7 +900,7 @@ def synth_ola_phase(
     out, resid_last, phi_last, phi0_eff = pl.pallas_call(
         partial(_syn_ola_phase_kernel, hop_rows=hop_rows,
                 carry_rows=carry_rows, size=size, hop=hop, cart=cart,
-                exact=interpret),
+                exact=interpret, lock=lock),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nb,),

@@ -859,3 +859,135 @@ def test_pv_synth_ola_phase_cartesian_mode():
     assert np.abs(p0_c - np.arctan2(im, re)[0]).max() < 1e-5
     rms = float(np.sqrt(np.mean((y_c - y_m) ** 2)))
     assert rms < 5e-3 * float(np.abs(y_m).max()), rms
+
+
+def test_pv_fused_locked_matches_natural_locked(rng):
+    """Identity phase locking through the FUSED scrambled-order kernel
+    (in-kernel _lock_psis, interpret) vs the natural XLA locked core —
+    same fixture and tolerances as the unlocked fused-vs-natural test
+    (phase chaos bounds the comparison; the envelope is the invariant)."""
+    from melonix_tpu.engine.maps import MapKnots
+    from melonix_tpu.engine.phase_vocoder import (
+        _chunk_arrays,
+        _stretch_chunk_core,
+        build_pv_plan,
+    )
+    from melonix_tpu.engine.spectral import hann_window
+    from melonix_tpu.kernels import pallas_pv
+    from melonix_tpu.markers import Marker
+
+    sr = 8000
+    n = 3 * sr
+    t = np.arange(n) / sr
+    w = (0.5 * np.sin(2 * np.pi * 220 * t)
+         + 0.2 * np.sin(2 * np.pi * 445 * t)).astype(np.float32)
+    knots = MapKnots.from_markers([Marker(n // 2, 57.0, 0.03, 3.0)], sr, n)
+    plan = build_pv_plan(knots, n)
+    assert pallas_pv.supported(plan.size, plan.n_frames)
+    win = jnp.asarray(hann_window(plan.size))
+    starts, da, rho, fr = _chunk_arrays(plan, 0, plan.n_frames)
+    zs = jnp.zeros(plan.size // 2 + 1, jnp.float32)
+    zf = jnp.zeros(plan.size, jnp.float32)
+    kw = dict(size=plan.size, hop=plan.hop, n_frames_c=plan.n_frames)
+    args = (jnp.asarray(w), jnp.asarray(starts), jnp.asarray(da),
+            jnp.asarray(rho), win, jnp.int32(0), jnp.int32(fr))
+    base = np.asarray(
+        _stretch_chunk_core(*args, zs, zs, zs, **kw, lock=True)[0]
+    )
+    fused = np.asarray(
+        _stretch_chunk_core(*args, zf, zf, zf, **kw, fused=True, lock=True,
+                            interpret=True)[0]
+    )
+    scale = float(np.abs(base).max())
+    rms = float(np.sqrt(np.mean((fused - base) ** 2)))
+    assert rms < 5e-3 * scale, rms
+    size = plan.size
+    nseg = base.shape[0] // size
+    f_b = np.abs(np.fft.rfft(base[: nseg * size].reshape(nseg, size), axis=1))
+    f_f = np.abs(np.fft.rfft(fused[: nseg * size].reshape(nseg, size), axis=1))
+    env_err = np.abs(f_f - f_b).max() / f_b.max()
+    assert env_err < 2e-2, env_err
+    # Locking must actually change the result (the lock flag is live).
+    un = np.asarray(
+        _stretch_chunk_core(*args, zf, zf, zf, **kw, fused=True,
+                            interpret=True)[0]
+    )
+    assert float(np.sqrt(np.mean((fused - un) ** 2))) > 1e-5 * scale
+
+
+def test_pv_synth_ola_phase_lock_transform():
+    """The in-kernel scrambled-order lock (_lock_psis via synth_ola_phase,
+    interpret) against engine.identity_lock applied to the UNSCRAMBLED
+    full-spectrum psis of the same XLA twin pipeline as
+    test_pv_synth_ola_phase_matches_xla_pipeline.  Same peak rule, same
+    tie-to-lower-peak region split, same edge fills — the only
+    differences are the twin's cumsum path (rms-bounded) and princarg
+    boundary flips (excluded)."""
+    from melonix_tpu.engine import phase_vocoder as pv
+    from melonix_tpu.kernels import pallas_pv
+
+    size, hop = 2048, 512
+    F = 128
+    rng = np.random.default_rng(7)
+    # Peaky spectra: random comb lines + noise floor, Hermitian-mirrored
+    # into the scrambled full-spectrum layout.
+    sb = pallas_pv.scrambled_bins(size)
+    mag_h = (0.01 * np.abs(rng.normal(size=(F, size // 2 + 1)))).astype(
+        np.float32
+    )
+    for k in rng.integers(5, size // 2 - 5, 24):
+        mag_h[:, k] += rng.uniform(0.5, 2.0)
+        mag_h[:, k - 1] += 0.4
+        mag_h[:, k + 1] += 0.4
+    phi_h = rng.uniform(-np.pi, np.pi, (F, size // 2 + 1)).astype(np.float32)
+    mag_n = np.concatenate([mag_h, mag_h[:, -2:0:-1]], axis=1)
+    phi_n = np.concatenate([phi_h, -phi_h[:, -2:0:-1]], axis=1)
+    mag, phi = mag_n[:, sb], phi_n[:, sb]  # natural -> scrambled
+    da = (hop * rng.uniform(0.8, 1.25, F)).astype(np.float32)
+    win = np.hanning(size).astype(np.float32)
+    zf = np.zeros(size, np.float32)
+
+    # XLA twin psis (same blocked-cumsum structure as the kernel).
+    omega = jnp.asarray(pallas_pv.scrambled_omega(size))
+    da_c = jnp.maximum(jnp.asarray(da), 1e-3)[:, None]
+    phij = jnp.asarray(phi)
+    prev = jnp.concatenate([jnp.asarray(zf)[None], phij[:-1]], 0)
+    dphi = pv._princarg(phij - prev - omega[None] * da_c)
+    incr = hop * dphi / da_c
+    incr = incr.at[0].set(0.0)
+    Gk = pallas_pv.G
+    xb = incr.reshape(F // Gk, Gk, size)
+    tri = jnp.asarray(np.tril(np.ones((Gk, Gk), np.float32)))
+    within = jnp.einsum("ij,bjk->bik", tri, xb,
+                        preferred_element_type=jnp.float32)
+    tots = within[:, -1]
+    offs = jnp.cumsum(tots, axis=0) - tots
+    cum = (within + offs[:, None]).reshape(F, size)
+    k_idx = jnp.asarray(sb)
+    m_g = jnp.arange(F, dtype=jnp.int32)
+    hm = jnp.mod(m_g * hop, size)
+    ramp = (2 * jnp.pi / size) * jnp.mod(
+        hm[:, None] * k_idx[None], size
+    ).astype(jnp.float32)
+    psis = (phij[0][None] + ramp + cum).astype(jnp.float32)
+
+    # Lock in NATURAL order on the full spectrum, then rescramble.
+    inv = np.empty(size, np.int64)
+    inv[sb] = np.arange(size)
+    psis_nat = np.asarray(psis)[:, inv]
+    locked_nat = np.asarray(pv.identity_lock(
+        jnp.asarray(psis_nat), jnp.asarray(phi_n), jnp.asarray(mag_n)
+    ))
+    locked_scr = jnp.asarray(locked_nat[:, sb])
+    y_t = np.asarray(pallas_pv.synth_ola(
+        jnp.asarray(mag), locked_scr, jnp.asarray(win), size, hop,
+        interpret=True,
+    ))
+
+    y_k = np.asarray(pallas_pv.synth_ola_phase(
+        jnp.asarray(mag), phij, jnp.asarray(da), jnp.asarray(win),
+        0, F, jnp.asarray(zf), jnp.asarray(zf), jnp.asarray(zf),
+        size, hop, lock=True, interpret=True,
+    )[0])
+    rms = float(np.sqrt(np.mean((y_k - y_t) ** 2)))
+    assert rms < 2e-2 * float(np.abs(y_t).max()), rms
