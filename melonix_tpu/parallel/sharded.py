@@ -627,8 +627,11 @@ def seq_parallel_pv(
     cumsum + all_gather carry, exact int-mod ramp — running in XLA in the
     four-step's SCRAMBLED bin order (every op is elementwise over bins,
     so only the omega/bin-index constants change; Hermitian pairs stay
-    exact mirrors).  ``lock`` applies identity phase locking (natural
-    order only — mutually exclusive with ``fused``).
+    exact mirrors).  ``lock`` applies identity phase locking; under
+    ``fused`` the scrambled spectrum unscrambles through a free XLA
+    transpose (flat column r*N1+c holds bin r+N2*c, so natural order is
+    exactly the (N2, N1) -> (N1, N2) swap), locks on the full spectrum,
+    and transposes back.
     """
     from ..engine.phase_vocoder import (
         _formant_gain,
@@ -646,7 +649,6 @@ def seq_parallel_pv(
     f_loc = n_frames // n_seq
     assert f_loc * hop >= size - hop, "shard span shorter than the OLA spill"
     if fused:
-        assert not lock, "identity locking needs natural bin order"
         assert pallas_pv.supported(size, f_loc), (size, f_loc)
         assert hop % 128 == 0 and size % hop == 0 and hop < size, (size, hop)
     n_bins = size if fused else size // 2 + 1
@@ -715,7 +717,16 @@ def seq_parallel_pv(
 
         if lock:
             # Per-frame transform: shard-local by construction.
-            psis = identity_lock(psis, phi, mag)
+            if fused:
+                n2, n1 = pallas_pv.N2, pallas_pv.N1
+                unscr = lambda a: a.reshape(-1, n2, n1).swapaxes(1, 2) \
+                    .reshape(-1, size)
+                rescr = lambda a: a.reshape(-1, n1, n2).swapaxes(1, 2) \
+                    .reshape(-1, size)
+                psis = rescr(identity_lock(
+                    unscr(psis), unscr(phi), unscr(mag)))
+            else:
+                psis = identity_lock(psis, phi, mag)
 
         live = (m_global < f_real)[:, None]
         mag_live = jnp.where(live, mag, 0.0)

@@ -588,3 +588,66 @@ def test_data_parallel_pv_locked(chirp, mesh):
         np.sqrt(np.mean(want**2)) + 1e-12
     )
     assert err < 2e-3, err
+
+
+def _locked_close(got, want, size):
+    """Cross-implementation LOCKED comparison: peak-pick decisions flip on
+    ~1-ulp magnitude differences (bf16x3 kernel DFT vs XLA rfft) and each
+    flip re-phases a whole locked region, so waveform rms is looser than
+    the unlocked fused tests; the spectral envelope is the invariant
+    (CLAUDE.md PV convention)."""
+    n = min(len(got), len(want))
+    got, want = got[:n], want[:n]
+    err = np.sqrt(np.mean((got - want) ** 2)) / (
+        np.sqrt(np.mean(want**2)) + 1e-12
+    )
+    assert err < 2e-2, err
+    nseg = n // size
+    f_w = np.abs(np.fft.rfft(want[: nseg * size].reshape(nseg, size), axis=1))
+    f_g = np.abs(np.fft.rfft(got[: nseg * size].reshape(nseg, size), axis=1))
+    env = np.abs(f_g - f_w).max() / f_w.max()
+    assert env < 2e-2, env
+
+
+def test_data_parallel_pv_fused_locked(chirp, mesh):
+    """Identity locking INSIDE the fused kernels under the data-sharded
+    batch program (pallas_pv._lock_psis, interpret) vs the single-chip
+    natural-order locked render."""
+    from melonix_tpu.engine.phase_vocoder import render_track_pv
+    from melonix_tpu.parallel import data_parallel_pv, pv_batch_args
+
+    (w1, k1, p1), _ = _pv_setup(chirp)
+    d = mesh.shape["data"]
+    tracks = [(w1, k1, p1)] * d
+    kw, ops = pv_batch_args([p for _, _, p in tracks])
+    pv = data_parallel_pv(mesh, **kw, fused=True, lock=True, interpret=True)
+    win = jnp.asarray(S.hann_window(kw["size"]))
+    wav_b = np.stack([w for w, _, _ in tracks])
+    out = pv(jnp.asarray(wav_b), *[jnp.asarray(o) for o in ops[:4]], win,
+             *[jnp.asarray(o) for o in ops[4:]])
+    want = render_track_pv(w1, k1, phase_locking=True)
+    got = np.asarray(out[0, : p1.n_out])
+    _locked_close(got, want, p1.size)
+
+
+def test_seq_parallel_pv_fused_locked(chirp, mesh):
+    """Fused seq-sharded PV with locking: the scrambled spectrum
+    unscrambles through the free (N2, N1) -> (N1, N2) transpose, locks on
+    the full spectrum, transposes back — vs the single-chip locked
+    render."""
+    from melonix_tpu.engine.phase_vocoder import render_track_pv
+    from melonix_tpu.kernels import pallas_pv
+    from melonix_tpu.parallel import seq_parallel_pv, seq_pv_args
+
+    (w, k, p), _ = _pv_setup(chirp)
+    want = render_track_pv(w, k, phase_locking=True)
+    kw, ops = seq_pv_args(p, mesh.shape["seq"],
+                          frame_quantum=pallas_pv.G)
+    f = seq_parallel_pv(mesh, **kw, fused=True, lock=True, interpret=True)
+    win = jnp.asarray(S.hann_window(kw["size"]))
+    out = f(
+        jnp.asarray(w), *[jnp.asarray(o) for o in ops[:4]],
+        win, *[jnp.asarray(o) for o in ops[4:]],
+    )
+    got = np.asarray(out)[: p.n_out]
+    _locked_close(got, want, p.size)
