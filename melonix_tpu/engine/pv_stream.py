@@ -222,9 +222,9 @@ class PvStream:
         # masked by f_real); the stretch buffer rounds up to whole chunks;
         # the resample shapes round up to OUT_BUCKET samples.
         self._ch = int(chunk_frames)
-        # Identity locking needs natural bin order (engine note in
-        # _render_with_plan); locked streams take the XLA path.
-        self._fused = pv._pv_fused_ok(size_, hop_, self._ch) and not self.phase_locking
+        # Locked streams fuse too: identity locking runs in-kernel in
+        # scrambled order (kernels/pallas_pv._lock_psis).
+        self._fused = pv._pv_fused_ok(size_, hop_, self._ch)
         n_state = size_ if self._fused else size_ // 2 + 1
         self._win = jnp.asarray(hann_window(size_))
         # Headroom: size from the TRACK (2x stretch covers bends to +12
