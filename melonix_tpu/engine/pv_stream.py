@@ -378,7 +378,13 @@ class PvStream:
                 for m0_g in pending[:-1]:
                     self._advance_one(m0_g)
                 m0_g = pending[-1]
-                tail = m0_g + self._ch >= plan.n_frames
+                # Fused tail only when ONE extra span covers the whole OLA
+                # overhang (size - hop past the last frame); tiny chunks
+                # (ch*hop < size - hop) fall back to _post_chunk's
+                # multi-span loop — the fused variant would mark samples
+                # finalized without normalizing them (ADVICE r4).
+                tail = (m0_g + self._ch >= plan.n_frames
+                        and self._ch * plan.hop >= plan.size - plan.hop)
                 (self._y, self._y_norm, self._resid, self._phi_prev,
                  self._phi0, got) = _advance_read(
                     *self._chunk_dispatch_args(m0_g),

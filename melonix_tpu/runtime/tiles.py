@@ -220,6 +220,12 @@ class TileServer:
         # change (a drain landed, brightness rebuilt, cache cleared).  Lets
         # the scene renderer memoize its assembled tile block between drains.
         self.epoch = 0
+        # Staleness generation: bumped by clear()/set_brightness_k().  A
+        # drain captures it at batch time and skips cache.put on mismatch —
+        # without this, a clear() during an in-flight drain (the marker-edit
+        # invalidate path, where the same key maps to NEW sample ranges) let
+        # the stale batch land and stay forever as cache hits.
+        self._gen = 0
         self._busy_since: float | None = None  # device batch in flight
         self._lock = threading.Lock()
         self._poll = poll_interval
@@ -285,12 +291,18 @@ class TileServer:
         with self._lock:
             self._k = float(k)
             self._cache.clear()
+            self._gen += 1
             self.epoch += 1
 
     def clear(self) -> None:
         with self._lock:
             self._cache.clear()
             self._pending.clear()
+            # Drop in-flight suppression too: keys being computed under the
+            # OLD ranges must be re-requestable with their new ranges now,
+            # not after the stale drain lands (and its puts are gen-skipped).
+            self._inflight = set()
+            self._gen += 1
             self.epoch += 1
 
     def stats(self) -> dict:
@@ -320,15 +332,18 @@ class TileServer:
             self._pending.clear()
             self._inflight = {b[0] for b in batch}
             k = self._k
+            gen = self._gen
             self._busy_since = time.monotonic()
         try:
-            return self._drain_batch(batch, k)
+            return self._drain_batch(batch, k, gen)
         finally:
             with self._lock:
                 self._busy_since = None
-                self._inflight = set()
+                # Only this batch's keys: a clear() mid-flight already reset
+                # _inflight, and newly re-requested keys must stay pending.
+                self._inflight -= {b[0] for b in batch}
 
-    def _drain_batch(self, batch, k) -> bool:
+    def _drain_batch(self, batch, k, gen) -> bool:
         keys = [b[0] for b in batch]
         starts = np.asarray([b[1][0] for b in batch], np.int64)
         ends = np.asarray([b[1][1] for b in batch], np.int64)
@@ -353,7 +368,10 @@ class TileServer:
         registry("tiles.computed").inc(n_req)
         registry("tiles.rate", RateMeter).tick(n_req)
         with self._lock:
-            if self._k == k:  # a mid-flight brightness change invalidates
+            # A mid-flight clear()/brightness change bumped _gen: this
+            # batch's content is stale (possibly computed from pre-edit
+            # sample ranges) — drop it instead of caching it forever.
+            if self._gen == gen:
                 for i, key in enumerate(keys):
                     self._cache.put(key, rgb[i])
             self.epoch += 1

@@ -172,3 +172,39 @@ def test_locked_stream_matches_offline(bent_track):
     m = min(len(got), len(ref))
     err = np.sqrt(np.mean((got[:m] - ref[:m]) ** 2))
     assert err < 5e-3 * np.abs(ref).max(), err
+
+
+def test_tiny_chunk_tail_fully_normalized():
+    """chunk_frames so small that ch*hop < size - hop: the final chunk's
+    fused tail=True read can normalize only ONE extra span, which cannot
+    cover the whole (size - hop) OLA overhang.  Regression: _post_chunk
+    then marked the rest finalized without normalizing it, so track-end
+    reads served raw (window-sum-scaled) samples.
+
+    Geometry matters twice.  (1) n_frames rounds up to 64 (build_pv_plan)
+    and the emit gate only stretches frames the output needs, so the final
+    planned chunk is reached only when the REAL frame count lands on the
+    rounding boundary: an identity track of exactly (64-2)*hop samples
+    gives ceil(p_total*sr/hop)+2 == 64 == n_frames, and with
+    chunk_frames=2 the last needed chunk starts at frame 62.  (2) The +2
+    frame padding makes the last TWO frames always silent (source clamps
+    past the track end), so with the default size/hop == 4 only silent
+    frames touch the samples one extra span can't cover — the defect
+    needs size/hop > 4 for real content to land there (size=4096:
+    frames 59-61 write past (n_frames+2)*hop)."""
+    n = 62 * 512  # exactly (n_frames - 2) * hop at the 64-frame boundary
+    t = np.arange(n) / SR
+    x = (0.5 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
+    knots = _knots(n, [])
+    s = PvStream(x, knots, chunk_frames=2, size=4096, hop=512)
+    plan = s.plan
+    assert s._ch * plan.hop < plan.size - plan.hop  # the risky geometry
+    _ = _read_all(s, 4096)
+    assert s._frames_done >= plan.n_frames, s._frames_done
+    assert s._fin == plan.stretch_len
+    # The finalized invariant: y_norm == y / wsum over everything marked
+    # finalized (bit-deterministic — same program wrote both buffers).
+    y = np.asarray(s._y[: plan.stretch_len])
+    yn = np.asarray(s._y_norm[: plan.stretch_len])
+    ws = np.asarray(s._wsum_pad[: plan.stretch_len])
+    np.testing.assert_allclose(yn, y / ws, rtol=1e-5, atol=1e-6)

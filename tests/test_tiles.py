@@ -321,3 +321,53 @@ def test_brightness_change_mid_drain_discards_stale_tiles():
     finally:
         release.set()
         srv.close()
+
+
+def test_clear_mid_drain_discards_stale_tiles():
+    """A clear() while a batch is on device (the marker-edit invalidate
+    path: the SAME key maps to NEW sample ranges after the edit) must not
+    land the stale batch in the cache.  Regression: in-flight suppression
+    blocked re-polls during the flight, then the stale put made them cache
+    hits forever — the tile kept pre-edit content."""
+    import threading
+    import time as _time
+
+    import numpy as np
+
+    from melonix_tpu.config import Config
+    from melonix_tpu.runtime.tiles import TileServer
+
+    release = threading.Event()
+    started = threading.Event()
+
+    def slow_compute(starts, ends):
+        # Encode the requested range into the magnitude so stale content is
+        # detectable: pre-edit range starts at 0, post-edit at 1024.
+        val = 100.0 if int(starts[0]) == 0 else 50.0
+        if not started.is_set():
+            started.set()
+            release.wait(10.0)
+        return np.full((len(starts), 64), val, np.float32)
+
+    x = np.zeros(8192, np.float32)
+    srv = TileServer(x, k=1.0, config=Config(max_ranges=8),
+                     compute=slow_compute, poll_interval=0.002)
+    try:
+        assert srv.get_tile(0, 0, 256) is None          # pre-edit range
+        assert started.wait(5.0), "worker never started"
+        srv.clear()                                     # the edit invalidate
+        # Re-request the SAME key with its post-edit range while the stale
+        # batch is still in flight; must not be suppressed by _inflight.
+        assert srv.get_tile(0, 1024, 1280) is None
+        release.set()
+        t0 = _time.monotonic()
+        tile = None
+        while tile is None:
+            assert _time.monotonic() - t0 < 5.0, "tile never arrived"
+            tile = srv.get_tile(0, 1024, 1280)
+            _time.sleep(0.002)
+        from melonix_tpu.ui.colormap import colormap_lut
+        assert (tile == colormap_lut()[50]).all(), "stale pre-edit tile served"
+    finally:
+        release.set()
+        srv.close()
