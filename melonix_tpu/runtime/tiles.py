@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import threading
 import time
-from collections import OrderedDict
+from collections import OrderedDict, deque
 from functools import lru_cache
 from typing import Callable
 
@@ -93,11 +93,17 @@ class LruCache:
         self._d.move_to_end(key, last=False)  # front = most recent
         return self._d[key]
 
-    def put(self, key, value):
+    def put(self, key, value) -> bool:
+        """Insert; returns True when the insert evicted an older entry
+        (content for the evicted key reverts to the black placeholder —
+        damage the tile server must report to incremental renderers)."""
         self._d[key] = value
         self._d.move_to_end(key, last=False)
+        evicted = False
         while len(self._d) > self.capacity:
             self._d.popitem(last=True)
+            evicted = True
+        return evicted
 
     def __contains__(self, key):
         return key in self._d
@@ -226,6 +232,14 @@ class TileServer:
         # invalidate path, where the same key maps to NEW sample ranges) let
         # the stale batch land and stay forever as cache hits.
         self._gen = 0
+        # Damage log: (epoch-after, keys-landed) per drain, so the scene
+        # renderer can refresh ONLY the columns a drain touched instead of
+        # recomposing the lane on every epoch bump (during a pan the margin
+        # prefetch lands a drain almost every frame, which was invalidating
+        # the whole incremental-pan memo — ui_fps_pan 21 < the 30 target).
+        # Cleared by clear()/set_brightness_k(): content changed wholesale,
+        # keys_landed_since then reports "unknown" and callers recompose.
+        self._landed_log: deque = deque(maxlen=256)
         self._busy_since: float | None = None  # device batch in flight
         self._lock = threading.Lock()
         self._poll = poll_interval
@@ -291,6 +305,7 @@ class TileServer:
         with self._lock:
             self._k = float(k)
             self._cache.clear()
+            self._landed_log.clear()  # wholesale change: damage unknown
             self._gen += 1
             self.epoch += 1
 
@@ -302,8 +317,31 @@ class TileServer:
             # OLD ranges must be re-requestable with their new ranges now,
             # not after the stale drain lands (and its puts are gen-skipped).
             self._inflight = set()
+            self._landed_log.clear()  # wholesale change: damage unknown
             self._gen += 1
             self.epoch += 1
+
+    def keys_landed_since(self, epoch0: int) -> frozenset | None:
+        """Union of tile keys whose cached content changed after ``epoch0``
+        (damage tracking for the scene renderer's incremental-pan memo).
+        Returns None when the damage is unknown — epoch0 predates the log,
+        or a clear()/brightness change invalidated everything — in which
+        case the caller must recompose in full."""
+        with self._lock:
+            if epoch0 == self.epoch:
+                return frozenset()
+            log = list(self._landed_log)
+        if not log or log[0][0] > epoch0 + 1:
+            return None  # log truncated/cleared below epoch0: unknown
+        out: set = set()
+        for ep, keys, evicted in log:
+            if ep > epoch0:
+                if evicted:
+                    # An LRU eviction reverted unknown keys to the black
+                    # placeholder — the damage set can't be named.
+                    return None
+                out |= keys
+        return frozenset(out)
 
     def stats(self) -> dict:
         with self._lock:
@@ -371,10 +409,17 @@ class TileServer:
             # A mid-flight clear()/brightness change bumped _gen: this
             # batch's content is stale (possibly computed from pre-edit
             # sample ranges) — drop it instead of caching it forever.
+            landed = frozenset()
+            evicted = False
             if self._gen == gen:
                 for i, key in enumerate(keys):
-                    self._cache.put(key, rgb[i])
+                    evicted |= self._cache.put(key, rgb[i])
+                landed = frozenset(keys)
             self.epoch += 1
+            # Evictions revert arbitrary keys to black-until-ready; the log
+            # can't name them (popitem order is recency, not key), so the
+            # entry is marked and keys_landed_since reports "unknown".
+            self._landed_log.append((self.epoch, landed, evicted))
         return True
 
     def _run(self) -> None:

@@ -371,3 +371,57 @@ def test_clear_mid_drain_discards_stale_tiles():
     finally:
         release.set()
         srv.close()
+
+
+def test_damage_log_names_landed_keys():
+    """keys_landed_since reports exactly the keys drains landed after the
+    given epoch (the scene renderer's incremental-pan refresh set)."""
+    x = np.zeros(8192, np.float32)
+
+    def compute(starts, ends):
+        return np.full((len(starts), 64), 10.0, np.float32)
+
+    srv = TileServer(x, k=1.0, config=Config(max_ranges=64),
+                     compute=compute, synchronous=True)
+    assert srv.keys_landed_since(srv.epoch) == frozenset()
+    e0 = srv.epoch
+    srv.get_tile(3, 0, 256)
+    srv.get_tile(7, 256, 512)
+    assert srv.keys_landed_since(e0) == frozenset({3, 7})
+    e1 = srv.epoch
+    srv.get_tile(9, 512, 768)
+    assert srv.keys_landed_since(e1) == frozenset({9})
+    assert srv.keys_landed_since(e0) == frozenset({3, 7, 9})
+    # clear() makes the damage unknown for any pre-clear epoch...
+    srv.clear()
+    assert srv.keys_landed_since(e0) is None
+    # ...but a fresh epoch after the clear tracks normally again.
+    e2 = srv.epoch
+    srv.get_tile(1, 0, 256)
+    assert srv.keys_landed_since(e2) == frozenset({1})
+    # brightness change: unknown too
+    e3 = srv.epoch
+    srv.set_brightness_k(2.0)
+    assert srv.keys_landed_since(e3) is None
+
+
+def test_eviction_invalidates_damage_log():
+    """An LRU eviction reverts an unnameable key to black-until-ready, so
+    any window containing an evicting drain must report damage unknown
+    (None) — otherwise the incremental lane memo would keep showing content
+    the full recomposition path has lost (inc != full)."""
+    x = np.zeros(8192, np.float32)
+
+    def compute(starts, ends):
+        return np.full((len(starts), 64), 10.0, np.float32)
+
+    srv = TileServer(x, k=1.0, config=Config(max_ranges=2),
+                     compute=compute, synchronous=True)
+    e0 = srv.epoch
+    srv.get_tile(0, 0, 256)
+    srv.get_tile(1, 256, 512)
+    assert srv.keys_landed_since(e0) == frozenset({0, 1})  # at capacity
+    e1 = srv.epoch
+    srv.get_tile(2, 512, 768)  # evicts key 0
+    assert srv.keys_landed_since(e1) is None
+    assert srv.keys_landed_since(e0) is None  # window contains the eviction
