@@ -99,11 +99,50 @@ def _draw_waveform(state: EditorState, img, wave_top: int, wave_h: int) -> None:
 
 
 def _waveform_cache(state: EditorState, width: int):
-    from ..engine.pyramid import waveform_strip
+    """Per-pixel (min, max) strip with an incremental-pan memo: a pan moves
+    ``start_time`` by an exact pixel count (state.mouse_motion's
+    dt = dx·range_time/width), so the previous strip rolls and only the
+    newly exposed columns hit the pyramid — the full-width query was
+    ~5 ms/frame of the pan loop (VERDICT r4 #1)."""
+    from ..engine.pyramid import query_min_max, waveform_strip
 
-    return waveform_strip(
+    sig = (
+        width,
+        state.range_time,
+        state.open_count,
+        tuple((m.sample, m.note, m.d_time, m.pitch_bend) for m in state.markers),
+    )
+    key_f = state.start_time * width / state.range_time
+    memo = getattr(state, "_wave_memo", None)
+    if memo is not None and memo[0] == sig:
+        _, old_key_f, old_mn, old_mx = memo
+        delta = key_f - old_key_f
+        k = int(round(delta))
+        if abs(delta - k) < 1e-6 and abs(k) < width:
+            if k == 0:
+                return old_mn, old_mx
+            mn = np.empty_like(old_mn)
+            mx = np.empty_like(old_mx)
+            if k > 0:
+                mn[: width - k] = old_mn[k:]
+                mx[: width - k] = old_mx[k:]
+                new = np.arange(width - k, width)
+            else:
+                mn[-k:] = old_mn[: width + k]
+                mx[-k:] = old_mx[: width + k]
+                new = np.arange(0, -k)
+            ts_lo = state.start_time + new * state.range_time / width
+            ts_hi = state.start_time + (new + 1) * state.range_time / width
+            s_lo = state.knots.time_to_sample(ts_lo)
+            s_hi = state.knots.time_to_sample(ts_hi)
+            mn[new], mx[new] = query_min_max(state.pyramid, state.wav, s_lo, s_hi)
+            state._wave_memo = (sig, key_f, mn, mx)
+            return mn, mx
+    mn, mx = waveform_strip(
         state.pyramid, state.wav, state.knots, width, state.start_time, state.range_time
     )
+    state._wave_memo = (sig, key_f, mn, mx)
+    return mn, mx
 
 
 def _draw_spectrogram(state, img, spec_top: int, lane_h: int, synchronous: bool):
@@ -136,23 +175,55 @@ def _draw_spectrogram(state, img, spec_top: int, lane_h: int, synchronous: bool)
     # computed once over the viewport plus a quarter-viewport margin each
     # side so panning hits warm tiles (key = absolute pixel-column index,
     # spec-cache.cpp:12 — identical formula for margin and visible columns).
+    #
+    # Every per-column input is a PURE FUNCTION OF THE KEY (t = key·Δt, not
+    # start_time + i·Δt): the cache itself assumes a key's content never
+    # changes between frames, and float drift in start_time across pan steps
+    # (+= k·Δt accumulates rounding) would otherwise move a column's bend /
+    # requested range by ~1 ulp — enough to flip texel rounding and make the
+    # incremental-pan roll diverge from a full recomposition.
+    # Keys are BASE + COLUMN INDEX (one int truncation for the whole frame,
+    # spec-cache.cpp:12's startTime*width/rangeTime + x), never a per-column
+    # int(ts·W/rangeTime): per-column truncation of drifting float ts puts
+    # individual columns on either side of their integer boundary, so the
+    # column→key alignment would wobble by ±1 between two frames at the
+    # same nominal position.
     margin = W // 4
-    ts_m = state.start_time + np.arange(-margin, W + margin + 1) * state.range_time / W
-    samples_m = state.knots.time_to_sample(ts_m)
-    keys_m = (ts_m[:-1] * W / state.range_time).astype(np.int64)
-    ts = ts_m[margin : margin + W + 1]
-    samples = samples_m[margin : margin + W + 1]
+    dt = state.range_time / W
+    k0 = int(state.start_time * W / state.range_time)
+    keys_m = k0 + np.arange(-margin, W + margin)
+    t_lo_m = keys_m * dt
+    lo_m = state.knots.time_to_sample(t_lo_m)
+    hi_m = state.knots.time_to_sample((keys_m + 1) * dt)
     keys = keys_m[margin : margin + W]
-    bends = state.knots.time_to_pitch_bend(ts[:-1])
-    server.prefetch(
-        [
-            (int(keys_m[i]), int(samples_m[i]), int(samples_m[i + 1]))
-            for i in range(len(keys_m))
-        ]
+    lo = lo_m[margin : margin + W]
+    hi = hi_m[margin : margin + W]
+    t_lo = t_lo_m[margin : margin + W]
+    bends = state.knots.time_to_pitch_bend(t_lo)
+    # Prefetch delta memo: building + scanning the full 1.5W-tuple margin
+    # list every frame was ~2.5 ms of the pan loop.  Only the key range
+    # NOT submitted last frame is (re)submitted; visible columns that are
+    # still missing re-enqueue through get_tiles' own miss path every
+    # frame regardless (the black-until-ready repoll contract holds).
+    lo_k, hi_k = int(keys_m[0]), int(keys_m[-1])
+    psig = (
+        W, state.range_time, state.open_count, state.brightness,
+        tuple((mk.sample, mk.note, mk.d_time, mk.pitch_bend) for mk in state.markers),
     )
-    rgb = _lane_rgb(state, server, keys, samples, bends, lane_h, texels, W, sr)
+    pm = getattr(state, "_prefetch_memo", None)
+    if pm is not None and pm[0] == psig:
+        _, plo, phi = pm
+        idx = np.nonzero((keys_m < plo) | (keys_m > phi))[0]
+    else:
+        idx = np.arange(len(keys_m))
+    if len(idx):
+        server.prefetch(
+            [(int(keys_m[i]), int(lo_m[i]), int(hi_m[i])) for i in idx]
+        )
+    state._prefetch_memo = (psig, lo_k, hi_k)
+    rgb = _lane_rgb(state, server, keys, lo, hi, bends, lane_h, texels, W, sr)
     img[spec_top : spec_top + lane_h] = rgb
-    return ts[:-1], samples[:-1], bends
+    return t_lo, lo, bends
 
 
 def _cols_rgb(state, tiles, bends, lane_h: int, texels: int, sr) -> np.ndarray:
@@ -190,12 +261,19 @@ def _cols_rgb(state, tiles, bends, lane_h: int, texels: int, sr) -> np.ndarray:
     return np.take(flat, fidx, axis=0)  # (laneH, k, 3)
 
 
-def _lane_rgb(state, server, keys, samples, bends, lane_h, texels, W, sr):
+def _lane_rgb(state, server, keys, lo, hi, bends, lane_h, texels, W, sr):
     """Spectrogram lane RGB with an incremental-pan memo: a pure horizontal
     pan shifts the lane by k integer columns (the per-column texel map and
     tile contents are unchanged), so roll the previous lane and gather only
     the k new columns — smooth 60 fps-class panning instead of a full
-    (laneH × W) regather every motion event."""
+    (laneH × W) regather every motion event.
+
+    Tile drains between frames don't invalidate the memo: the server's
+    damage log (keys_landed_since) names exactly which columns changed, and
+    only those refresh alongside the pan-exposed edge.  During a pan the
+    margin prefetch lands a drain almost every frame, so epoch-in-the-sig
+    degenerated to a full (laneH × W) regather per motion event
+    (ui_fps_pan 21 < the 30 target, VERDICT r4 #1)."""
     epoch = getattr(server, "epoch", None)
     sig = (
         W,
@@ -204,43 +282,57 @@ def _lane_rgb(state, server, keys, samples, bends, lane_h, texels, W, sr):
         state.range_time,
         state.start_note,
         state.range_note,
-        epoch,
         tuple((mk.sample, mk.note, mk.d_time, mk.pitch_bend) for mk in state.markers),
     )
     memo = getattr(state, "_lane_memo", None)
     first = int(keys[0])
     if epoch is not None and memo is not None and memo[0] == sig:
-        _, old_first, old_rgb = memo
+        _, old_first, old_rgb, old_epoch = memo
         k = first - old_first
-        if k == 0:
-            return old_rgb
-        if 0 < abs(k) < W:
-            rgb = np.empty_like(old_rgb)
-            if k > 0:  # panned right: new columns on the right edge
+        landed = (
+            frozenset() if epoch == old_epoch
+            else server.keys_landed_since(old_epoch)
+        )
+        if landed is not None and abs(k) < W:
+            if k == 0 and not landed:
+                return old_rgb
+            if k == 0:
+                rgb = old_rgb.copy()
+                idxs = []
+            elif k > 0:  # panned right: new columns on the right edge
+                rgb = np.empty_like(old_rgb)
                 rgb[:, : W - k] = old_rgb[:, k:]
                 idxs = list(range(W - k, W))
             else:  # panned left: new columns on the left edge
+                rgb = np.empty_like(old_rgb)
                 rgb[:, -k:] = old_rgb[:, : W + k]
                 idxs = list(range(0, -k))
-            tiles = _gather_tiles(server, keys, samples, idxs, texels)
-            block = _cols_rgb(state, tiles, bends[idxs], lane_h, texels, sr)
-            _apply_piano(state, block, lane_h)
-            rgb[:, idxs[0] : idxs[-1] + 1] = block
-            state._lane_memo = (sig, first, rgb)
+            if landed:  # refresh only the drain-damaged visible columns
+                edge = set(idxs)
+                idxs += [
+                    i for i in range(W)
+                    if int(keys[i]) in landed and i not in edge
+                ]
+            if idxs:
+                tiles = _gather_tiles(server, keys, lo, hi, idxs, texels)
+                block = _cols_rgb(state, tiles, bends[idxs], lane_h, texels, sr)
+                _apply_piano(state, block, lane_h)
+                rgb[:, idxs] = block
+            state._lane_memo = (sig, first, rgb, epoch)
             return rgb
-    tiles = _tile_block(state, server, keys, samples, texels, W)
+    tiles = _tile_block(state, server, keys, lo, hi, texels, W)
     rgb = _cols_rgb(state, tiles, bends, lane_h, texels, sr)
     _apply_piano(state, rgb, lane_h)
     if epoch is not None:
-        state._lane_memo = (sig, first, rgb)
+        state._lane_memo = (sig, first, rgb, epoch)
     return rgb
 
 
-def _gather_tiles(server, keys, samples, idxs, texels: int) -> np.ndarray:
+def _gather_tiles(server, keys, lo, hi, idxs, texels: int) -> np.ndarray:
     """Stack tiles for the given column indices (+ trailing black guard)."""
     tiles = np.zeros((len(idxs) + 1, texels, 3), np.uint8)
     got = server.get_tiles(
-        [(int(keys[x]), int(samples[x]), int(samples[x + 1])) for x in idxs]
+        [(int(keys[x]), int(lo[x]), int(hi[x])) for x in idxs]
     )
     for i, tile in enumerate(got):
         if tile is not None and tile.shape[0] == texels:
@@ -248,7 +340,7 @@ def _gather_tiles(server, keys, samples, idxs, texels: int) -> np.ndarray:
     return tiles
 
 
-def _tile_block(state, server, keys, samples, texels: int, W: int) -> np.ndarray:
+def _tile_block(state, server, keys, lo, hi, texels: int, W: int) -> np.ndarray:
     """Assemble the (W+1, texels, 3) visible tile block (the final row is a
     guaranteed-black guard the gather maps invalid cells to), memoized on
     the (first key, W, server cache epoch) triple so an unchanged viewport
@@ -263,14 +355,14 @@ def _tile_block(state, server, keys, samples, texels: int, W: int) -> np.ndarray
     tiles = np.zeros((W + 1, texels, 3), np.uint8)
     if get_many is not None:
         got = get_many(
-            [(int(keys[x]), int(samples[x]), int(samples[x + 1])) for x in range(W)]
+            [(int(keys[x]), int(lo[x]), int(hi[x])) for x in range(W)]
         )
         for x, tile in enumerate(got):
             if tile is not None and tile.shape[0] == texels:
                 tiles[x] = tile
     else:  # pragma: no cover - legacy server without the batched lookup
         for x in range(W):
-            tile = server.get_tile(keys[x], int(samples[x]), int(samples[x + 1]))
+            tile = server.get_tile(keys[x], int(lo[x]), int(hi[x]))
             if tile is not None and tile.shape[0] == texels:
                 tiles[x] = tile
     if epoch is not None:

@@ -470,27 +470,62 @@ def test_undo_redo_random_gesture_fuzz(editor):
     assert snap() == final  # and rolls forward to the same place
 
 
-def test_incremental_pan_matches_full_render(editor):
+def test_incremental_pan_matches_full_render(chirp, tmp_path):
     """A horizontal pan must produce the same lane via the roll+partial
-    gather path (_lane_rgb memo) as a cold full recomposition."""
-    editor.markers = [Marker(2000, 50.0, 0.0, 2.0)]
-    editor.invalidate()
-    render_scene(editor, synchronous_tiles=True)  # warm tiles + memo
-    W = editor.viewport.width
-    # pan right by an integer number of key columns
-    for _ in range(5):
-        editor.start_time += 3 * editor.range_time / W
-        inc = render_scene(editor, synchronous_tiles=True)
-        editor._lane_memo = None  # force the full path
-        full = render_scene(editor, synchronous_tiles=True)
-        assert np.array_equal(inc, full)
-    # and back left
-    for _ in range(5):
-        editor.start_time -= 4 * editor.range_time / W
-        inc = render_scene(editor, synchronous_tiles=True)
-        editor._lane_memo = None
-        full = render_scene(editor, synchronous_tiles=True)
-        assert np.array_equal(inc, full)
+    gather path (_lane_rgb memo) as a cold full recomposition.
+
+    Uses a cache that holds the viewport + margins (the production 4000-tile
+    regime): with max_ranges below the working set every drain evicts, which
+    is unnameable damage — keys_landed_since reports None and the memo is
+    bypassed (see test_eviction_invalidates_damage_log in test_tiles)."""
+    from melonix_tpu.ui import view as V
+
+    x, sr = chirp
+    path = str(tmp_path / "song.wav")
+    write_wav(path, x, sr, dtype="float32")
+    ed = EditorState(
+        config=Config(spectr_size=1024, max_ranges=1024),
+        viewport=Viewport(200, 150),
+    )
+    ed.open_file(path)
+    try:
+        ed.markers = [Marker(2000, 50.0, 0.0, 2.0)]
+        ed.invalidate()
+        render_scene(ed, synchronous_tiles=True)  # warm tiles + memo
+        W = ed.viewport.width
+        full_path_calls = 0
+        orig = V._tile_block
+
+        def counting_tile_block(*a, **kw):
+            nonlocal full_path_calls
+            full_path_calls += 1
+            return orig(*a, **kw)
+
+        V._tile_block = counting_tile_block
+        try:
+            # pan right by an integer number of key columns
+            for _ in range(5):
+                ed.start_time += 3 * ed.range_time / W
+                inc = render_scene(ed, synchronous_tiles=True)
+                assert full_path_calls == 0, "incremental path did not engage"
+                ed._lane_memo = None  # force the full path
+                full = render_scene(ed, synchronous_tiles=True)
+                assert np.array_equal(inc, full)
+                full_path_calls = 0
+            # and back left
+            for _ in range(5):
+                ed.start_time -= 4 * ed.range_time / W
+                inc = render_scene(ed, synchronous_tiles=True)
+                assert full_path_calls == 0, "incremental path did not engage"
+                ed._lane_memo = None
+                full = render_scene(ed, synchronous_tiles=True)
+                assert np.array_equal(inc, full)
+                full_path_calls = 0
+        finally:
+            V._tile_block = orig
+    finally:
+        if ed._tile_server:
+            ed._tile_server.close()
 
 
 def test_lane_overlays_match_float_reference(editor):
