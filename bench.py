@@ -480,6 +480,7 @@ def _ui_fps(x: np.ndarray, sr: int) -> dict:
 
         steady = burst(2.0, pan=False)
         pan = burst(2.0, pan=True)
+        conn.close()  # keep-alive: free the handler thread before stop()
         return {"ui_fps_steady": round(steady, 1), "ui_fps_pan": round(pan, 1)}
     finally:
         srv.stop()
@@ -844,6 +845,12 @@ def child_main() -> None:
 def main() -> None:
     if "--child" in sys.argv:
         child_main()
+        # Skip interpreter teardown: daemon threads left from the UI-fps
+        # server (handler/tile threads) racing the axon plugin's atexit
+        # trip a forced-unwind SIGABRT ("FATAL: exception not rethrown").
+        # All snapshots are already flushed to the state file.
+        sys.stderr.flush()
+        os._exit(0)
     else:
         parent_main()
 

@@ -868,3 +868,32 @@ def test_lock_toggle_changes_pv_audio(server):
     _post(conn, "/control", {"action": "lock", "value": 0})
     _, body_back, _ = _get(conn, "/audio.wav")
     assert body_back == body_plain
+
+
+def test_unknown_control_action_is_400(server):
+    """A typo'd /control action (or a wrong field name, which arrives as
+    action='') must fail loudly with 400 + {"error"}, not return 200 +
+    state that reads as success (VERDICT r4 weak #4)."""
+    srv, conn, wav = server
+    _post(conn, "/control", {"action": "open", "value": wav})
+    status, body = _post(conn, "/control", {"action": "egnine", "value": "pv"})
+    assert status == 400 and "unknown action" in body["error"]
+    # Wrong field name: action falls through to "" — same contract.
+    status, body = _post(conn, "/control", {"act": "engine", "value": "pv"})
+    assert status == 400 and "unknown action" in body["error"]
+    # The engine did NOT change (and known actions still work).
+    _, st = _get_state(conn)
+    assert st["engine"] == "granular"
+    status, st = _post(conn, "/control", {"action": "engine", "value": "pv"})
+    assert status == 200 and st["engine"] == "pv"
+
+
+def test_unknown_key_is_400(server):
+    srv, conn, wav = server
+    _post(conn, "/control", {"action": "open", "value": wav})
+    status, body = _post(conn, "/key", {"key": "spcae"})
+    assert status == 400 and "unknown key" in body["error"]
+    status, body = _post(conn, "/key", {"kye": "space"})
+    assert status == 400 and "unknown key" in body["error"]
+    status, st = _post(conn, "/key", {"key": "right"})
+    assert status == 200 and "cursor" in st
