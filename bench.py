@@ -490,8 +490,19 @@ def _hour_scale_x_realtime() -> float:
     """A 60-minute track through the chunked PV path on the chip — the
     int32-anchor + f32-residual position machinery at the scale its
     precision claims are about (VERDICT round 2, next #8; promoted out of
-    opt-in in round 4).  Returns x-realtime from wall clock (chunked host
-    loop: the trace would span many dispatches)."""
+    opt-in in round 4; warm protocol + device_out in round 5).
+
+    Protocol: render once with one edit to warm the executables (tracing
+    + remote AOT compiles are per-process, not per-render), then time a
+    render with a DIFFERENT edit — fresh knots mean fresh plan, fresh
+    uploads, and real on-device execution (the axon service content-
+    addresses repeat work, so re-timing the SAME edit reports a cache,
+    not the machine).  ``device_out=True`` keeps the 635 MB result on
+    device: the 12 MB/s tunnel download is transport, not render (the
+    warm number is edit-to-audio-resident, what a co-located consumer —
+    batch export, the player — would see).  Scalar anchors force
+    execution (block_until_ready lies on axon); correctness asserts on a
+    downloaded 1-second slice."""
     import jax
     import jax.numpy as jnp
 
@@ -502,12 +513,14 @@ def _hour_scale_x_realtime() -> float:
     sr = 44100
     seconds = 3600.0
     n = int(sr * seconds)
-    markers = [
-        Marker(sample=int((i + 1) * n / 8), note=57.0, d_time=0.0,
-               pitch_bend=float((-1) ** i) * 2.0)
-        for i in range(6)
-    ]
-    knots = MapKnots.from_markers(markers, sr, n)
+
+    def mk_knots(bend: float) -> MapKnots:
+        markers = [
+            Marker(sample=int((i + 1) * n / 8), note=57.0, d_time=0.0,
+                   pitch_bend=float((-1) ** i) * bend)
+            for i in range(6)
+        ]
+        return MapKnots.from_markers(markers, sr, n)
 
     # Synthesize the 635 MB fixture ON the device (225 Hz = exactly 196
     # samples at 44.1k, so int32 mod keeps the phase exact at 2^27
@@ -521,12 +534,16 @@ def _hour_scale_x_realtime() -> float:
 
     x_dev = make_tone()
     _ = float(x_dev[12345])  # anchor: tone materialized before timing
+    warm = render_track_pv(x_dev, mk_knots(2.0), device_out=True)
+    _ = float(warm[n // 2])  # anchor: warmup executed before timing
+    del warm
     t0 = time.perf_counter()
-    out = render_track_pv(x_dev, knots)
+    out = render_track_pv(x_dev, mk_knots(1.5), device_out=True)
     anchor = float(out[n // 2]) + float(out[-sr])
     dt = time.perf_counter() - t0
     assert np.isfinite(anchor), "hour-scale render produced non-finite audio"
-    assert np.abs(out[sr : 2 * sr]).max() > 0.01, "hour-scale render silent"
+    slice_1s = np.asarray(out[sr : 2 * sr])
+    assert np.abs(slice_1s).max() > 0.01, "hour-scale render silent"
     return seconds / dt
 
 

@@ -47,7 +47,7 @@ place.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+from functools import cached_property, partial
 
 import jax
 import jax.numpy as jnp
@@ -187,10 +187,6 @@ def identity_lock(psi, phi, mag):
     th_near = jnp.where(d_f <= d_b, th_f, th_b)
     has_peak = jnp.minimum(d_f, d_b) < (1 << 30)
     return phi + jnp.where(has_peak, th_near, theta)
-
-
-def _bits(x: np.ndarray) -> np.ndarray:
-    return np.asarray(x, np.float32).view(np.int32).copy()
 
 
 def _src_eval64(table, t_a: np.ndarray, sr: float) -> tuple[np.ndarray, ...]:
@@ -449,6 +445,58 @@ def _stretch_chunk(
     )
 
 
+def _pack_frame_plan(plan: PVPlan, ch: int, formant: bool) -> np.ndarray:
+    """One int32 host buffer holding every chunk's frame arrays, edge-padded
+    to whole chunks — ONE tunnel upload per render instead of 3 arrays x
+    n_chunks (each host->device transfer costs a ~33 ms round trip through
+    the axon tunnel; an hour-scale render made 21 of them).  Rows: frame
+    starts, da bit patterns, and (formant only — it is unused otherwise)
+    rho bit patterns.  Values identical to ``_chunk_arrays``."""
+    n_chunks = -(-plan.n_frames // ch)
+    npad = n_chunks * ch
+    pad = npad - plan.n_frames
+    starts_p = np.pad(plan.starts_m, (0, pad), mode="edge")
+    da_p = np.ascontiguousarray(
+        np.pad(plan.da_m, (0, pad), constant_values=float(plan.hop))
+    ).view(np.int32)
+    rows = [starts_p, da_p]
+    if formant:
+        rho32 = np.ascontiguousarray(
+            np.pad(plan.rho_m.astype(np.float32), (0, pad), mode="edge")
+        ).view(np.int32)
+        rows.append(rho32)
+    return np.stack(rows)
+
+
+@partial(jax.jit, static_argnames=("size", "hop", "n_frames_c", "formant",
+                                   "n_ceps", "fused", "lock", "interpret",
+                                   "use_pallas"))
+def _stretch_chunk_packed(
+    wav, packed, window, m0, f_real, phi0, resid_in, phi_prev,
+    size, hop, n_frames_c, formant=False, n_ceps=40, fused=False, lock=False,
+    interpret=False, use_pallas=False,
+):
+    """``_stretch_chunk`` reading its frame arrays from the packed device
+    plan (``_pack_frame_plan``): the chunk slice happens ON DEVICE at the
+    traced offset m0, so the host loop re-dispatches one cached executable
+    per chunk with zero per-chunk transfers."""
+    sl = jax.lax.dynamic_slice(
+        packed, (0, m0), (packed.shape[0], n_frames_c)
+    )
+    starts_c = sl[0]
+    da_c = jax.lax.bitcast_convert_type(sl[1], jnp.float32)
+    rho_c = (
+        jax.lax.bitcast_convert_type(sl[2], jnp.float32)
+        if formant else jnp.zeros(n_frames_c, jnp.float32)
+    )
+    return _stretch_chunk_core(
+        wav, starts_c, da_c, rho_c, window, m0, f_real, phi0, resid_in,
+        phi_prev, size=size, hop=hop, n_frames_c=n_frames_c,
+        formant=formant, n_ceps=n_ceps, use_pallas=use_pallas, fused=fused,
+        lock=lock, interpret=interpret,
+    )
+
+
 def pv_fused_shapes_ok(size: int, hop: int, ch: int | None = None) -> bool:
     """Do the fused scrambled-order kernels support this config?  (Shape
     conditions only — backend-independent, so sharded builders and the
@@ -623,10 +671,24 @@ class PVPlan:
     starts_m: np.ndarray  # int32 (n_frames,) exact frame starts
     da_m: np.ndarray  # float32 (n_frames,) frame advances
     rho_m: np.ndarray  # float64 (n_frames,) per-frame pitch rate
-    anc_args: tuple  # device arrays for _positions_rel_device
     anc_np: tuple  # host (anc_j, src_f32, rho_f32, s_f32) padded, + n_real
     base: np.ndarray  # int32 resample block bases
     rho_max: float  # knot-wise max rate (Pallas slab sizing)
+
+    @cached_property
+    def anc_args(self) -> tuple:
+        """Device anchor arrays for ``_positions_rel_device`` — uploaded on
+        FIRST use.  The TPU fused-resample path never reads these (it packs
+        the host ``anc_np`` into the segment blob), so building them eagerly
+        cost four tunnel round trips per edit for nothing.  Float values
+        travel as int32 bit patterns (bit-exact through device math)."""
+        anc_j_p, src_f, r_f, s_f, _ = self.anc_np
+        return (
+            jnp.asarray(anc_j_p),
+            jnp.asarray(src_f.view(np.int32)),
+            jnp.asarray(r_f.view(np.int32)),
+            jnp.asarray(s_f.view(np.int32)),
+        )
 
 
 def build_pv_plan(
@@ -670,12 +732,6 @@ def build_pv_plan(
     n_anc = 512 * -(-len(anc_j) // 512)  # bucket compile shapes
     pad_a = n_anc - len(anc_j)
     anc_j_p = np.pad(anc_j, (0, pad_a), constant_values=n_out_pad)
-    anc_args = (
-        jnp.asarray(anc_j_p),
-        jnp.asarray(np.pad(_bits(src_rel64), (0, pad_a), mode="edge")),
-        jnp.asarray(np.pad(_bits(rho_a), (0, pad_a), mode="edge")),
-        jnp.asarray(np.pad(_bits(s_a), (0, pad_a), mode="edge")),
-    )
     anc_np = (
         anc_j_p,
         np.pad(np.asarray(src_rel64, np.float32), (0, pad_a), mode="edge"),
@@ -688,7 +744,7 @@ def build_pv_plan(
         size=size, hop=hop, sr=sr, n_wav=n_wav, n_out=n_out,
         n_out_pad=n_out_pad, n_frames=n_frames, stretch_len=stretch_len,
         starts_m=starts_m, da_m=da_m, rho_m=rho_m,
-        anc_args=anc_args, anc_np=anc_np, base=base, rho_max=rho_max,
+        anc_np=anc_np, base=base, rho_max=rho_max,
     )
 
 
@@ -712,6 +768,7 @@ def render_track_pv(
     hop: int | None = None,
     preserve_formants: bool = False,
     phase_locking: bool = False,
+    device_out: bool = False,
 ) -> np.ndarray:
     """Full-track phase-vocoder render honoring the marker edit model.
 
@@ -722,6 +779,12 @@ def render_track_pv(
     ``phase_locking`` enables Laroche–Dolson identity phase locking
     (:func:`identity_lock`) — vertical phase coherence around spectral
     peaks, the fix for polyphonic "phasiness".
+
+    ``device_out`` returns the render as a device array WITHOUT the
+    device->host download: an hour of float32 is 635 MB, which costs ~50 s
+    through the 12 MB/s axon tunnel where the render itself takes ~1 s —
+    callers that feed the output to further device work (batch serving,
+    export encode on device, benchmarks) keep it resident.
     """
     from ..kernels import pallas_resample
 
@@ -734,14 +797,17 @@ def render_track_pv(
         n_wav = len(wav_np)
     plan = build_pv_plan(knots, n_wav, config=config, size=size, hop=hop)
     if plan is None:
-        return np.zeros(max(int(knots.duration() * knots.sample_rate), 0), np.float32)
+        zeros = np.zeros(max(int(knots.duration() * knots.sample_rate), 0), np.float32)
+        return jnp.asarray(zeros) if device_out else zeros
     return _render_with_plan(wav_dev, plan, preserve_formants,
-                             phase_locking=phase_locking)
+                             phase_locking=phase_locking,
+                             device_out=device_out)
 
 
 def _render_with_plan(
-    wav_dev, plan: PVPlan, preserve_formants: bool, phase_locking: bool = False
-) -> np.ndarray:
+    wav_dev, plan: PVPlan, preserve_formants: bool, phase_locking: bool = False,
+    device_out: bool = False,
+):
     """One channel through a (possibly shared) PVPlan — the single-chip
     fast path: fused stretch chunks + fused positions+resample kernel."""
     from ..kernels import pallas_resample
@@ -750,7 +816,7 @@ def _render_with_plan(
     n_out, n_out_pad = plan.n_out, plan.n_out_pad
     n_frames, stretch_len = plan.n_frames, plan.stretch_len
     rho_m = plan.rho_m
-    anc_args, base = plan.anc_args, plan.base
+    base = plan.base
 
     win_dev = jnp.asarray(hann_window(size))
     on_tpu = jax.default_backend() == "tpu"
@@ -778,15 +844,22 @@ def _render_with_plan(
     resid = jnp.zeros(n_state, jnp.float32)
     phi_prev = jnp.zeros(n_state, jnp.float32)
     phi0 = jnp.zeros(n_state, jnp.float32)
+    from ..kernels import pallas_frames
+
+    use_pallas = (
+        not fused
+        and pallas_frames.supported(size, ch)
+        and jax.default_backend() == "tpu"
+    )
+    packed_dev = jnp.asarray(_pack_frame_plan(plan, ch, preserve_formants))
     for m0 in range(0, n_frames, ch):
-        starts_c, da_c, rho_c, f_real = _chunk_arrays(plan, m0, ch)
-        y_c, resid, phi_prev, phi0 = _stretch_chunk(
-            wav_dev, jnp.asarray(starts_c), jnp.asarray(da_c),
-            jnp.asarray(rho_c), win_dev,
+        f_real = min(ch, n_frames - m0)
+        y_c, resid, phi_prev, phi0 = _stretch_chunk_packed(
+            wav_dev, packed_dev, win_dev,
             jnp.int32(m0), jnp.int32(f_real),
             phi0, resid, phi_prev,
             size, hop, ch, formant=preserve_formants, fused=fused,
-            lock=phase_locking, interpret=interp,
+            lock=phase_locking, interpret=interp, use_pallas=use_pallas,
         )
         y = y_c if one_chunk else _accum_at(y, y_c, jnp.int32(m0 * hop))
 
@@ -807,11 +880,11 @@ def _render_with_plan(
     else:
         wsum = _ola_wsum(win_dev, size, hop, n_frames, stretch_len)
         y = y[:stretch_len] / wsum
-        src_rel = _positions_rel_device(*anc_args, n_out_pad, sr)
+        src_rel = _positions_rel_device(*plan.anc_args, n_out_pad, sr)
         out = _lerp_resample_rel_xla(
             y, src_rel, jnp.asarray(base), stretch_len, pallas_resample.BLK
         )
-    return np.asarray(out[:n_out])
+    return out[:n_out] if device_out else np.asarray(out[:n_out])
 
 
 RESAMPLE_SEG_BLOCKS = 8192  # blocks (16.8M samples) per fused-resample call
@@ -851,27 +924,100 @@ def _resample_pv_fused(plan: PVPlan, y, rows: int, interpret: bool = False):
     nb = plan.n_out_pad // blk
     base_np = np.asarray(plan.base)
     y2d = y if y.ndim == 2 else pallas_resample.pad_src(y, rows)
-    outs = []
-    for b0 in range(0, nb, RESAMPLE_SEG_BLOCKS):
-        b1 = min(b0 + RESAMPLE_SEG_BLOCKS, nb)
-        n_out_seg = (b1 - b0) * blk
+    if nb <= RESAMPLE_SEG_BLOCKS:
+        # Common path (anything under ~6 minutes): one kernel call.
+        a0, cnt, kmax = pallas_resample.pv_anchor_blocks(
+            (anc_j).astype(np.int32), nb
+        )
+        kmax = max(1, 1 << (kmax - 1).bit_length())  # bucket compile shapes
+        n_anc_p = 512 * -(-len(anc_j) // 512)
+        pad_a = n_anc_p - len(anc_j)
+        return pallas_resample.resample_pv_pallas(
+            y2d, jnp.asarray(base_np), jnp.asarray(a0), jnp.asarray(cnt),
+            jnp.asarray(np.pad(anc_j.astype(np.int32), (0, pad_a),
+                               constant_values=nb * blk)),
+            jnp.asarray(np.pad(src_f[:n_real], (0, pad_a), mode="edge")),
+            jnp.asarray(np.pad(r_f[:n_real], (0, pad_a), mode="edge")),
+            jnp.asarray(np.pad(s_f[:n_real], (0, pad_a), mode="edge")),
+            rows, kmax, plan.sr, nb * blk, interpret=interpret,
+        )
+
+    # Hour scale: every segment's scalar-prefetch arrays pack into ONE
+    # int32 blob uploaded in ONE transfer, then carve ON DEVICE inside the
+    # jitted segment runner — the per-segment uploads (7 arrays x 10
+    # segments) cost a ~33 ms tunnel round trip each, ~2.3 s of a ~4.7 s
+    # hour render.  Statics (kmax, n_anc_p) are uniform across segments so
+    # ONE executable serves every segment; the ragged tail segment pads to
+    # full width (edge base rows keep slab DMAs in range, cnt=0 masks the
+    # extra blocks) and the garbage blocks are sliced off after concat —
+    # per-block math is independent, so real blocks are bit-identical to
+    # the unpacked per-segment calls (test_resample_pv_fused_segmented_*).
+    seg = RESAMPLE_SEG_BLOCKS
+    nseg = -(-nb // seg)
+    segs = []
+    kmax_g, span_max = 1, 1
+    for i in range(nseg):
+        b0, b1 = i * seg, min((i + 1) * seg, nb)
         lo = max(int(np.searchsorted(anc_j, b0 * blk, side="right")) - 1, 0)
         hi = int(np.searchsorted(anc_j, b1 * blk, side="left"))
         aj = (anc_j[lo:hi] - b0 * blk).astype(np.int32)
         a0, cnt, kmax = pallas_resample.pv_anchor_blocks(aj, b1 - b0)
-        kmax = max(1, 1 << (kmax - 1).bit_length())  # bucket compile shapes
-        n_anc_p = 512 * -(-len(aj) // 512)
-        pad_a = n_anc_p - len(aj)
-        out_seg = pallas_resample.resample_pv_pallas(
-            y2d, jnp.asarray(base_np[b0:b1]), jnp.asarray(a0), jnp.asarray(cnt),
-            jnp.asarray(np.pad(aj, (0, pad_a), constant_values=n_out_seg)),
-            jnp.asarray(np.pad(src_f[lo:hi], (0, pad_a), mode="edge")),
-            jnp.asarray(np.pad(r_f[lo:hi], (0, pad_a), mode="edge")),
-            jnp.asarray(np.pad(s_f[lo:hi], (0, pad_a), mode="edge")),
-            rows, kmax, plan.sr, n_out_seg, interpret=interpret,
-        )
-        outs.append(out_seg)
-    return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+        kmax_g = max(kmax_g, kmax)
+        span_max = max(span_max, hi - lo)
+        segs.append((b0, b1, lo, hi, aj, a0, cnt))
+    kmax_g = max(1, 1 << (kmax_g - 1).bit_length())
+    n_anc_p = 512 * -(-span_max // 512)
+    n_out_seg = seg * blk
+    blob = np.empty((nseg, 3 * seg + 4 * n_anc_p), np.int32)
+    for i, (b0, b1, lo, hi, aj, a0, cnt) in enumerate(segs):
+        pad_b = seg - (b1 - b0)
+        pad_a = n_anc_p - (hi - lo)
+
+        def _f32row(v):
+            return np.ascontiguousarray(
+                np.pad(v[lo:hi], (0, pad_a), mode="edge")
+            ).view(np.int32)
+
+        blob[i] = np.concatenate([
+            np.pad(base_np[b0:b1], (0, pad_b), mode="edge"),
+            np.pad(a0, (0, pad_b)),
+            np.pad(cnt, (0, pad_b)),  # cnt=0: padded blocks select nothing
+            np.pad(aj, (0, pad_a), constant_values=n_out_seg),
+            _f32row(src_f), _f32row(r_f), _f32row(s_f),
+        ])
+    blob_dev = jnp.asarray(blob)
+    outs = [
+        _resample_pv_segment(y2d, blob_dev, jnp.int32(i), seg, n_anc_p,
+                             rows, kmax_g, plan.sr, interpret=interpret)
+        for i in range(nseg)
+    ]
+    return jnp.concatenate(outs)[: plan.n_out_pad]
+
+
+@partial(jax.jit, static_argnames=("seg", "n_anc_p", "rows", "kmax", "sr",
+                                   "interpret"))
+def _resample_pv_segment(y2d, blob, i, seg, n_anc_p, rows, kmax, sr,
+                         interpret=False):
+    """One resample segment reading its scalar-prefetch arrays from the
+    packed blob (see _resample_pv_fused): the carve happens on device at
+    the traced segment index, so every segment re-dispatches one cached
+    executable with zero per-segment transfers."""
+    from ..kernels import pallas_resample
+
+    row = jax.lax.dynamic_slice(blob, (i, 0), (1, blob.shape[1]))[0]
+    o = 3 * seg
+
+    def f32(v):
+        return jax.lax.bitcast_convert_type(v, jnp.float32)
+
+    return pallas_resample.resample_pv_pallas(
+        y2d, row[:seg], row[seg : 2 * seg], row[2 * seg : o],
+        row[o : o + n_anc_p],
+        f32(row[o + n_anc_p : o + 2 * n_anc_p]),
+        f32(row[o + 2 * n_anc_p : o + 3 * n_anc_p]),
+        f32(row[o + 3 * n_anc_p : o + 4 * n_anc_p]),
+        rows, kmax, sr, seg * pallas_resample.BLK, interpret=interpret,
+    )
 
 
 @jax.jit

@@ -86,6 +86,26 @@ def test_short_input_and_empty():
     assert (y == 0).all()
 
 
+def test_device_out_matches_host_download(monkeypatch):
+    """device_out=True returns the identical render as a device array (the
+    hour-scale path keeps the 635 MB result resident instead of paying the
+    12 MB/s tunnel download); forcing chunking exercises the packed-plan
+    upload both ways."""
+    import jax
+
+    import melonix_tpu.engine.phase_vocoder as pv
+
+    x = _sine(330.0, 3.0)
+    n = len(x)
+    markers = [Marker(sample=n // 2, note=52.0, d_time=0.05, pitch_bend=4.0)]
+    knots = MapKnots.from_markers(markers, SR, n)
+    monkeypatch.setattr(pv, "PV_CHUNK_FRAMES", 64)
+    host = render_track_pv(x, knots)
+    dev = render_track_pv(x, knots, device_out=True)
+    assert isinstance(dev, jax.Array)
+    np.testing.assert_array_equal(host, np.asarray(dev))
+
+
 def test_chunked_stretch_matches_single_shot(monkeypatch):
     """Hour-scale chunking (exact phase carry + linear OLA) must agree with
     the one-shot stretch."""
