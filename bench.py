@@ -547,6 +547,57 @@ def _hour_scale_x_realtime() -> float:
     return seconds / dt
 
 
+def _live_pv_sustained(seconds: float = 15.0) -> dict:
+    """Sustained live-playback artifact (VERDICT r4 #3): continuous
+    1024-sample pulls through the Player on the PV engine against the
+    reference's hard audio-callback deadline (app.cpp:243-249, 274-276:
+    1024 samples every 23.2 ms).  A pull UNDERRUNS when it completes
+    after its buffer was due on the audio clock (cumulative wall >
+    cumulative audio delivered) — the planned-ahead backlog
+    (player.PV_LIVE_AHEAD) must absorb the 25-45 ms tunnel RTT jitter of
+    each stream refill.  One warmup pull precedes the clock (a real audio
+    stack prebuffers before unmuting; the first pull pays stream
+    construction + the first device dispatch)."""
+    from melonix_tpu.engine.grains import build_grain_table
+    from melonix_tpu.engine.maps import MapKnots
+    from melonix_tpu.engine.player import Player
+    from melonix_tpu.markers import Marker
+
+    sr = 44100
+    n = int(sr * (seconds + 6.0))
+    t = np.arange(n) / sr
+    x = (0.5 * np.sin(2 * np.pi * 220.0 * t)
+         + 0.2 * np.sin(2 * np.pi * 331.0 * t)).astype(np.float32)
+    markers = [
+        Marker(n // 3, 57.0, 0.0, 3.0),
+        Marker(2 * n // 3, 57.0, 0.0, -2.0),
+    ]
+    knots = MapKnots.from_markers(markers, sr, n)
+    p = Player(x, build_grain_table(x), knots, engine="pv")
+    p.is_playing = True
+    buf = 1024
+    first = p.callback(buf)  # prebuffer: stream construction + first dispatch
+    assert np.abs(first).max() > 1e-4, "live PV stream started silent"
+    pulls = int(seconds * sr / buf)
+    t0 = time.perf_counter()
+    audio = 0.0
+    under = 0
+    worst = 0.0
+    for _ in range(pulls):
+        p.callback(buf)
+        audio += buf / sr
+        behind = (time.perf_counter() - t0) - audio
+        worst = max(worst, behind)
+        if behind > 0.0:
+            under += 1
+    wall = time.perf_counter() - t0
+    return {
+        "live_pv_underruns": under,
+        "live_pv_x_realtime": round(audio / wall, 2),
+        "live_pv_worst_lag_ms": round(worst * 1e3, 1),
+    }
+
+
 def _batch_x_realtime() -> float:
     """Batch-serving on-chip artifact (VERDICT round 3, next #6): a 4-file
     PV fleet through ONE mesh program (data_parallel_pv on a 1x1 mesh —
@@ -834,6 +885,16 @@ def child_main() -> None:
         except Exception as exc:
             print(f"# batch fleet bench failed: {exc!r}", file=sys.stderr)
 
+    live = None
+    if _stage_budget_left(t0) > 180.0:
+        # Sustained live-playback artifact (VERDICT r4 #3).
+        try:
+            live = _live_pv_sustained()
+            result.update(live)
+            _write_snapshot(state, result)
+        except Exception as exc:
+            print(f"# live PV sustained bench failed: {exc!r}", file=sys.stderr)
+
     hour_x = None
     if (os.environ.get("MELONIX_BENCH_HOUR", "1") == "1"
             and jax.default_backend() == "tpu"
@@ -853,7 +914,7 @@ def child_main() -> None:
         f"granular_parity_max_err={gran_err} "
         f"pv_pitch_err_cents={None if pv_cents is None else round(pv_cents, 2)} "
         f"latency={latency} shard_pallas_ms={shard_pallas_ms} "
-        f"batch_x_realtime={batch_x} hour_x_realtime={hour_x} "
+        f"batch_x_realtime={batch_x} hour_x_realtime={hour_x} live={live} "
         f"platform={jax.devices()[0].platform}",
         file=sys.stderr,
     )

@@ -32,6 +32,17 @@ from .render import build_render_plan
 F32 = np.float32
 FADE = 100  # declick ramp length (app.cpp:264)
 RING_CAPACITY = 1 << 20  # 4 MB of float32 backlog headroom
+# Live PV read-ahead high watermark (samples).  The reference refills to
+# buffer + pgs (app.cpp:274-276: 1024 + 1500 ≈ 57 ms) against a local
+# in-process renderer; the PV stream's refill is a remote device round
+# trip with 25-45 ms jitter through the axon tunnel, so topping up that
+# little EVERY pull pays an RTT per 23 ms buffer and one slow refill
+# underruns the deadline.  Watermark hysteresis instead: refill only when
+# the backlog drops below the reference's buffer + pgs contract (low
+# watermark), then fill to 16384 (~371 ms) in one burst — ONE dispatch
+# per ~13 pulls, and the accumulated lead absorbs a >100 ms RTT spike.
+# Adds nothing to edit latency (edits drop the backlog regardless).
+PV_LIVE_AHEAD = 16384
 
 
 class _NpBacklog:
@@ -267,10 +278,14 @@ class Player:
                     start_sec=self.cursor_sec
                     + self._backlog.avail() / self.sample_rate,
                 )
-            while not self._exhausted and self._backlog.avail() < n + pgs:
-                # One read for the whole deficit: the stream satisfies it
-                # in a single resample dispatch (a tunnel RTT each).
-                deficit = n + pgs - self._backlog.avail()
+            ahead_hi = max(n + pgs, PV_LIVE_AHEAD)
+            while (not self._exhausted
+                   and self._backlog.avail() < n + pgs):  # low watermark
+                # One read for the whole deficit up to the HIGH watermark:
+                # the stream satisfies it in a single resample dispatch (a
+                # tunnel RTT each), and the burst buys ~13 deadline-free
+                # pulls of lead (see PV_LIVE_AHEAD).
+                deficit = ahead_hi - self._backlog.avail()
                 self._backlog.write(self._pv_stream.read(max(deficit, 2048)))
                 if self._pv_stream.exhausted:
                     self._exhausted = True
