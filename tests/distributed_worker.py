@@ -1,23 +1,25 @@
-"""Two-process DCN worker (SURVEY §5 multi-host story; VERDICT r3 next #8).
+"""Multi-process DCN worker (SURVEY §5 multi-host story; VERDICT r3 next
+#8, rank-count parameterization r5 #8).
 
-Launched by ``test_distributed.py`` as 2 OS processes that form one JAX
+Launched by ``test_distributed.py`` as N OS processes that form one JAX
 distributed job over gloo CPU collectives (the CPU stand-in for a DCN
 slice-of-slices: every cross-process ``ppermute``/``all_gather``/``psum``
 in the seq-sharded PV rides the inter-process fabric instead of ICI).
 
-Each process owns 4 virtual devices; the global mesh has 8.  Two programs
-run:
+Each process owns ``8 // N`` virtual devices; the global mesh has 8.  Two
+programs run:
 
 * ``seq_parallel_pv`` on a ``(data=1, seq=8)`` mesh — the seq axis SPANS
-  the process boundary, so the distributed phase prefix sum and the OLA
+  every process boundary, so the distributed phase prefix sum and the OLA
   seam spill genuinely cross processes;
 * ``data_parallel_pv`` (the batch serving step, engine/batch.py) on a
-  ``(data=2, seq=4)`` mesh — batch rows land on different processes.
+  ``(data=N, seq=8/N)`` mesh with an N-track batch — one batch row per
+  process, so the batch bucketing itself is sharded across ranks.
 
 Both are asserted equal to the single-device render under the PV
 comparison convention (rms-relative; phase propagation is chaotic at the
 ulp level — CLAUDE.md).  Prints ``DIST_OK`` on success; the parent test
-requires it from both ranks.
+requires it from every rank.
 """
 
 import os
@@ -27,9 +29,11 @@ import sys
 def main() -> None:
     pid = int(sys.argv[1])
     port = sys.argv[2]
+    nprocs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    ndev = 8 // nprocs
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
-        + " --xla_force_host_platform_device_count=4"
+        + f" --xla_force_host_platform_device_count={ndev}"
     ).strip()
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -43,10 +47,11 @@ def main() -> None:
     import numpy as np
 
     jax.distributed.initialize(
-        coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid
+        coordinator_address=f"127.0.0.1:{port}", num_processes=nprocs,
+        process_id=pid,
     )
     assert len(jax.devices()) == 8, len(jax.devices())
-    assert len(jax.local_devices()) == 4, len(jax.local_devices())
+    assert len(jax.local_devices()) == ndev, len(jax.local_devices())
 
     from melonix_tpu.engine import spectral as S
     from melonix_tpu.engine.maps import MapKnots
@@ -60,27 +65,32 @@ def main() -> None:
         seq_pv_args,
     )
 
-    # Deterministic fixture — identical on both ranks (a DCN job's inputs
-    # come from shared storage; here both ranks synthesize the same bytes).
+    # Deterministic fixtures — identical on all ranks (a DCN job's inputs
+    # come from shared storage; here every rank synthesizes the same
+    # bytes).  One track per rank so the batch step puts a row on every
+    # process.
     sr = 8000
     t = np.arange(int(sr * 1.5)) / sr
     freq = 180.0 + 120.0 * t
-    x1 = (0.6 * np.sin(2 * np.pi * freq * t)).astype(np.float32)
-    x2 = x1[::-1].copy()
-    ms1 = [Marker(len(x1) // 2, 57.0, 0.05, 2.0)]
-    ms2 = [Marker(len(x2) // 3, 57.0, 0.0, -3.0)]
-    k1 = MapKnots.from_markers(ms1, sr, len(x1))
-    k2 = MapKnots.from_markers(ms2, sr, len(x2))
-    p1 = build_pv_plan(k1, len(x1))
-    p2 = build_pv_plan(k2, len(x2))
+    base = (0.6 * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+    tracks, knots_l, plans = [], [], []
+    for b in range(nprocs):
+        x = base[::-1].copy() if b % 2 else base.copy()
+        x = (x * (1.0 - 0.1 * b)).astype(np.float32)
+        ms = [Marker(len(x) // (2 + b), 57.0, 0.05 if b % 2 == 0 else 0.0,
+                     float((-1) ** b) * (2.0 + b))]
+        k = MapKnots.from_markers(ms, sr, len(x))
+        tracks.append(x)
+        knots_l.append(k)
+        plans.append(build_pv_plan(k, len(x)))
 
     # Single-process references run on this rank's local device 0.
-    want1 = render_track_pv(x1, k1)
-    want2 = render_track_pv(x2, k2)
+    wants = [render_track_pv(x, k) for x, k in zip(tracks, knots_l)]
+    n_outs = [p.n_out for p in plans]
 
     def shard_rms_check(out, ref_rows, n_outs, tag):
         """Each rank verifies ONLY its addressable shards (the other
-        rank's rows are not downloadable across processes)."""
+        ranks' rows are not downloadable across processes)."""
         checked = 0
         for sh in out.addressable_shards:
             seg = np.asarray(sh.data)
@@ -104,7 +114,8 @@ def main() -> None:
         assert checked > 0, (tag, "rank verified nothing")
         print(pid, tag, "checked", checked, "shard spans", flush=True)
 
-    # --- 1. seq-sharded PV: the seq axis crosses the process boundary ---
+    # --- 1. seq-sharded PV: the seq axis crosses every process boundary ---
+    p1, k1, x1 = plans[0], knots_l[0], tracks[0]
     mesh_seq = make_audio_mesh(8, data=1)
     kw, ops = seq_pv_args(p1, mesh_seq.shape["seq"])
     fn = seq_parallel_pv(mesh_seq, **kw)
@@ -114,17 +125,17 @@ def main() -> None:
         jnp.asarray(ops[2]), jnp.asarray(ops[3]), win,
         *[jnp.asarray(o) for o in ops[4:]],
     )
-    shard_rms_check(out, [want1], [p1.n_out], "seq_pv")
+    shard_rms_check(out, [wants[0]], [n_outs[0]], "seq_pv")
 
-    # --- 2. batch step: rows of the track batch land on different ranks ---
-    mesh_b = make_audio_mesh(8, data=2)
-    kwb, opsb = pv_batch_args([p1, p2])
+    # --- 2. batch step: one batch row per rank (data axis = rank count) ---
+    mesh_b = make_audio_mesh(8, data=nprocs)
+    kwb, opsb = pv_batch_args(plans)
     pv = data_parallel_pv(mesh_b, **kwb)
     winb = jnp.asarray(S.hann_window(kwb["size"]))
-    wav_b = jnp.asarray(np.stack([x1, x2]))
+    wav_b = jnp.asarray(np.stack(tracks))
     out_b = pv(wav_b, *[jnp.asarray(o) for o in opsb[:4]], winb,
                *[jnp.asarray(o) for o in opsb[4:]])
-    shard_rms_check(out_b, [want1, want2], [p1.n_out, p2.n_out], "batch_pv")
+    shard_rms_check(out_b, wants, n_outs, "batch_pv")
 
     print(pid, "DIST_OK", flush=True)
 

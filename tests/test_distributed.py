@@ -1,11 +1,13 @@
-"""Two-process DCN smoke test (SURVEY §5; VERDICT r3 next #8).
+"""Multi-process DCN smoke test (SURVEY §5; VERDICT r3 next #8, rank-count
+parameterization r5 #8).
 
-Spawns ``distributed_worker.py`` twice: one JAX distributed job, 2 ranks x
-4 virtual CPU devices = one 8-device global mesh with gloo cross-process
-collectives standing in for DCN.  The workers assert the seq-sharded PV
-(whose phase prefix sum and OLA seam spill cross the process boundary) and
-the batch serving step both match the single-device render; this parent
-only checks that BOTH ranks reach ``DIST_OK``.
+Spawns ``distributed_worker.py`` N times (N = 2 and 4): one JAX
+distributed job, N ranks x 8/N virtual CPU devices = one 8-device global
+mesh with gloo cross-process collectives standing in for DCN.  The workers
+assert the seq-sharded PV (whose phase prefix sum and OLA seam spill cross
+every process boundary) and an N-row batch serving step (one batch row per
+rank) both match the single-device render; this parent only checks that
+EVERY rank reaches ``DIST_OK``.
 
 Skips when the platform cannot form the job (no gloo build, no free port,
 sandboxed sockets) — detected from the worker's early failure signature.
@@ -30,7 +32,8 @@ def _free_port() -> int:
     return port
 
 
-def test_multiprocess_batch():
+@pytest.mark.parametrize("nprocs", [2, 4])
+def test_multiprocess_batch(nprocs):
     try:
         port = _free_port()
     except OSError as exc:  # pragma: no cover - sandboxed sockets
@@ -43,10 +46,10 @@ def test_multiprocess_batch():
     env["XLA_FLAGS"] = ""
     procs = [
         subprocess.Popen(
-            [sys.executable, _WORKER, str(rank), str(port)],
+            [sys.executable, _WORKER, str(rank), str(port), str(nprocs)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
         )
-        for rank in range(2)
+        for rank in range(nprocs)
     ]
     outs = []
     try:
