@@ -340,11 +340,13 @@ def test_pv_positions_rel_device_matches_float64():
     from melonix_tpu.engine.maps import MapKnots
     from melonix_tpu.engine.phase_vocoder import (
         _anchor_table,
-        _bits,
         _positions_rel_device,
         _segment_table,
         _src_eval64,
     )
+
+    def _bits(x):  # f32 bit patterns, as PVPlan.anc_args ships them
+        return np.asarray(x, np.float32).view(np.int32).copy()
     from melonix_tpu.kernels.pallas_resample import BLK
     from melonix_tpu.markers import Marker
 
