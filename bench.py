@@ -515,8 +515,14 @@ def _hour_scale_x_realtime() -> float:
     n = int(sr * seconds)
 
     def mk_knots(bend: float) -> MapKnots:
+        # Equal n/7 spacing: the first bend segment and the final
+        # relax-to-zero segment then have the same length, which makes the
+        # rate integral EXACTLY invariant under flipping every bend's sign
+        # (segment integrals are endpoint-reversal symmetric, and equal
+        # spacing matches the boundary segments' lengths) — the warmup
+        # below exploits that.
         markers = [
-            Marker(sample=int((i + 1) * n / 8), note=57.0, d_time=0.0,
+            Marker(sample=int((i + 1) * n / 7), note=57.0, d_time=0.0,
                    pitch_bend=float((-1) ** i) * bend)
             for i in range(6)
         ]
@@ -534,7 +540,13 @@ def _hour_scale_x_realtime() -> float:
 
     x_dev = make_tone()
     _ = float(x_dev[12345])  # anchor: tone materialized before timing
-    warm = render_track_pv(x_dev, mk_knots(2.0), device_out=True)
+    # Warm with the SIGN-FLIPPED edit: flipping every bend preserves the
+    # rate integral exactly (each boundary segment's integral is endpoint-
+    # symmetric, interior ramps mirror pairwise), so n_frames/stretch_len/
+    # n_out — every shape-keyed static — match the timed edit and no
+    # remote compile can land inside the timed region, while every plan
+    # VALUE differs, keeping the timed run's uploads and execution fresh.
+    warm = render_track_pv(x_dev, mk_knots(-1.5), device_out=True)
     _ = float(warm[n // 2])  # anchor: warmup executed before timing
     del warm
     t0 = time.perf_counter()

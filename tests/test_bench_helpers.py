@@ -52,3 +52,20 @@ def test_probe_service_fails_closed(monkeypatch):
 
     monkeypatch.setattr(bench.subprocess, "run", boom)
     assert not bench._probe_service(deadline_s=0.0)
+
+
+def test_live_pv_sustained_cpu():
+    """The sustained-live artifact runs on any backend: a short CPU pass
+    must report the three fields with sane values (x_realtime > 0; the
+    underrun counter only counts pulls completing after their audio-clock
+    deadline)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    out = bench._live_pv_sustained(seconds=1.5)
+    assert set(out) == {"live_pv_underruns", "live_pv_x_realtime",
+                        "live_pv_worst_lag_ms"}
+    assert out["live_pv_x_realtime"] > 0
+    assert out["live_pv_underruns"] >= 0
