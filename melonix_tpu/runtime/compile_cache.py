@@ -70,6 +70,19 @@ def enable(cache_dir: str | None = None) -> str | None:
             return None
         import jax
 
+        # Location metadata must not leak the CALLER into the cache key:
+        # lowered modules (and Mosaic custom-call payloads) embed the full
+        # stack trace of the tracing call, so the same program traced from
+        # the UI open path, the bench, and a script hashed to THREE
+        # different persistent-cache keys — each entry point re-paid the
+        # remote AOT compile (measured 1.4 s healthy, 550+ s during
+        # service-degradation episodes, for the tile program alone).
+        # Innermost-frame-only locations (the jitted function's own file)
+        # are identical from every caller, so one compile serves them all.
+        # MELONIX_FULL_TRACEBACK_LOCATIONS=1 restores full stacks for
+        # debugging sessions.
+        if os.environ.get("MELONIX_FULL_TRACEBACK_LOCATIONS", "0") != "1":
+            jax.config.update("jax_include_full_tracebacks_in_locations", False)
         jax.config.update("jax_compilation_cache_dir", d)
         # Cache everything: the remote AOT round trip dominates even tiny
         # programs, so the default 1 s / 4 KiB floors would skip most of the
@@ -176,22 +189,24 @@ def warmup_session(
             # (pv_stream._advance_read/_advance_fused/_read_quantum/
             # _wsum_stream).  Shapes are bucketed, but an EDIT restart
             # differs from the t=0 stream in two STATIC dimensions: the
-            # download bucket out_n (2048 for a steady read, 4096 for the
-            # player's first-deficit window) and _advance_read's tail flag
-            # (True once the restart chunk is the track's last).  Warm all
-            # four combinations — an unwarmed one turns the first marker
-            # drag into a ~2 s remote compile (BENCH r4 pre-fix:
-            # edit_to_audio_pv_ms 1996.6 vs ~68 warm).
+            # download bucket out_n and _advance_read's tail flag (True
+            # once the restart chunk is the track's last).  Warm every
+            # read size the Player actually issues — an unwarmed bucket
+            # turns the first marker drag into a multi-second remote
+            # compile (BENCH r4 pre-fix: edit_to_audio_pv_ms 1996.6 vs
+            # ~68 warm; BENCH r5 pre-fix: 3835 ms when PV_LIVE_AHEAD's
+            # 16384-sample burst refill added an unwarmed bucket).
+            from ..engine.player import PV_LIVE_AHEAD
             from ..engine.pv_stream import PvStream
 
             stream = PvStream(zeros, knots)
             stream.read(2048)
             dur = len(zeros) / rate
-            for t0, n_read in ((0.25 * dur, 2048), (0.25 * dur, 4096),
-                               (max(0.0, dur - 0.2), 2048),
-                               (max(0.0, dur - 0.2), 4096)):
-                s = PvStream(zeros, knots, start_sec=t0)
-                s.read(n_read)
+            sizes = (2048, 4096, PV_LIVE_AHEAD)
+            for t0 in (0.25 * dur, max(0.0, dur - 0.2)):
+                for n_read in sizes:
+                    s = PvStream(zeros, knots, start_sec=t0)
+                    s.read(n_read)
         if columns:
             from ..engine.spectral import spectrogram_columns
 

@@ -20,6 +20,12 @@ def test_enable_sets_jax_config_and_is_idempotent(tmp_path, monkeypatch):
     assert jax.config.jax_compilation_cache_dir == d
     assert jax.config.jax_persistent_cache_min_compile_time_secs == 0.0
     assert jax.config.jax_persistent_cache_min_entry_size_bytes == 0
+    # Caller-independent cache keys: Mosaic custom-call payloads embed the
+    # tracing call's FULL stack, so with full tracebacks in locations the
+    # same program traced from the UI, the bench, and a script hashed to
+    # three different persistent-cache entries (each re-paying the remote
+    # AOT compile).  enable() must strip to innermost-frame locations.
+    assert jax.config.jax_include_full_tracebacks_in_locations is False
     # Second call is a no-op returning the active directory.
     assert cc.enable(str(tmp_path / "other")) == d
 
