@@ -153,6 +153,45 @@ def _tiles_program(wav_dev, starts, ends, kgain, ids, nearest, *,
 
 _CHUNK = 256  # static device batch width (pad + loop; one executable ever)
 
+
+def _len_bucket(n: int) -> int:
+    """Geometric track-length buckets ({2^k, 3·2^(k-1)}, ×~1.33 steps).
+
+    The tile program's only per-track shape is the wav operand; padding the
+    device copy to a bucket makes ONE compiled executable serve every track
+    in that bucket.  Without it a never-seen track length recompiles the
+    column kernel remotely in front of the user's first view (2-40 s
+    healthy, minutes during service degradation — and the open-time PV
+    warm-up chain queues behind the same compile lock).  Zero-padding is
+    semantically free: both column paths read OOB samples as zeros already
+    (spec.cpp:50-54 semantics; the padded tail is in-bounds zeros × decay =
+    the same zeros)."""
+    n = max(int(n), 1024)
+    b = 1 << (n - 1).bit_length()  # next power of two
+    three_q = 3 * (b // 4)
+    return three_q if three_q >= n else b
+
+
+_pad_to_bucket_jit = None
+
+
+def _pad_to_bucket(wav_dev, nb: int):
+    """Zero-pad on DEVICE (tiny DUS program): uploading host-padded bytes
+    would add up to a third of the track to the 0.4-100 MB/s tunnel
+    transfer for content that is identically zero."""
+    global _pad_to_bucket_jit
+    if _pad_to_bucket_jit is None:
+        import jax
+        import jax.numpy as jnp
+
+        def _pad(w, nb):
+            out = jnp.zeros((nb,), jnp.float32)
+            return jax.lax.dynamic_update_slice(out, w.astype(jnp.float32), (0,))
+
+        _pad_to_bucket_jit = jax.jit(_pad, static_argnames=("nb",))
+    return _pad_to_bucket_jit(wav_dev, nb=nb)
+
+
 _tiles_program_jit = None
 
 
@@ -197,7 +236,10 @@ class TileServer:
 
         self._cfg = config
         self._k = float(k)
-        self._wav_dev = jnp.asarray(np.asarray(wav, np.float32))
+        wav_np = np.asarray(wav, np.float32)
+        self._wav_dev = _pad_to_bucket(
+            jnp.asarray(wav_np), _len_bucket(len(wav_np))
+        )
         n_bins = config.spectr_size // 2
         texels, frac_min = config.tile_texels, config.tile_frac_min
         ids_np, nearest_np = _resample_tables(n_bins, texels, frac_min)

@@ -213,6 +213,14 @@ class EditorState:
         import jax
 
         if jax.default_backend() != "cpu":
+            # First view first: create the tile server NOW so its
+            # plan-at-open warm (the column program) enters the remote
+            # compile/execute queue AHEAD of the PV warm-up chain below —
+            # on a never-warmed shape the PV compiles take minutes and the
+            # first visible tile burst otherwise queues behind them
+            # (observed live: busy_s grew unbounded while the lane stayed
+            # black).  VERDICT r4 #4's prefetch-at-open, ordered correctly.
+            _ = self.tile_server
             from ..runtime.compile_cache import warmup_session_async
 
             warmup_session_async(len(self.wav), self.sample_rate)

@@ -425,3 +425,46 @@ def test_eviction_invalidates_damage_log():
     srv.get_tile(2, 512, 768)  # evicts key 0
     assert srv.keys_landed_since(e1) is None
     assert srv.keys_landed_since(e0) is None  # window contains the eviction
+
+
+def test_len_bucket_properties():
+    """Track-length buckets are geometric ({2^k, 3·2^(k-1)}), monotone,
+    never below the input, and within 3/2 of it — the tile executable set
+    stays tiny across arbitrary track lengths."""
+    from melonix_tpu.runtime.tiles import _len_bucket
+
+    prev = 0
+    for n in [1, 1000, 1024, 1025, 44100, 441000, 441001, 2**20,
+              3 * 2**19, 3 * 2**19 + 1, 158_760_000]:
+        b = _len_bucket(n)
+        assert b >= max(n, 1024)
+        assert b <= max(n, 1024) * 3 // 2 + 4
+        assert b >= prev  # monotone in n
+        prev = b
+        # bucket is 2^k or 3*2^(k-1)
+        while b % 2 == 0:
+            b //= 2
+        assert b in (1, 3)
+
+
+def test_tile_content_invariant_under_length_padding(chirp):
+    """Two tracks in the same bucket that differ only by trailing zeros
+    produce IDENTICAL tiles for identical key ranges — the padding the
+    bucketed device copy adds is exactly the OOB-zero semantics
+    (spec.cpp:50-54), so bucketing cannot change any texel."""
+    x, _sr = chirp
+    cfg = Config(spectr_size=512, max_ranges=64)
+    k = cfg.brightness_to_k()
+    xp = np.concatenate([x, np.zeros(1000, np.float32)])
+    a = TileServer(x, k=k, config=cfg, synchronous=True)
+    b = TileServer(xp, k=k, config=cfg, synchronous=True)
+    try:
+        for key, lo, hi in [(0, 100, 500), (1, 0, 512),
+                            (2, len(x) - 600, len(x) - 1),
+                            (3, len(x) - 200, len(x) + 300)]:
+            ta = a.get_tile(key, lo, hi)
+            tb = b.get_tile(key, lo, hi)
+            assert np.array_equal(ta, tb), (key, lo, hi)
+    finally:
+        a.close()
+        b.close()
