@@ -39,10 +39,17 @@ RING_CAPACITY = 1 << 20  # 4 MB of float32 backlog headroom
 # little EVERY pull pays an RTT per 23 ms buffer and one slow refill
 # underruns the deadline.  Watermark hysteresis instead: refill only when
 # the backlog drops below the reference's buffer + pgs contract (low
-# watermark), then fill to 16384 (~371 ms) in one burst — ONE dispatch
-# per ~13 pulls, and the accumulated lead absorbs a >100 ms RTT spike.
-# Adds nothing to edit latency (edits drop the backlog regardless).
-PV_LIVE_AHEAD = 16384
+# watermark), then fill to 32768 (~743 ms) in one burst — ONE dispatch
+# per ~26 pulls, and the accumulated lead absorbs the ~700 ms refill
+# spikes measured while the remote service recovers from a stall
+# episode (BENCH r5 mid-recovery: worst_lag 320 ms through a 371 ms
+# cushion; standalone healthy runs measure 0 lag).
+# Adds nothing to edit latency: edits drop the backlog, and the FIRST
+# read of a fresh stream covers only the immediate deadline
+# (PV_FIRST_READ) so the edit hears audio after a 16 KB download; the
+# cushion builds on the next refill, pipelined behind playback.
+PV_LIVE_AHEAD = 32768
+PV_FIRST_READ = 4096
 
 
 class _NpBacklog:
@@ -278,14 +285,23 @@ class Player:
                     start_sec=self.cursor_sec
                     + self._backlog.avail() / self.sample_rate,
                 )
+                self._pv_fresh = True  # first read: deadline only
             ahead_hi = max(n + pgs, PV_LIVE_AHEAD)
             while (not self._exhausted
                    and self._backlog.avail() < n + pgs):  # low watermark
                 # One read for the whole deficit up to the HIGH watermark:
                 # the stream satisfies it in a single resample dispatch (a
-                # tunnel RTT each), and the burst buys ~13 deadline-free
-                # pulls of lead (see PV_LIVE_AHEAD).
-                deficit = ahead_hi - self._backlog.avail()
+                # tunnel RTT each), and the burst buys ~26 deadline-free
+                # pulls of lead (see PV_LIVE_AHEAD).  The first read after
+                # a (re)start covers only the immediate deadline — lowest
+                # edit->audio latency — and the burst lands on the next
+                # refill, ~2 buffers later, behind fresh audio.
+                if getattr(self, "_pv_fresh", False):
+                    self._pv_fresh = False
+                    target = max(n + pgs, PV_FIRST_READ)
+                else:
+                    target = ahead_hi
+                deficit = target - self._backlog.avail()
                 self._backlog.write(self._pv_stream.read(max(deficit, 2048)))
                 if self._pv_stream.exhausted:
                     self._exhausted = True

@@ -282,6 +282,12 @@ def _lane_rgb(state, server, keys, lo, hi, bends, lane_h, texels, W, sr):
         state.range_time,
         state.start_note,
         state.range_note,
+        # (re)open identity: a new file creates a NEW TileServer whose epoch
+        # restarts near the memoized one — without these, a reopen at the
+        # default viewport served the PREVIOUS file's lane (epoch collision
+        # made keys_landed_since report "no damage" against the new server).
+        state.open_count,
+        id(server),
         tuple((mk.sample, mk.note, mk.d_time, mk.pitch_bend) for mk in state.markers),
     )
     memo = getattr(state, "_lane_memo", None)
@@ -347,7 +353,11 @@ def _tile_block(state, server, keys, lo, hi, texels: int, W: int) -> np.ndarray:
     between worker drains reuses the previous assembly instead of copying
     ~8 MB of cached tiles every frame."""
     epoch = getattr(server, "epoch", None)
-    sig = (int(keys[0]), int(keys[-1]), W, texels, epoch)
+    # open_count + server identity: epochs restart per server, so a reopen
+    # could otherwise collide with the memoized epoch and serve the previous
+    # file's block (see _lane_rgb's sig).
+    sig = (int(keys[0]), int(keys[-1]), W, texels, epoch,
+           state.open_count, id(server))
     memo = getattr(state, "_tiles_memo", None)
     if epoch is not None and memo is not None and memo[0] == sig:
         return memo[1]

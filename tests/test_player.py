@@ -167,3 +167,43 @@ def test_formant_toggle_noop_on_granular(chirp):
     player.set_formant(True)
     assert player._backlog.avail() == 0  # PV: restart at the cursor
     assert np.isfinite(player.callback(1024)).all()
+
+
+def test_pv_live_refill_watermarks(chirp):
+    """Live PV refill policy: the FIRST stream read after a (re)start
+    covers only the immediate deadline (PV_FIRST_READ class — lowest
+    edit->audio latency), and a later refill bursts to the PV_LIVE_AHEAD
+    high watermark; in between, pulls above the low watermark (buffer +
+    preferred grain size, app.cpp:274-276) issue no reads at all."""
+    from melonix_tpu.engine import player as P
+
+    markers = [Marker(4000, 60.0, 0.02, 2.0)]
+    player, x, table, knots = make_player(chirp, markers)
+    player.set_engine("pv")
+    player.is_playing = True
+
+    reads: list[int] = []
+    player.callback(1024)  # builds the stream lazily
+    orig_read = player._pv_stream.__class__.read
+
+    def spy_read(self, n):
+        reads.append(n)
+        return orig_read(self, n)
+
+    player._pv_stream.__class__.read = spy_read
+    try:
+        player.set_knots(knots)  # edit: drops backlog + stream
+        player.callback(1024)  # first fresh buffer
+        pgs = player.config.preferred_grain_size
+        assert reads, "edit restart issued no stream read"
+        assert reads[0] == max(1024 + pgs, P.PV_FIRST_READ)  # deadline only
+        first_n = len(reads)
+        # Drain until the next refill: it must burst to the high watermark.
+        for _ in range(40):
+            player.callback(1024)
+            if len(reads) > first_n:
+                break
+        assert len(reads) > first_n, "no burst refill followed the edit"
+        assert reads[first_n] + 1024 + pgs > P.PV_LIVE_AHEAD  # burst-sized
+    finally:
+        player._pv_stream.__class__.read = orig_read

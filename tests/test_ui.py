@@ -528,6 +528,41 @@ def test_incremental_pan_matches_full_render(chirp, tmp_path):
             ed._tile_server.close()
 
 
+def test_reopen_invalidates_lane_memo(tmp_path):
+    """Opening a DIFFERENT file must not serve the previous file's
+    spectrogram lane: the new TileServer's epoch counter restarts near the
+    memoized value, so an epoch-only memo signature collides and
+    keys_landed_since reports 'no damage' against the wrong server —
+    _lane_rgb/_tile_block carry open_count + server identity to break the
+    collision (regression: the reopen rendered file A's lane for file B)."""
+    sr = 8000
+    t = np.arange(2 * sr) / sr
+    a = str(tmp_path / "a.wav")
+    b = str(tmp_path / "b.wav")
+    write_wav(a, (0.5 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32),
+              sr, dtype="float32")
+    write_wav(b, (0.5 * np.sin(2 * np.pi * 2000.0 * t)).astype(np.float32),
+              sr, dtype="float32")
+    st = EditorState(config=CFG, viewport=Viewport(200, 150))
+    try:
+        st.open_file(a)
+        render_scene(st, synchronous_tiles=True)
+        render_scene(st, synchronous_tiles=True)  # memo stored, epoch == 1
+        st.open_file(b)  # new server: epoch restarts and collides
+        got = render_scene(st, synchronous_tiles=True)
+    finally:
+        if st._tile_server:
+            st._tile_server.close()
+    st2 = EditorState(config=CFG, viewport=Viewport(200, 150))
+    try:
+        st2.open_file(b)
+        want = render_scene(st2, synchronous_tiles=True)
+    finally:
+        if st2._tile_server:
+            st2._tile_server.close()
+    assert np.array_equal(got, want), "reopen served the previous file's lane"
+
+
 def test_lane_overlays_match_float_reference(editor):
     """The LUT/saturated-integer overlay pass must reproduce the float
     add->clip->truncate semantics of the reference (app.cpp:519-574)."""
