@@ -464,6 +464,11 @@ class TileServer:
             return {
                 "cached": len(self._cache),
                 "pending": len(self._pending),
+                # Keys handed to the device batch currently in flight:
+                # "pending == 0" alone does NOT mean the view is settled —
+                # a drain moves keys from pending to inflight before the
+                # batch lands (a settle poll must wait for both to be 0).
+                "inflight": len(self._inflight),
                 # How long the current device batch has been in flight —
                 # the UI's only signal during a remote-service stall
                 # (multi-minute episodes are documented for this platform).

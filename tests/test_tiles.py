@@ -232,6 +232,52 @@ def test_busy_signal_during_stalled_batch():
         srv.close()
 
 
+def test_inflight_counts_toward_settle():
+    """stats()['inflight'] names the keys handed to the device batch in
+    flight: a settle poll that waits only for pending == 0 returns while
+    the batch is still on the wire (the black placeholder is still being
+    served) — pending + inflight == 0 is the real settled condition."""
+    import threading
+    import time as _time
+
+    import numpy as np
+
+    from melonix_tpu.config import Config
+    from melonix_tpu.runtime.tiles import TileServer
+
+    release = threading.Event()
+
+    def slow_compute(starts, ends):
+        release.wait(10.0)
+        return np.zeros((len(starts), 64), np.float32)
+
+    x = np.zeros(4096, np.float32)
+    srv = TileServer(x, k=1.0, config=Config(max_ranges=8), compute=slow_compute,
+                     poll_interval=0.01)
+    try:
+        srv.get_tile(0, 0, 256)
+        t0 = _time.monotonic()
+        while srv.stats()["inflight"] == 0:  # worker picked the batch up
+            assert _time.monotonic() - t0 < 5.0, "batch never went in-flight"
+            _time.sleep(0.005)
+        st = srv.stats()
+        assert st["pending"] == 0  # the naive settle poll would return here
+        assert st["inflight"] == 1  # ...but the tile has not landed
+        assert srv.get_tile(0, 0, 256) is None
+        release.set()
+        t0 = _time.monotonic()
+        while srv.stats()["inflight"] or srv.stats()["pending"]:
+            assert _time.monotonic() - t0 < 5.0, "batch never landed"
+            _time.sleep(0.005)
+        t0 = _time.monotonic()
+        while srv.get_tile(0, 0, 256) is None:
+            assert _time.monotonic() - t0 < 5.0, "tile never arrived"
+            _time.sleep(0.005)
+    finally:
+        release.set()
+        srv.close()
+
+
 def test_repoll_during_drain_does_not_recompute():
     """Polling a black tile while its batch is on device must NOT re-enqueue
     it: without in-flight tracking every poll during a ~50 ms drain queued
