@@ -457,11 +457,16 @@ def _ui_fps(x: np.ndarray, sr: int) -> dict:
                          {"Content-Type": "application/json"})
             conn.getresponse().read()
 
-        # Warm view: bounded wait for the visible tiles to drain so the
-        # measurement is compose+encode, not device round trips.
+        # Warm view: the frame request is what ENQUEUES the tile burst, so
+        # fetch one first, then bounded-wait for pending AND inflight to
+        # drain (pending alone clears the moment the worker picks the batch
+        # up, before any tile lands) so the measurement is compose+encode,
+        # not device round trips.
+        get("/frame.png?fmt=jpg&w=1280&h=720")
         deadline = time.monotonic() + 180.0
         while time.monotonic() < deadline:
-            if json.loads(get("/state"))["tiles"]["pending"] == 0:
+            tl = json.loads(get("/state"))["tiles"]
+            if tl["pending"] == 0 and tl.get("inflight", 0) == 0:
                 break
             time.sleep(1.0)
         for _ in range(5):

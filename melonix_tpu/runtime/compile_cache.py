@@ -194,8 +194,9 @@ def warmup_session(
             # read size the Player actually issues — an unwarmed bucket
             # turns the first marker drag into a multi-second remote
             # compile (BENCH r4 pre-fix: edit_to_audio_pv_ms 1996.6 vs
-            # ~68 warm; BENCH r5 pre-fix: 3835 ms when PV_LIVE_AHEAD's
-            # 16384-sample burst refill added an unwarmed bucket).
+            # ~68 warm; BENCH r5 pre-fix: 3835 ms when PV_LIVE_AHEAD —
+            # then 16384, imported below so the warm set tracks it —
+            # added an unwarmed burst-refill bucket).
             from ..engine.player import PV_LIVE_AHEAD
             from ..engine.pv_stream import PvStream
 

@@ -103,8 +103,17 @@ def _waveform_cache(state: EditorState, width: int):
     ``start_time`` by an exact pixel count (state.mouse_motion's
     dt = dx·range_time/width), so the previous strip rolls and only the
     newly exposed columns hit the pyramid — the full-width query was
-    ~5 ms/frame of the pan loop (VERDICT r4 #1)."""
-    from ..engine.pyramid import query_min_max, waveform_strip
+    ~5 ms/frame of the pan loop (VERDICT r4 #1).
+
+    Column times are a PURE FUNCTION OF THE ABSOLUTE PIXEL COLUMN
+    (ts = (k0 + x)·Δt after ONE per-frame truncation), the same convention
+    as the spectrogram lane (see _draw_spectrogram): start_time drifts by
+    ~1 ulp per pan step, so columns computed from ``start_time + i·Δt`` at
+    two different pan positions can straddle an int sample boundary in
+    time_to_sample — the rolled strip would diverge from a full
+    recomputation by one sample at one column.  Key-pure times make
+    inc == full bit-exact (test_incremental_pan_matches_full_render)."""
+    from ..engine.pyramid import query_min_max
 
     sig = (
         width,
@@ -112,15 +121,19 @@ def _waveform_cache(state: EditorState, width: int):
         state.open_count,
         tuple((m.sample, m.note, m.d_time, m.pitch_bend) for m in state.markers),
     )
-    key_f = state.start_time * width / state.range_time
+    k0 = int(state.start_time * width / state.range_time)
+
+    def col_times(cols: np.ndarray) -> np.ndarray:
+        # One shared expression for both paths: bit-identical per column.
+        return (k0 + cols) * (state.range_time / width)
+
     memo = getattr(state, "_wave_memo", None)
     if memo is not None and memo[0] == sig:
-        _, old_key_f, old_mn, old_mx = memo
-        delta = key_f - old_key_f
-        k = int(round(delta))
-        if abs(delta - k) < 1e-6 and abs(k) < width:
-            if k == 0:
-                return old_mn, old_mx
+        _, old_k0, old_mn, old_mx = memo
+        k = k0 - old_k0
+        if k == 0:
+            return old_mn, old_mx
+        if abs(k) < width:
             mn = np.empty_like(old_mn)
             mx = np.empty_like(old_mx)
             if k > 0:
@@ -131,17 +144,15 @@ def _waveform_cache(state: EditorState, width: int):
                 mn[-k:] = old_mn[: width + k]
                 mx[-k:] = old_mx[: width + k]
                 new = np.arange(0, -k)
-            ts_lo = state.start_time + new * state.range_time / width
-            ts_hi = state.start_time + (new + 1) * state.range_time / width
-            s_lo = state.knots.time_to_sample(ts_lo)
-            s_hi = state.knots.time_to_sample(ts_hi)
+            s_lo = state.knots.time_to_sample(col_times(new))
+            s_hi = state.knots.time_to_sample(col_times(new + 1))
             mn[new], mx[new] = query_min_max(state.pyramid, state.wav, s_lo, s_hi)
-            state._wave_memo = (sig, key_f, mn, mx)
+            state._wave_memo = (sig, k0, mn, mx)
             return mn, mx
-    mn, mx = waveform_strip(
-        state.pyramid, state.wav, state.knots, width, state.start_time, state.range_time
-    )
-    state._wave_memo = (sig, key_f, mn, mx)
+    ts = col_times(np.arange(width + 1))
+    samples = state.knots.time_to_sample(ts)
+    mn, mx = query_min_max(state.pyramid, state.wav, samples[:-1], samples[1:])
+    state._wave_memo = (sig, k0, mn, mx)
     return mn, mx
 
 

@@ -508,7 +508,8 @@ def test_incremental_pan_matches_full_render(chirp, tmp_path):
                 ed.start_time += 3 * ed.range_time / W
                 inc = render_scene(ed, synchronous_tiles=True)
                 assert full_path_calls == 0, "incremental path did not engage"
-                ed._lane_memo = None  # force the full path
+                ed._lane_memo = None  # force the full path (lane + waveform)
+                ed._wave_memo = None
                 full = render_scene(ed, synchronous_tiles=True)
                 assert np.array_equal(inc, full)
                 full_path_calls = 0
@@ -518,11 +519,51 @@ def test_incremental_pan_matches_full_render(chirp, tmp_path):
                 inc = render_scene(ed, synchronous_tiles=True)
                 assert full_path_calls == 0, "incremental path did not engage"
                 ed._lane_memo = None
+                ed._wave_memo = None
                 full = render_scene(ed, synchronous_tiles=True)
                 assert np.array_equal(inc, full)
                 full_path_calls = 0
         finally:
             V._tile_block = orig
+    finally:
+        if ed._tile_server:
+            ed._tile_server.close()
+
+
+def test_waveform_pan_memo_exact_under_drift(chirp, tmp_path):
+    """Hundreds of uneven pan steps accumulate ~1-ulp float drift in
+    start_time; the waveform strip's rolled columns must still equal a
+    full recomputation bit-exactly.  This holds because column times are
+    a pure function of the absolute pixel column ((k0 + x)·Δt, one
+    truncation per frame) in BOTH paths — computing new columns from
+    ``start_time + i·Δt`` diverged at int sample boundaries in
+    time_to_sample (the drift class the spectrogram lane was already
+    hardened against)."""
+    from melonix_tpu.ui.view import _waveform_cache
+
+    x, sr = chirp
+    path = str(tmp_path / "song.wav")
+    write_wav(path, x, sr, dtype="float32")
+    ed = EditorState(config=Config(spectr_size=1024), viewport=Viewport(200, 150))
+    ed.open_file(path)
+    try:
+        ed.markers = [Marker(2000, 50.0, 0.03, 2.0)]
+        ed.invalidate()
+        W = ed.viewport.width
+        rng = np.random.default_rng(7)
+        _waveform_cache(ed, W)  # prime the memo
+        for step in rng.integers(-9, 10, size=300):
+            if step == 0:
+                continue
+            ed.start_time += float(step) * ed.range_time / W
+            inc = _waveform_cache(ed, W)
+            memo = ed._wave_memo
+            ed._wave_memo = None
+            full = _waveform_cache(ed, W)
+            assert np.array_equal(inc[0], full[0]) and np.array_equal(
+                inc[1], full[1]
+            ), f"waveform pan memo diverged at start_time={ed.start_time!r}"
+            ed._wave_memo = memo  # keep rolling the incremental strip
     finally:
         if ed._tile_server:
             ed._tile_server.close()
