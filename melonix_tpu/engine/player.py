@@ -44,12 +44,17 @@ RING_CAPACITY = 1 << 20  # 4 MB of float32 backlog headroom
 # spikes measured while the remote service recovers from a stall
 # episode (BENCH r5 mid-recovery: worst_lag 320 ms through a 371 ms
 # cushion; standalone healthy runs measure 0 lag).
-# Adds nothing to edit latency: edits drop the backlog, and the FIRST
-# read of a fresh stream covers only the immediate deadline
-# (PV_FIRST_READ) so the edit hears audio after a 16 KB download; the
-# cushion builds on the next refill, pipelined behind playback.
+# Adds little to edit latency: edits drop the backlog, and the FIRST
+# read of a fresh stream covers only the deadline plus a small lead bank
+# (PV_FIRST_READ = 8192, a 32 KB download — same single chunk advance on
+# device as a minimal read) so the edit hears audio at the RTT floor.
+# The first read's size is set by the SECOND refill's budget: the full
+# burst lands ~6 deadline-free pulls later, behind ~140 ms of banked
+# lead vs its ~50-90 ms cost.  A 4096 first read banked only ~2 buffers
+# (46 ms) and the next refill underran right after every (re)start
+# (measured: worst_lag 44.5 ms / 2 underruns vs 0.0 ms / 0 at 8192).
 PV_LIVE_AHEAD = 32768
-PV_FIRST_READ = 4096
+PV_FIRST_READ = 8192
 
 
 class _NpBacklog:
@@ -285,22 +290,19 @@ class Player:
                     start_sec=self.cursor_sec
                     + self._backlog.avail() / self.sample_rate,
                 )
-                self._pv_fresh = True  # first read: deadline only
-            ahead_hi = max(n + pgs, PV_LIVE_AHEAD)
+                self._pv_hi = PV_FIRST_READ  # ladder: deadline-only first
             while (not self._exhausted
                    and self._backlog.avail() < n + pgs):  # low watermark
-                # One read for the whole deficit up to the HIGH watermark:
-                # the stream satisfies it in a single resample dispatch (a
-                # tunnel RTT each), and the burst buys ~26 deadline-free
-                # pulls of lead (see PV_LIVE_AHEAD).  The first read after
-                # a (re)start covers only the immediate deadline — lowest
-                # edit->audio latency — and the burst lands on the next
-                # refill, ~2 buffers later, behind fresh audio.
-                if getattr(self, "_pv_fresh", False):
-                    self._pv_fresh = False
-                    target = max(n + pgs, PV_FIRST_READ)
-                else:
-                    target = ahead_hi
+                # One read for the whole deficit up to the current HIGH
+                # watermark: the stream satisfies it in a single resample
+                # dispatch (a tunnel RTT each).  The first read after a
+                # (re)start covers the deadline + a small lead bank
+                # (lowest edit->audio latency); every later refill bursts
+                # to the full high watermark, landing behind the lead the
+                # first read banked (see PV_LIVE_AHEAD / PV_FIRST_READ).
+                hi = getattr(self, "_pv_hi", PV_LIVE_AHEAD)
+                target = max(n + pgs, hi)
+                self._pv_hi = PV_LIVE_AHEAD
                 deficit = target - self._backlog.avail()
                 self._backlog.write(self._pv_stream.read(max(deficit, 2048)))
                 if self._pv_stream.exhausted:

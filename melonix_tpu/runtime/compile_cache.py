@@ -197,13 +197,15 @@ def warmup_session(
             # ~68 warm; BENCH r5 pre-fix: 3835 ms when PV_LIVE_AHEAD —
             # then 16384, imported below so the warm set tracks it —
             # added an unwarmed burst-refill bucket).
-            from ..engine.player import PV_LIVE_AHEAD
+            from ..engine.player import PV_FIRST_READ, PV_LIVE_AHEAD
             from ..engine.pv_stream import PvStream
 
             stream = PvStream(zeros, knots)
             stream.read(2048)
             dur = len(zeros) / rate
-            sizes = (2048, 4096, PV_LIVE_AHEAD)
+            # Every read size of the player's refill policy (first read,
+            # burst, minimum), so no live refill meets a cold executable.
+            sizes = (2048, 4096, PV_FIRST_READ, PV_LIVE_AHEAD)
             for t0 in (0.25 * dur, max(0.0, dur - 0.2)):
                 for n_read in sizes:
                     s = PvStream(zeros, knots, start_sec=t0)

@@ -171,10 +171,11 @@ def test_formant_toggle_noop_on_granular(chirp):
 
 def test_pv_live_refill_watermarks(chirp):
     """Live PV refill policy: the FIRST stream read after a (re)start
-    covers only the immediate deadline (PV_FIRST_READ class — lowest
-    edit->audio latency), and a later refill bursts to the PV_LIVE_AHEAD
-    high watermark; in between, pulls above the low watermark (buffer +
-    preferred grain size, app.cpp:274-276) issue no reads at all."""
+    covers the deadline + a small lead bank (PV_FIRST_READ — lowest
+    edit->audio latency), and the NEXT refill bursts to the PV_LIVE_AHEAD
+    high watermark, landing behind the lead the first read banked; in
+    between, pulls above the low watermark (buffer + preferred grain
+    size, app.cpp:274-276) issue no reads at all."""
     from melonix_tpu.engine import player as P
 
     markers = [Marker(4000, 60.0, 0.02, 2.0)]
@@ -196,14 +197,17 @@ def test_pv_live_refill_watermarks(chirp):
         player.callback(1024)  # first fresh buffer
         pgs = player.config.preferred_grain_size
         assert reads, "edit restart issued no stream read"
-        assert reads[0] == max(1024 + pgs, P.PV_FIRST_READ)  # deadline only
-        first_n = len(reads)
-        # Drain until the next refill: it must burst to the high watermark.
-        for _ in range(40):
-            player.callback(1024)
-            if len(reads) > first_n:
-                break
-        assert len(reads) > first_n, "no burst refill followed the edit"
-        assert reads[first_n] + 1024 + pgs > P.PV_LIVE_AHEAD  # burst-sized
+        assert reads[0] == max(1024 + pgs, P.PV_FIRST_READ)  # deadline+bank
+        # Later refills top up to the full high watermark, with
+        # deadline-free pulls (no reads) in between.
+        for rung in (P.PV_LIVE_AHEAD,):
+            n_before = len(reads)
+            for _ in range(40):
+                avail_before = player._backlog.avail()
+                player.callback(1024)
+                if len(reads) > n_before:
+                    break
+            assert len(reads) > n_before, f"no refill reached rung {rung}"
+            assert reads[n_before] + avail_before == rung  # topped to rung
     finally:
         player._pv_stream.__class__.read = orig_read
