@@ -419,10 +419,17 @@ def _sharded_pallas_compose_ms() -> float:
     )
     y = f(*args)  # compile + run
     assert bool(jnp.isfinite(y).all()) and bool(jnp.any(y != 0.0))
-    t0 = time.perf_counter()
-    y = f(*args)
-    _ = float(y[0, 1234])  # anchor: force execution through the tunnel
-    return (time.perf_counter() - t0) * 1000.0
+    # Best of three: each sample is one tunnel round trip (the execution is
+    # content-address-cached after the first run), so a single slow RTT —
+    # 862 ms observed during a service wobble vs 69 ms typical — would
+    # poison the artifact if sampled once.
+    best = float("inf")
+    for _i in range(3):
+        t0 = time.perf_counter()
+        y = f(*args)
+        _ = float(y[0, 1234])  # anchor: force execution through the tunnel
+        best = min(best, (time.perf_counter() - t0) * 1000.0)
+    return best
 
 
 def _ui_fps(x: np.ndarray, sr: int) -> dict:
